@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a full collect (results are small: top-k /
+aggregates). A warm-up count() primes the JVM + parquet footer cache so
+numbers reflect steady-state execution, not first-query JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "knn_euclidean", "knn_cosine", "knn_dotproduct", "knn_manhattan",
+    "scan_project_limit", "filter_id_eq", "filter_like", "count_star",
+    "agg_pricing_summary", "join_region_revenue", "window_topn_orders",
+    "events_hourly_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    import __spark_entry__ as entrymod
+    from toy_vector_db_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] + [n for n in qs if n not in HEADLINE]
+
+    # warm-up: JVM, codegen, parquet footers
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).collect()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # a broken query must not kill the bench
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(json.dumps({"metric": "workload_total", "value": total,
+                      "unit": "sec", "queries": timings, "sf": sf_val}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""knn on the canonical 5-vector fixture
+(/root/reference/pkg/sql/sql_test.go:218-235, FIXTURES.md F1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.operators.knn import knn, knn_join, lookup_vector
+from toy_vector_db_spark.schema import five_vectors
+
+
+def test_nearest_to_top1_is_vec1(spark):
+    df = five_vectors(spark)
+    res = knn(df, [1.0, 0.0, 0.0], k=3, metric="euclidean",
+              vec_col="embedding").collect()
+    assert len(res) == 3
+    assert res[0]["id"] == "vec1"
+    assert res[0]["distance"] == 0.0
+
+
+def test_self_exclusion(spark):
+    df = five_vectors(spark)
+    qvec = lookup_vector(df.withColumnRenamed("id", "vid"), "vid", "vec1")
+    res = knn(df, qvec, k=3, metric="euclidean",
+              exclude_id="vec1", id_col="id").collect()
+    assert all(r["id"] != "vec1" for r in res)
+    assert res[0]["id"] == "vec4"  # [1,1,0] is nearest to [1,0,0] after self
+
+
+def test_default_limit_10(spark):
+    # default LIMIT 10 (executor.go:306-309); fixture smaller than 10
+    df = five_vectors(spark)
+    assert knn(df, [1.0, 0.0, 0.0]).count() == 5
+
+
+def test_k_clamp_and_error(spark):
+    df = five_vectors(spark)
+    assert knn(df, [1.0, 0.0, 0.0], k=100).count() == 5  # clamp (flat.go:113)
+    with pytest.raises(ValueError):
+        knn(df, [1.0, 0.0, 0.0], k=0)
+
+
+def test_lookup_missing_raises(spark):
+    with pytest.raises(KeyError):
+        lookup_vector(five_vectors(spark), "id", "nope")
+
+
+def test_metric_changes_ordering(spark):
+    df = five_vectors(spark)
+    # cosine: vec4=[1,1,0] at 45deg; euclidean: vec4 at distance 1
+    eu = knn(df, [1.0, 0.0, 0.0], k=5, metric="euclidean").collect()
+    co = knn(df, [1.0, 0.0, 0.0], k=5, metric="cosine").collect()
+    assert eu[0]["id"] == co[0]["id"] == "vec1"
+    assert [r["id"] for r in eu] != [] and len(co) == 5
+
+
+def test_knn_join_matches_single_knn(spark):
+    df = five_vectors(spark)
+    queries = df.select(F.col("id").alias("query_id"),
+                        F.col("embedding").alias("query_vec"))
+    joined = knn_join(queries, df.select(F.col("id").alias("vec_id"),
+                                         "embedding"),
+                      k=2, metric="euclidean")
+    rows = {(r["query_id"], r["vec_id"]) for r in joined.collect()}
+    assert len(rows) == 10  # 5 queries x k=2
+    # each row's nearest neighbor (distance 0) is itself
+    for qid in ("vec1", "vec2", "vec3", "vec4", "vec5"):
+        assert (qid, qid) in rows
+
+
+def test_knn_join_two_phase_equals_window(spark):
+    df = five_vectors(spark)
+    queries = df.select(F.col("id").alias("query_id"),
+                        F.col("embedding").alias("query_vec"))
+    corpus = df.select(F.col("id").alias("vec_id"), "embedding")
+    a = knn_join(queries, corpus, k=3, two_phase=True)
+    b = knn_join(queries, corpus, k=3, two_phase=False)
+    norm = lambda d: sorted((r["query_id"], r["vec_id"], round(r["distance"], 9))
+                            for r in d.collect())
+    assert norm(a) == norm(b)

@@ -1,0 +1,112 @@
+"""Exact k-nearest-neighbor operators.
+
+Reference: flat (brute-force) index Search at
+/root/reference/pkg/index/flat/flat.go:100-144 — distance to every
+vector, sort all, take k — and the NEAREST TO executor at
+/root/reference/pkg/sql/executor/executor.go:251-388 (default LIMIT 10
+:306-309, self-match exclusion :363-366). The reference rebuilds its
+index from a full scan on every query (:311-339) — a misfeature we do
+NOT replicate: here knn is a plain scan+top-k over the base table.
+
+Scale design:
+- ``knn`` compiles to TakeOrderedAndProject: per-partition top-k then a
+  driver-side merge of k*num_partitions rows — no shuffle of the scan.
+  That plan survives 100 TB (each executor returns only k rows).
+- ``knn_join`` (many queries at once) broadcasts the query set, computes
+  distances partition-locally, then reduces with a two-phase top-k
+  (per-partition groupBy -> global groupBy) so the shuffle carries at
+  most |queries| x num_partitions x k rows instead of |queries| x N.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.distance import distance
+from ..functions.vector import vector_lit
+
+DEFAULT_K = 10  # reference executor.go:306-309
+
+
+def lookup_vector(df: DataFrame, id_col: str, id_value) -> list[float]:
+    """Fetch one stored embedding (query-by-id, reference main.go:366-374).
+
+    A single-row point lookup; the filter is pushed down to the Parquet
+    scan. Driver-side collect of ONE row is the query parameter, not a
+    data move.
+    """
+    row = df.filter(F.col(id_col) == id_value).select("embedding").first()
+    if row is None:
+        raise KeyError(f"vector not found: {id_col}={id_value!r}")
+    return list(row[0])
+
+
+def knn(df: DataFrame, query_vec: Sequence[float] | Column, k: int = DEFAULT_K,
+        metric: str = "euclidean", vec_col: str = "embedding",
+        exclude_id=None, id_col: str | None = None,
+        dist_col: str = "distance") -> DataFrame:
+    """Top-k nearest rows to ``query_vec``. Errors on k < 1 like the
+    reference (flat.go:108-110). ``exclude_id`` drops the self-match
+    when the query is itself a stored row (executor.go:363-366)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = query_vec if isinstance(query_vec, Column) else vector_lit(query_vec)
+    out = df.withColumn(dist_col, distance(metric, F.col(vec_col), q))
+    if exclude_id is not None:
+        if id_col is None:
+            raise ValueError("exclude_id requires id_col")
+        out = out.filter(F.col(id_col) != exclude_id)
+    # orderBy + limit => TakeOrderedAndProject (no full sort, no shuffle).
+    return out.orderBy(F.col(dist_col).asc()).limit(k)
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, k: int = DEFAULT_K,
+             metric: str = "euclidean",
+             query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+             corpus_id_col: str = "vec_id", corpus_vec_col: str = "embedding",
+             dist_col: str = "distance",
+             two_phase: bool = True) -> DataFrame:
+    """For every query row, its k nearest corpus rows.
+
+    Output: (query_id, vec_id, distance). The query side is broadcast
+    (it is the small side by construction); each corpus partition emits
+    only its local top-k per query before the single shuffle.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = F.broadcast(queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qvec")))
+    pairs = corpus.select(
+        F.col(corpus_id_col).alias("__cid"), F.col(corpus_vec_col).alias("__cvec")
+    ).crossJoin(q).select(
+        "__qid", "__cid",
+        distance(metric, F.col("__cvec"), F.col("__qvec")).alias(dist_col))
+
+    def local_topk(df: DataFrame, keys: list[str]) -> DataFrame:
+        # slice(sort_array(collect_list(struct(dist,id)))) keeps only k
+        # rows per group; grouping by (query, partition) makes phase 1 a
+        # partition-local aggregation.
+        agg = df.groupBy(*keys).agg(
+            F.slice(F.sort_array(F.collect_list(F.struct(dist_col, "__cid"))),
+                    1, k).alias("__top"))
+        return agg.select(*[c for c in keys if c == "__qid"],
+                          F.explode("__top").alias("__t")).select(
+            "__qid", F.col(f"__t.__cid").alias("__cid"),
+            F.col(f"__t.{dist_col}").alias(dist_col))
+
+    if two_phase:
+        phase1 = local_topk(
+            pairs.withColumn("__pid", F.spark_partition_id()),
+            ["__qid", "__pid"])
+        topk = local_topk(phase1, ["__qid"])
+    else:
+        from pyspark.sql import Window
+        w = Window.partitionBy("__qid").orderBy(F.col(dist_col).asc())
+        topk = pairs.withColumn("__rn", F.row_number().over(w)) \
+            .filter(F.col("__rn") <= k).drop("__rn")
+    return topk.select(F.col("__qid").alias(query_id_col),
+                       F.col("__cid").alias(corpus_id_col),
+                       F.col(dist_col))
