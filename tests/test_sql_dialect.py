@@ -1,0 +1,175 @@
+"""Dialect end-to-end on the canonical fixture — mirrors the reference's
+own SQL tests (/root/reference/pkg/sql/sql_test.go:108-215, FIXTURES.md F1/F2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from toy_vector_db_spark.plans.catalog import CollectionCatalog
+from toy_vector_db_spark.plans.dialect import SqlEngine
+from toy_vector_db_spark.schema import five_vectors, vectors_meta
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = SqlEngine(spark, CollectionCatalog(spark, str(tmp_path / "coll")))
+    five_vectors(spark).createOrReplaceTempView("vectors")
+    vectors_meta(spark).createOrReplaceTempView("vmeta")
+    return eng
+
+
+def test_full_scan_5_rows(engine):
+    assert len(engine.sql("SELECT id FROM vectors").collect()) == 5
+
+
+def test_limit_2(engine):
+    assert len(engine.sql("SELECT id FROM vectors LIMIT 2").collect()) == 2
+
+
+def test_id_filter_1_row(engine):
+    rows = engine.sql("SELECT id, dimension FROM vectors WHERE id = 'vec1'").collect()
+    assert len(rows) == 1 and rows[0]["dimension"] == 3
+
+
+def test_nearest_3_rows_vec1_first(engine):
+    rows = engine.sql(
+        "SELECT id, distance FROM vectors NEAREST TO [1.0, 0.0, 0.0] "
+        "USING euclidean LIMIT 3").collect()
+    assert len(rows) == 3
+    assert rows[0]["id"] == "vec1" and rows[0]["distance"] == 0.0
+
+
+def test_nearest_default_limit_10(engine):
+    rows = engine.sql("SELECT id, distance FROM vectors NEAREST TO [1.0,0.0,0.0]").collect()
+    assert len(rows) == 5  # all rows; default limit 10 > 5
+
+
+def test_nearest_by_id_excludes_self(engine):
+    rows = engine.sql(
+        "SELECT id, distance FROM vectors NEAREST TO 'vec1' LIMIT 3").collect()
+    assert all(r["id"] != "vec1" for r in rows)
+    assert rows[0]["id"] == "vec4"
+
+
+def test_nearest_subquery(engine):
+    rows = engine.sql(
+        "SELECT id, distance FROM vectors NEAREST TO "
+        "(SELECT embedding FROM vectors WHERE id = 'vec2') LIMIT 2").collect()
+    assert rows[0]["id"] == "vec2" and rows[0]["distance"] == 0.0
+
+
+def test_nearest_cosine_metric(engine):
+    rows = engine.sql(
+        "SELECT id, distance FROM vectors NEAREST TO [1.0,1.0,0.0] "
+        "USING cosine LIMIT 1").collect()
+    assert rows[0]["id"] == "vec4" and rows[0]["distance"] == pytest.approx(0.0)
+
+
+def test_unknown_metric_raises(engine):
+    with pytest.raises(ValueError, match="unsupported distance metric"):
+        engine.sql("SELECT id FROM vectors NEAREST TO [1.0,0.0,0.0] USING chebyshev")
+
+
+def test_unknown_column_raises(engine):
+    # documented divergence: reference silently projects id (executor.go:238-241)
+    with pytest.raises(ValueError, match="unknown column"):
+        engine.sql("SELECT bogus FROM vectors")
+
+
+def test_count_star(engine):
+    assert engine.sql("SELECT COUNT(*) FROM vectors").first()[0] == 5
+
+
+def test_metadata_eq_missing_key_false(engine):
+    rows = engine.sql(
+        "SELECT id FROM vmeta WHERE metadata.category = 'image'").collect()
+    assert sorted(r["id"] for r in rows) == ["test1", "test3"]
+
+
+def test_metadata_ne_missing_key_true(engine):
+    # prod1/prod2 lack 'category' => != matches them (executor.go:716-718)
+    rows = engine.sql(
+        "SELECT id FROM vmeta WHERE metadata.category != 'image'").collect()
+    assert sorted(r["id"] for r in rows) == ["prod1", "prod2", "test2"]
+
+
+def test_like_on_id_and_metadata(engine):
+    rows = engine.sql("SELECT id FROM vmeta WHERE id LIKE 'test%'").collect()
+    assert len(rows) == 3
+    rows = engine.sql(
+        "SELECT id FROM vmeta WHERE metadata.tags LIKE '%important%'").collect()
+    assert sorted(r["id"] for r in rows) == ["test1", "test3"]
+
+
+def test_knn_with_where_filter(engine):
+    rows = engine.sql(
+        "SELECT id, distance FROM vmeta NEAREST TO [1.0,0.0,0.0,0.0] "
+        "WHERE metadata.category = 'image' LIMIT 5").collect()
+    assert sorted(r["id"] for r in rows) == ["test1", "test3"]
+    assert rows[0]["id"] == "test1"
+
+
+def test_select_star_projection(engine):
+    df = engine.sql("SELECT * FROM vectors LIMIT 1")
+    assert df.columns == ["id", "vector", "dimension"]
+
+
+def test_ansi_passthrough(engine):
+    rows = engine.sql(
+        "SELECT count(*) AS n, size(embedding) AS dim FROM vectors "
+        "GROUP BY size(embedding)").collect()
+    assert rows[0]["n"] == 5 and rows[0]["dim"] == 3
+
+
+# -- DML/DDL lifecycle (sql_test.go INSERT/DELETE + D1-D5) -----------------
+
+def test_crud_lifecycle(engine):
+    eng = engine
+    eng.execute("CREATE COLLECTION mycoll (DIMENSION 3)")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.execute("CREATE COLLECTION mycoll")
+
+    r = eng.execute("INSERT INTO mycoll (id, vector) VALUES ('a', [1.0, 0.0, 0.0])")
+    assert r.affected == 1
+    eng.execute("INSERT INTO mycoll (id, vector) VALUES ('b', [0.0, 1.0, 0.0])")
+    eng.execute("INSERT INTO mycoll (id, vector) VALUES ('c', [0.0, 0.0, 1.0])")
+    with pytest.raises(ValueError, match="duplicate id"):
+        eng.execute("INSERT INTO mycoll (id, vector) VALUES ('a', [9.0, 9.0, 9.0])")
+
+    assert eng.sql("SELECT COUNT(*) FROM mycoll").first()[0] == 3
+    rows = eng.sql("SELECT id, distance FROM mycoll NEAREST TO [1.0,0.1,0.0] LIMIT 1").collect()
+    assert rows[0]["id"] == "a"
+
+    # UPDATE — unexecutable in the reference (executor.go:87-100), real here
+    r = eng.execute("UPDATE mycoll SET vector = [5.0, 5.0, 5.0] WHERE id = 'a'")
+    assert r.affected == 1
+    rows = eng.sql("SELECT id FROM mycoll NEAREST TO [5.0,5.0,5.0] LIMIT 1").collect()
+    assert rows[0]["id"] == "a" and rows[0].asDict().get("distance", 0.0) == 0.0
+    r = eng.execute("UPDATE mycoll SET metadata.tag = 'x' WHERE id = 'b'")
+    assert r.affected == 1
+    rows = eng.sql("SELECT id FROM mycoll WHERE metadata.tag = 'x'").collect()
+    assert [r["id"] for r in rows] == ["b"]
+
+    with pytest.raises(ValueError, match="WHERE"):
+        eng.execute("DELETE FROM mycoll")
+    r = eng.execute("DELETE FROM mycoll WHERE id = 'c'")
+    assert r.affected == 1 and r.message == "Deleted 1 row(s)"
+    assert eng.sql("SELECT COUNT(*) FROM mycoll").first()[0] == 2
+
+    r = eng.execute("DROP COLLECTION mycoll")
+    assert r.affected == 2
+    with pytest.raises(Exception):
+        eng.sql("SELECT id FROM mycoll")
+
+
+def test_catalog_persistence(spark, tmp_path):
+    root = str(tmp_path / "persist")
+    cat = CollectionCatalog(spark, root)
+    cat.create("c1")
+    cat.insert("c1", [("x", [1.0, 2.0], {"k": "v"})])
+    # new catalog instance over the same root sees the data (file-store
+    # round-trip, reference storage_test.go:136-258)
+    cat2 = CollectionCatalog(spark, root)
+    rows = cat2.read("c1").collect()
+    assert len(rows) == 1 and rows[0]["id"] == "x"
+    assert rows[0]["metadata"] == {"k": "v"}

@@ -1,0 +1,190 @@
+"""Collection catalog: named vector collections with full DML.
+
+Reference storage is one ``.vec`` file per vector with write-through
+CRUD (/root/reference/pkg/storage/storage.go:133-292) and a single
+implicit collection (executor.go:601-602). Here a collection is a
+versioned Parquet directory:
+
+    <root>/<name>/v00000/part-*.parquet
+    <root>/<name>/v00001/...
+    <root>/<name>/_current          <- pointer file (atomic rename)
+
+Each mutation writes a NEW version directory then flips the pointer —
+Spark cannot overwrite a path it is reading, and versioning gives
+readers snapshot isolation for free. This is a deliberately minimal
+transaction-log pattern; on a production cluster you'd swap in Delta
+Lake/Iceberg (same read-modify-write semantics, richer log) — the
+SqlEngine above is storage-agnostic either way.
+
+Every collection is also registered as a temp view, so spark.sql and
+the dialect see it as a table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import VECTORS_SCHEMA
+
+
+class CollectionCatalog:
+    def __init__(self, spark: SparkSession, root: str | None = None,
+                 keep_versions: int = 2):
+        self.spark = spark
+        self.root = root or tempfile.mkdtemp(prefix="vectodb_collections_")
+        self.keep_versions = keep_versions
+        os.makedirs(self.root, exist_ok=True)
+        # re-register collections that already exist on disk
+        for name in self.list_collections():
+            self._register(name)
+
+    # -- paths / versions -------------------------------------------------
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _pointer(self, name: str) -> str:
+        return os.path.join(self._dir(name), "_current")
+
+    def _version(self, name: str) -> int:
+        try:
+            with open(self._pointer(name)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def _data_path(self, name: str, version: int | None = None) -> str:
+        v = self._version(name) if version is None else version
+        return os.path.join(self._dir(name), f"v{v:05d}")
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._pointer(name))
+
+    def list_collections(self) -> list[str]:
+        if not os.path.exists(self.root):
+            return []
+        return sorted(n for n in os.listdir(self.root)
+                      if os.path.exists(self._pointer(n)))
+
+    # -- read -------------------------------------------------------------
+
+    def read(self, name: str) -> DataFrame:
+        if not self.exists(name):
+            raise KeyError(f"collection not found: {name!r}")
+        return self.spark.read.schema(VECTORS_SCHEMA).parquet(
+            self._data_path(name))
+
+    def _register(self, name: str) -> None:
+        self.read(name).createOrReplaceTempView(name)
+
+    # -- write ------------------------------------------------------------
+
+    def _commit(self, name: str, df: DataFrame) -> None:
+        v = self._version(name) + 1
+        path = self._data_path(name, v)
+        df.write.mode("overwrite").parquet(path)
+        tmp = self._pointer(name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer(name))  # atomic pointer flip
+        self._register(name)
+        self._gc(name, v)
+
+    def _gc(self, name: str, current: int) -> None:
+        base = self._dir(name)
+        for entry in os.listdir(base):
+            if entry.startswith("v") and entry[1:].isdigit():
+                if int(entry[1:]) <= current - self.keep_versions:
+                    shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+
+    # -- DDL ---------------------------------------------------------------
+
+    def create(self, name: str, dimension: int | None = None,
+               if_not_exists: bool = False) -> None:
+        """CREATE COLLECTION (reference no-ops this, executor.go:601-602;
+        we create a real empty table). ``dimension`` is recorded for
+        documentation only — like the reference, nothing enforces it
+        (SURVEY §1.2)."""
+        if self.exists(name):
+            if if_not_exists:
+                return
+            raise ValueError(f"collection already exists: {name!r}")
+        os.makedirs(self._dir(name), exist_ok=True)
+        if dimension is not None:
+            with open(os.path.join(self._dir(name), "_dimension"), "w") as f:
+                f.write(str(dimension))
+        self._commit(name, self.spark.createDataFrame([], VECTORS_SCHEMA))
+
+    def drop(self, name: str) -> int:
+        """DROP COLLECTION -> count of removed vectors (the reference
+        deletes every vector from its single store, executor.go:616-652)."""
+        n = self.read(name).count() if self.exists(name) else 0
+        self.spark.catalog.dropTempView(name)
+        shutil.rmtree(self._dir(name), ignore_errors=True)
+        return n
+
+    # -- DML ---------------------------------------------------------------
+
+    def insert(self, name: str, rows: list[tuple]) -> int:
+        """Append rows (id, embedding, metadata); duplicate id errors like
+        the reference (executor.go:476-480). The dup probe is a point
+        lookup pushed to the parquet scan, not a full join."""
+        if not self.exists(name):
+            self.create(name, if_not_exists=True)
+        new = self.spark.createDataFrame(
+            [(i, [float(x) for x in (e or [])], m) for i, e, m in rows],
+            VECTORS_SCHEMA)
+        cur = self.read(name)
+        dup = cur.join(F.broadcast(new.select("id")), "id", "left_semi").limit(1)
+        hit = dup.select("id").first()
+        if hit is not None:
+            raise ValueError(f"duplicate id: {hit[0]!r}")
+        self._commit(name, cur.unionByName(new))
+        return len(rows)
+
+    def delete(self, name: str, condition: str) -> int:
+        """DELETE WHERE <condition> (SQL-string predicate); returns the
+        deleted count (executor.go:519-576)."""
+        cur = self.read(name)
+        matched = cur.filter(condition).count()
+        if matched:
+            self._commit(name, cur.filter(f"NOT ({condition})"))
+        return matched
+
+    def update(self, name: str, sets: dict, condition: str | None) -> int:
+        """UPDATE SET ... [WHERE ...] — the reference parses this but has
+        no executor arm (executor.go:87-100, ErrUnsupportedOperation);
+        fully implemented here as a conditional column rewrite."""
+        cur = self.read(name)
+        cond = F.expr(condition) if condition else F.lit(True)
+        matched = cur.filter(cond).count()
+        if not matched:
+            return 0
+        out = cur
+        if "embedding" in sets:
+            vec = F.array(*[F.lit(float(x)) for x in sets["embedding"]]) \
+                .cast("array<float>")
+            out = out.withColumn("embedding",
+                                 F.when(cond, vec).otherwise(F.col("embedding")))
+        if "metadata" in sets:
+            # merge the SET keys into the existing map (last wins)
+            patch = F.create_map(*[F.lit(x) for kv in sets["metadata"].items()
+                                   for x in kv])
+            merged = F.map_concat(
+                F.map_filter(F.coalesce(F.col("metadata"), F.create_map()),
+                             lambda k, _: ~k.isin(*sets["metadata"].keys())),
+                patch)
+            out = out.withColumn("metadata",
+                                 F.when(cond, merged).otherwise(F.col("metadata")))
+        self._commit(name, out)
+        return matched
+
+    def set_metadata(self, name: str, vec_id: str, key: str, value: str) -> int:
+        """CLI set-metadata (reference main.go:252-282)."""
+        return self.update(name, {"metadata": {key: value}},
+                           f"id = '{vec_id}'")

@@ -1,0 +1,398 @@
+"""VectoDB SQL dialect front-end.
+
+The reference ships a full tokenizer/parser/planner/interpreter
+(/root/reference/pkg/sql/) because it has no query engine underneath.
+Here Catalyst IS the engine, so this module is deliberately thin
+(SURVEY.md §4.3): parse just enough of the dialect to
+
+  - rewrite ``SELECT ... FROM c NEAREST TO <vec|'id'|(subquery)>
+    [USING metric] [WHERE ...] [LIMIT k]`` into a DataFrame knn pipeline
+    (reference executor.go:251-388);
+  - execute INSERT / DELETE / UPDATE / CREATE / DROP COLLECTION against
+    the collection catalog (executor.go:391-652) — including UPDATE,
+    which the reference parses but cannot execute (parser.go:563-645
+    vs executor.go:87-100);
+  - hand every pure-ANSI statement to ``spark.sql`` unchanged, which
+    gives the *full* expression grammar the reference only parses
+    (SURVEY §2.2 P9).
+
+Dialect quirks replicated (with citations):
+  - knn LIMIT defaults to 10                       (executor.go:306-309)
+  - id-reference query excludes the self-match     (executor.go:363-366)
+  - ``metadata.K != v`` is TRUE when K is missing  (executor.go:716-718)
+  - ``metadata.K`` sugar -> map access             (executor.go:692-701)
+  - ``vector``/``dimension`` pseudo-columns        (executor.go:224-245)
+  - DELETE requires WHERE                          (executor.go:534-537)
+  - INSERT duplicate id errors                     (executor.go:476-480)
+
+Divergence (documented, SURVEY §7 risk 6): the reference silently
+projects unknown columns as ``id`` (executor.go:238-241); we raise.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.distance import METRICS
+from .catalog import CollectionCatalog
+
+DEFAULT_KNN_LIMIT = 10
+
+_NEAREST_RE = re.compile(
+    r"\bNEAREST\s+TO\s+(?P<q>\[[^\]]*\]|'(?:[^']|'')*'|\((?P<sub>[^()]*(?:\([^()]*\)[^()]*)*)\))"
+    r"(?:\s+USING\s+(?P<metric>\w+))?",
+    re.IGNORECASE | re.DOTALL)
+_LIMIT_RE = re.compile(r"\bLIMIT\s+(\d+)\s*$", re.IGNORECASE)
+_WHERE_RE = re.compile(r"\bWHERE\b(?P<cond>.*?)(?=\bLIMIT\b|$)",
+                       re.IGNORECASE | re.DOTALL)
+_SELECT_RE = re.compile(
+    r"^\s*SELECT\s+(?P<cols>.*?)\s+FROM\s+(?P<table>\w+)(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL)
+_META_NE_RE = re.compile(r"\bmetadata\.(\w+)\s*(?:!=|<>)\s*('(?:[^']|'')*')")
+_META_RE = re.compile(r"\bmetadata\.(\w+)")
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s*(?:\((?P<cols>[^)]*)\))?\s*"
+    r"VALUES\s*\((?P<vals>.*)\)\s*$", re.IGNORECASE | re.DOTALL)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<table>\w+)(?:\s+WHERE\s+(?P<cond>.*))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<table>\w+)\s+SET\s+(?P<sets>.*?)"
+    r"(?:\s+WHERE\s+(?P<cond>.*))?\s*$", re.IGNORECASE | re.DOTALL)
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+COLLECTION\s+(?P<table>\w+)\s*"
+    r"(?:\(\s*DIMENSION\s+(?P<dim>\d+)\s*\))?\s*$", re.IGNORECASE)
+_DROP_RE = re.compile(r"^\s*DROP\s+COLLECTION\s+(?P<table>\w+)\s*$",
+                      re.IGNORECASE)
+
+
+@dataclass
+class SqlResult:
+    """Uniform statement result (reference ResultSet, executor.go:63-76).
+
+    SELECT-like statements carry ``df``; DML/DDL carry ``message`` and
+    ``affected`` (row count)."""
+    df: DataFrame | None = None
+    message: str = ""
+    affected: int = 0
+    columns: list[str] = field(default_factory=list)
+
+    def rows(self):
+        return self.df.collect() if self.df is not None else []
+
+
+def _parse_vector_literal(text: str) -> list[float]:
+    body = text.strip()[1:-1].strip()
+    if not body:
+        return []
+    return [float(x) for x in body.split(",")]
+
+
+def _dist_sql(metric: str, vec_sql: str, col: str = "embedding") -> str:
+    """Distance as a Spark-SQL expression string (same math as
+    functions/distance.py, kept in SQL so the whole statement stays one
+    spark.sql plan — fully codegen'd, no Python boundary)."""
+    a = f"CAST({col} AS ARRAY<DOUBLE>)"
+    q = vec_sql
+    dot = f"aggregate(zip_with({a}, {q}, (x, y) -> x * y), 0.0D, (s, x) -> s + x)"
+    na = f"sqrt(aggregate({a}, 0.0D, (s, x) -> s + x * x))"
+    nq = f"sqrt(aggregate({q}, 0.0D, (s, x) -> s + x * x))"
+    if metric == "euclidean":
+        return (f"sqrt(aggregate(zip_with({a}, {q}, (x, y) -> (x - y) * (x - y)),"
+                f" 0.0D, (s, x) -> s + x))")
+    if metric == "cosine":
+        return (f"CASE WHEN {na} = 0.0D OR {nq} = 0.0D THEN 1.0D "
+                f"ELSE 1.0D - least(greatest({dot} / ({na} * {nq}), -1.0D), 1.0D) END")
+    if metric == "dotproduct":
+        return f"-{dot}"
+    if metric == "manhattan":
+        return (f"aggregate(zip_with({a}, {q}, (x, y) -> abs(x - y)),"
+                f" 0.0D, (s, x) -> s + x)")
+    raise ValueError(f"unsupported distance metric: {metric!r} "
+                     f"(supported: {sorted(METRICS)})")
+
+
+class SqlEngine:
+    """Execute VectoDB-dialect SQL over Spark.
+
+    Collections live in ``catalog`` (parquet-backed, see catalog.py);
+    arbitrary temp views registered on the session work too (any table
+    Spark can see is queryable — a superset of the reference's single
+    implicit ``vectors`` collection, SURVEY §1.1).
+    """
+
+    KNOWN_COLUMNS = ("id", "vector", "dimension", "distance", "metadata")
+
+    def __init__(self, spark: SparkSession, catalog: CollectionCatalog | None = None,
+                 default_metric: str = "euclidean"):
+        self.spark = spark
+        self.catalog = catalog or CollectionCatalog(spark)
+        self.default_metric = default_metric
+
+    # -- public ----------------------------------------------------------
+
+    def execute(self, sql: str) -> SqlResult:
+        stmt = sql.strip().rstrip(";")
+        head = stmt.split(None, 1)[0].upper() if stmt else ""
+        if head == "SELECT":
+            return self._select(stmt)
+        if head == "INSERT":
+            return self._insert(stmt)
+        if head == "DELETE":
+            return self._delete(stmt)
+        if head == "UPDATE":
+            return self._update(stmt)
+        if head == "CREATE" and _CREATE_RE.match(stmt):
+            return self._create(stmt)
+        if head == "DROP" and _DROP_RE.match(stmt):
+            return self._drop(stmt)
+        # pure ANSI -> Catalyst directly
+        return SqlResult(df=self.spark.sql(stmt))
+
+    def sql(self, query: str) -> DataFrame:
+        res = self.execute(query)
+        if res.df is None:
+            raise ValueError(f"statement returns no rows: {query!r}")
+        return res.df
+
+    # -- SELECT / NEAREST TO ---------------------------------------------
+
+    # A "simple" dialect SELECT: only pseudo-columns / metadata.K /
+    # COUNT(*), one table, optional WHERE/LIMIT — gets the projection
+    # rewrite (vector/dimension, executor.go:224-245). Anything richer
+    # (GROUP BY, JOIN, expressions) is ANSI and goes to spark.sql as-is.
+    _SIMPLE_COL = re.compile(
+        r"^(?:\*|id|vector|dimension|distance|metadata\.\w+|count\(\s*\*\s*\)|\w+)"
+        r"(?:\s+AS\s+\w+)?$", re.IGNORECASE)
+    _SIMPLE_REST = re.compile(
+        r"^(?:\s+WHERE\s+.*?)?(?:\s+LIMIT\s+\d+)?\s*$",
+        re.IGNORECASE | re.DOTALL)
+
+    def _select(self, stmt: str) -> SqlResult:
+        m = _NEAREST_RE.search(stmt)
+        if m is not None:
+            return SqlResult(df=self._nearest(stmt, m))
+        sel = _SELECT_RE.match(stmt)
+        if sel and self._SIMPLE_REST.match(sel.group("rest")) and all(
+                self._SIMPLE_COL.match(p)
+                for p in self._split_cols(sel.group("cols"))) \
+                and self._is_collection(sel.group("table")):
+            proj = self._projection(sel.group("cols"))
+            rest = self._rewrite_meta(sel.group("rest"))
+            return SqlResult(df=self.spark.sql(
+                f"SELECT {proj} FROM {sel.group('table')}{rest}"))
+        return SqlResult(df=self.spark.sql(self._rewrite_meta(stmt)))
+
+    def _is_collection(self, table: str) -> bool:
+        """Dialect projection rules apply only to vector collections
+        (schema has an ``embedding`` column); other tables are plain
+        ANSI and keep their own schemas."""
+        try:
+            return "embedding" in self.spark.table(table).columns
+        except Exception:
+            return False
+
+    def _nearest(self, stmt: str, m: re.Match) -> DataFrame:
+        sel = _SELECT_RE.match(stmt)
+        if not sel:
+            raise ValueError(f"cannot parse SELECT statement: {stmt!r}")
+        table = sel.group("table")
+        cols_raw = sel.group("cols").strip()
+        rest = stmt[m.end():]
+
+        metric = (m.group("metric") or self.default_metric).lower()
+        if metric not in METRICS:
+            raise ValueError(f"unsupported distance metric: {metric!r} "
+                             f"(supported: {sorted(METRICS)})")
+
+        lim = _LIMIT_RE.search(rest)
+        k = int(lim.group(1)) if lim else DEFAULT_KNN_LIMIT
+        if lim:
+            rest = rest[:lim.start()]
+        wm = _WHERE_RE.search(rest)
+        where = self._rewrite_meta(wm.group("cond").strip()) if wm else None
+
+        qtext = m.group("q")
+        exclude_id = None
+        if qtext.startswith("["):
+            vec = _parse_vector_literal(qtext)
+            vec_sql = "array(" + ", ".join(f"{v!r}D" for v in vec) + ")"
+        elif qtext.startswith("'"):
+            # id reference: look up the stored vector, exclude the self-match
+            # (executor.go:281-297, :363-366)
+            exclude_id = qtext[1:-1].replace("''", "'")
+            row = self.spark.sql(
+                f"SELECT embedding FROM {table} WHERE id = {qtext}").first()
+            if row is None:
+                raise KeyError(f"vector not found: id={exclude_id!r}")
+            vec_sql = ("array(" + ", ".join(f"{float(v)!r}D" for v in row[0])
+                       + ")")
+        else:
+            # subquery form: the reference parses but cannot execute this
+            # (parser.go:228-239); we can — it must yield one vector.
+            sub = m.group("sub")
+            row = self.spark.sql(self._rewrite_meta(sub)).first()
+            if row is None:
+                raise KeyError(f"subquery returned no vector: {sub!r}")
+            vec_sql = ("array(" + ", ".join(f"{float(v)!r}D" for v in row[0])
+                       + ")")
+
+        dist = _dist_sql(metric, vec_sql)
+        proj = self._projection(cols_raw, knn=True)
+        inner_where = [f"id <> '{exclude_id}'"] if exclude_id is not None else []
+        if where:
+            inner_where.append(f"({where})")
+        wsql = (" WHERE " + " AND ".join(inner_where)) if inner_where else ""
+        # distance computed once in an inner projection; ORDER BY + LIMIT
+        # compiles to TakeOrderedAndProject (per-partition top-k, no sort
+        # shuffle) — scan stays pruned to the referenced columns.
+        query = (f"SELECT {proj} FROM (SELECT *, {dist} AS distance "
+                 f"FROM {table}{wsql}) ORDER BY distance ASC LIMIT {k}")
+        return self.spark.sql(query)
+
+    def _projection(self, cols_raw: str, knn: bool = False) -> str:
+        if cols_raw.strip() == "*":
+            base = "id, embedding AS vector, size(embedding) AS dimension"
+            return base + (", distance" if knn else "")
+        out = []
+        for part in self._split_cols(cols_raw):
+            alias = None
+            am = re.match(r"^(.*?)\s+AS\s+(\w+)$", part, re.IGNORECASE | re.DOTALL)
+            if am:
+                part, alias = am.group(1).strip(), am.group(2)
+            expr, default_alias = self._col_expr(part, knn)
+            alias = alias or default_alias
+            out.append(f"{expr} AS {alias}" if alias else expr)
+        return ", ".join(out)
+
+    def _col_expr(self, part: str, knn: bool) -> tuple[str, str | None]:
+        low = part.lower()
+        if low == "id":
+            return "id", None
+        if low == "vector":
+            return "embedding", "vector"
+        if low == "dimension":
+            return "size(embedding)", "dimension"
+        if low == "distance":
+            if not knn:
+                raise ValueError("column 'distance' only exists in NEAREST TO queries")
+            return "distance", None
+        if low.startswith("metadata."):
+            return self._rewrite_meta(part), f"`{part}`"
+        if re.fullmatch(r"count\(\s*\*\s*\)", low):
+            return "count(*)", None
+        # reference quirk: unknown column silently projects id
+        # (executor.go:238-241). We diverge: raise with the column name.
+        raise ValueError(f"unknown column: {part!r} "
+                         f"(known: {', '.join(self.KNOWN_COLUMNS)})")
+
+    @staticmethod
+    def _split_cols(cols_raw: str) -> list[str]:
+        """Split on top-level commas, respecting (), [] and '...'."""
+        parts, depth, cur, in_str = [], 0, [], False
+        for ch in cols_raw:
+            if in_str:
+                cur.append(ch)
+                if ch == "'":
+                    in_str = False
+                continue
+            if ch == "'":
+                in_str = True
+            elif ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            parts.append("".join(cur).strip())
+        return [p for p in parts if p]
+
+    @staticmethod
+    def _rewrite_meta(sql: str) -> str:
+        """``metadata.K`` -> ``metadata['K']``; the != form gets the
+        COALESCE wrapper so a missing key compares TRUE
+        (executor.go:716-718; Spark's null-propagating != would drop it)."""
+        sql = _META_NE_RE.sub(r"coalesce(metadata['\1'] <> \2, true)", sql)
+        return _META_RE.sub(r"metadata['\1']", sql)
+
+    # -- DML / DDL -------------------------------------------------------
+
+    def _insert(self, stmt: str) -> SqlResult:
+        m = _INSERT_RE.match(stmt)
+        if not m:
+            raise ValueError(f"cannot parse INSERT: {stmt!r}")
+        table = m.group("table")
+        cols = [c.strip().lower() for c in (m.group("cols") or "id, vector").split(",")]
+        vals = self._split_cols(m.group("vals"))
+        if len(cols) != len(vals):
+            raise ValueError(f"INSERT column/value count mismatch: {cols} vs {len(vals)} values")
+        row: dict = {"id": None, "embedding": None, "metadata": None}
+        for c, v in zip(cols, vals):
+            v = v.strip()
+            if c == "id":
+                row["id"] = v[1:-1].replace("''", "'") if v.startswith("'") else v
+            elif c in ("vector", "embedding"):
+                # vector literal, or a string literal containing one
+                # (executor.go:449-466 accepts both)
+                if v.startswith("'"):
+                    v = v[1:-1]
+                row["embedding"] = _parse_vector_literal(v)
+            else:
+                raise ValueError(f"unknown INSERT column: {c!r}")
+        if row["id"] is None or row["embedding"] is None:
+            raise ValueError("INSERT requires id and vector values")
+        n = self.catalog.insert(table, [(row["id"], row["embedding"], row["metadata"])])
+        return SqlResult(message=f"Inserted {n} row(s)", affected=n)
+
+    def _delete(self, stmt: str) -> SqlResult:
+        m = _DELETE_RE.match(stmt)
+        if not m:
+            raise ValueError(f"cannot parse DELETE: {stmt!r}")
+        cond = m.group("cond")
+        if cond is None or not cond.strip():
+            # reference requires WHERE (executor.go:534-537)
+            raise ValueError("DELETE requires a WHERE clause")
+        n = self.catalog.delete(m.group("table"), self._rewrite_meta(cond.strip()))
+        return SqlResult(message=f"Deleted {n} row(s)", affected=n)
+
+    def _update(self, stmt: str) -> SqlResult:
+        m = _UPDATE_RE.match(stmt)
+        if not m:
+            raise ValueError(f"cannot parse UPDATE: {stmt!r}")
+        sets = {}
+        for part in self._split_cols(m.group("sets")):
+            k, _, v = part.partition("=")
+            k, v = k.strip().lower(), v.strip()
+            if k in ("vector", "embedding"):
+                if v.startswith("'"):
+                    v = v[1:-1]
+                sets["embedding"] = _parse_vector_literal(v)
+            elif k.startswith("metadata."):
+                sets.setdefault("metadata", {})[k.split(".", 1)[1]] = \
+                    v[1:-1].replace("''", "'")
+            else:
+                raise ValueError(f"cannot UPDATE column: {k!r}")
+        cond = m.group("cond")
+        n = self.catalog.update(
+            m.group("table"), sets,
+            self._rewrite_meta(cond.strip()) if cond else None)
+        return SqlResult(message=f"Updated {n} row(s)", affected=n)
+
+    def _create(self, stmt: str) -> SqlResult:
+        m = _CREATE_RE.match(stmt)
+        table, dim = m.group("table"), m.group("dim")
+        self.catalog.create(table, int(dim) if dim else None)
+        return SqlResult(message=f"Collection {table} created")
+
+    def _drop(self, stmt: str) -> SqlResult:
+        m = _DROP_RE.match(stmt)
+        n = self.catalog.drop(m.group("table"))
+        return SqlResult(message=f"Collection {m.group('table')} dropped",
+                         affected=n)

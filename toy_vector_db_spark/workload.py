@@ -267,6 +267,55 @@ def window_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round("o_totalprice", 2).alias("total")))
 
 
+# ---------------------------------------------------------------------------
+# SQL dialect end-to-end (SURVEY §3.1): the statement goes through the
+# NEAREST TO rewriter / metadata-sugar rewriter in plans/dialect.py, so
+# these exercise tokenize->rewrite->spark.sql->Catalyst against the
+# same DuckDB oracle as the DataFrame-level knn.
+# ---------------------------------------------------------------------------
+
+@q("sql_nearest_by_id", f"""
+WITH qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+), scored AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id, list_distance(CAST(embedding AS DOUBLE[]), q) AS dist
+  FROM embeddings, qv
+  WHERE vec_id <> {QUERY_VEC_ID}
+)
+SELECT id, ROUND(dist, 4) AS distance
+FROM scored ORDER BY dist ASC, CAST(id AS BIGINT) ASC LIMIT {KNN_K}
+""")
+def sql_nearest_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.dialect import SqlEngine
+    _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("id"), "embedding"
+    ).createOrReplaceTempView("vectors_dialect_knn")
+    eng = SqlEngine(spark)
+    df = eng.sql(
+        f"SELECT id, distance FROM vectors_dialect_knn "
+        f"NEAREST TO '{QUERY_VEC_ID}' USING euclidean LIMIT {KNN_K}")
+    return df.select("id", F.round("distance", 4).alias("distance"))
+
+
+@q("sql_meta_ne_dialect", """
+SELECT CAST(doc_id AS VARCHAR) AS id FROM documents
+WHERE COALESCE((CASE WHEN source <> 'web' THEN lang END) <> 'en', TRUE)
+""")
+def sql_meta_ne_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.dialect import SqlEngine
+    d = _t(spark, sf_dir, "documents")
+    meta = F.when(F.col("source") != "web",
+                  F.create_map(F.lit("lang"), F.col("lang"))) \
+            .otherwise(F.create_map())
+    d.select(F.col("doc_id").cast("string").alias("id"),
+             F.array(F.col("n_chars").cast("float")).alias("embedding"),
+             meta.alias("metadata")) \
+        .createOrReplaceTempView("vectors_dialect_meta")
+    eng = SqlEngine(spark)
+    return eng.sql(
+        "SELECT id FROM vectors_dialect_meta WHERE metadata.lang != 'en'")
+
+
 # Hourly rollup over the events table (batch equivalent of the
 # streaming windowed aggregation in streaming/events.py). Buckets are
 # epoch-aligned on the instant, so tz-independent; emitted as BIGINT
