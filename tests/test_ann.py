@@ -1,0 +1,81 @@
+"""ANN tiers validated by recall@k vs the exact tier (SURVEY §5: ANN is
+not hash-stable, so recall is the contract — the HNSW analogue)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.operators.ann import IvfIndex, LshIndex, recall_at_k
+from toy_vector_db_spark.operators.knn import knn, lookup_vector
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return lookup_vector(emb, "vec_id", 7)
+
+
+def test_lsh_search_recall(spark, emb, qvec):
+    # The synthetic embeddings are near-random (true neighbors at ~70deg),
+    # a worst case for hyperplane LSH — 6 planes + multiprobe 3 measured
+    # at recall 0.7 here; real near-dup corpora sit far higher.
+    idx = LshIndex.build(emb, n_planes=6)
+    exact = knn(emb, qvec, k=10, metric="cosine")
+    approx = idx.search(qvec, k=10, metric="cosine", multiprobe=3)
+    rows = approx.collect()
+    assert len(rows) == 10
+    assert approx.columns == emb.columns + ["distance"]
+    r = recall_at_k(approx, exact, "vec_id")
+    assert r >= 0.5, f"recall@10 too low: {r}"
+    # self is in its own bucket: top hit must be the query row itself
+    assert rows[0]["vec_id"] == 7 and rows[0]["distance"] <= 1e-6
+
+
+def test_lsh_multiprobe_increases_candidates(emb, qvec):
+    idx = LshIndex.build(emb, n_planes=8)
+    r0 = idx.search(qvec, k=500, metric="cosine", multiprobe=0).count()
+    r2 = idx.search(qvec, k=500, metric="cosine", multiprobe=2).count()
+    assert r2 >= r0
+
+
+def test_lsh_save_load_roundtrip(spark, emb, qvec, tmp_path):
+    idx = LshIndex.build(emb, n_planes=8)
+    path = str(tmp_path / "lsh")
+    idx.save(path)
+    idx2 = LshIndex.load(spark, path)
+    a = sorted(r["vec_id"] for r in idx.search(qvec, k=5).collect())
+    b = sorted(r["vec_id"] for r in idx2.search(qvec, k=5).collect())
+    assert a == b
+
+
+def test_ivf_search_recall(spark, emb, qvec):
+    idx = IvfIndex.build(emb, n_centroids=8, seed=42)
+    exact = knn(emb, qvec, k=10, metric="cosine")
+    approx = idx.search(qvec, k=10, metric="cosine", nprobe=3)
+    assert approx.count() == 10
+    r = recall_at_k(approx, exact, "vec_id")
+    assert r >= 0.5, f"recall@10 too low: {r}"
+
+
+def test_ivf_nprobe_full_equals_exact(spark, emb, qvec):
+    idx = IvfIndex.build(emb, n_centroids=4, seed=42)
+    exact = {r["vec_id"] for r in knn(emb, qvec, k=10, metric="cosine").collect()}
+    full = idx.search(qvec, k=10, metric="cosine", nprobe=4)
+    assert {r["vec_id"] for r in full.collect()} == exact  # probe-all == exact
+
+
+def test_ivf_save_load_roundtrip(spark, emb, qvec, tmp_path):
+    idx = IvfIndex.build(emb, n_centroids=4, seed=42)
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    idx2 = IvfIndex.load(spark, path)
+    a = sorted(r["vec_id"] for r in idx.search(qvec, k=5).collect())
+    b = sorted(r["vec_id"] for r in idx2.search(qvec, k=5).collect())
+    assert a == b

@@ -1,0 +1,94 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.operators.dedup import (
+    embedding_near_dup_pairs, exact_dedup, exact_dup_clusters, jaccard,
+    minhash_lsh_pairs, ngram_jaccard_pairs, simhash, simhash_dup_clusters,
+)
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog."),   # exact dup of 1 (normalized)
+    (3, "The quick brown fox jumps over the lazy cat"),    # near dup of 1
+    (4, "Completely unrelated text about database engines"),
+    (5, "Completely unrelated text about database engines"),  # exact dup of 4
+    (6, "lorem ipsum dolor sit amet consectetur adipiscing"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dup_clusters(docs):
+    rows = exact_dup_clusters(docs).collect()
+    clusters = sorted(tuple(r["ids"]) for r in rows)
+    assert clusters == [(1, 2), (4, 5)]
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    assert kept == [1, 3, 4, 6]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = minhash_lsh_pairs(docs, threshold=0.3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got            # exact dups always pass
+    assert (4, 5) in got
+    assert (1, 3) in got or (2, 3) in got  # near dup shares most shingles
+    for r in pairs:
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_minhash_no_verify_returns_candidates(docs):
+    cands = minhash_lsh_pairs(docs, verify=False)
+    assert cands.columns == ["id_a", "id_b"]
+    assert cands.count() >= 2
+
+
+def test_simhash_identical_for_same_text(spark, docs):
+    rows = docs.select("doc_id", simhash(F.col("text")).alias("s")).collect()
+    by_id = {r["doc_id"]: r["s"] for r in rows}
+    assert by_id[1] == by_id[2]
+    assert by_id[4] == by_id[5]
+    assert by_id[1] != by_id[6]
+    assert all(0 <= v < (1 << 16) for v in by_id.values())
+
+
+def test_simhash_clusters(docs):
+    rows = simhash_dup_clusters(docs).collect()
+    clusters = sorted(tuple(r["ids"]) for r in rows)
+    assert (1, 2) in clusters and (4, 5) in clusters
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"])
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, pairs).collect()}
+    assert rows[(1, 2)] == pytest.approx(1.0)     # normalized-identical
+    assert 0.0 < rows[(1, 3)] < 1.0               # near dup
+    assert rows[(1, 4)] == 0.0                    # unrelated
+
+
+def test_jaccard_empty_arrays(spark):
+    df = spark.createDataFrame([([], [])], "a: array<string>, b: array<string>")
+    assert df.select(jaccard(F.col("a"), F.col("b")).alias("j")).first()["j"] == 1.0
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    pairs = embedding_near_dup_pairs(df, threshold=0.99, n_planes=4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(1, 2)}
+    sim = pairs[0]["cosine_sim"]
+    assert sim == pytest.approx(1.0, abs=1e-3)

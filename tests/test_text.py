@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.functions.text import (
+    fingerprint, lang_id, quality_score, rolling_fingerprint, token_count,
+    word_shingles,
+)
+
+
+def _vals(spark, texts, col_fn):
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    return [r["v"] for r in df.select(col_fn(F.col("t")).alias("v")).collect()]
+
+
+def test_token_count(spark):
+    got = _vals(spark, ["", "   ", "one", "one two  three"], token_count)
+    assert got == [0, 0, 1, 3]
+
+
+def test_lang_id(spark):
+    got = _vals(spark, [
+        "the cat sat on the mat and it was happy",
+        "der hund ist nicht auf der couch und das ist gut",
+        "le chat est dans la maison et il est content",
+        "el perro es un animal que vive por la casa",
+        "zzz qqq xxx",
+    ], lang_id)
+    assert got == ["en", "de", "fr", "es", "und"]
+
+
+def test_fingerprint_normalization(spark):
+    a, b, c = _vals(spark, ["Hello,  World!?", "hello world", "hello worlds"],
+                    fingerprint)
+    # wait: '!' and '?' are punctuation but our class is [.,!?;:]
+    assert a == b
+    assert a != c
+
+
+def test_rolling_fingerprint_properties(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    noisy = "Alpha, beta gamma;  delta epsilon zeta eta theta."
+    fa, fn = _vals(spark, [base, noisy], lambda c: rolling_fingerprint(c, 4))
+    assert fa == fn          # normalization-invariant
+    # the fingerprint is the min shingle hash => appending text can only
+    # keep it or lower it, never raise it
+    fb = _vals(spark, [base + " omega"], lambda c: rolling_fingerprint(c, 4))[0]
+    assert fb <= fa
+    assert _vals(spark, ["totally different words here"],
+                 lambda c: rolling_fingerprint(c, 4))[0] != fa
+
+
+def test_quality_score_range_and_ordering(spark):
+    good = ("the quick brown fox jumps over the lazy dog. it was a "
+            "sunny day, and the fox was happy. that is the story.")
+    bad = "x"
+    g, b = _vals(spark, [good, bad], quality_score)
+    assert 0.0 <= b < g <= 1.0
+
+
+def test_word_shingles(spark):
+    got = _vals(spark, ["a b c d"], lambda c: word_shingles(c, 3))
+    assert sorted(got[0]) == ["a b c", "b c d"]
+    short = _vals(spark, ["a b"], lambda c: word_shingles(c, 3))
+    assert short[0] == ["a b"]
+
+
+def test_quality_score_null_safe_empty(spark):
+    got = _vals(spark, [""], quality_score)
+    assert got[0] == pytest.approx(0.1)  # only the 0.5 tok-len term * 0.2

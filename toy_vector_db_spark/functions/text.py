@@ -1,0 +1,141 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Beyond-parity extension (the reference has no text analytics; its only
+text handling is the embedding pass-through, pipeline/processor.go:21-40).
+These are the standard pre-training corpus filters — language ID,
+quality scoring, token counting, fingerprinting — expressed as pure
+Column expressions so they run inside whole-stage codegen at 100 TB:
+no UDFs anywhere in this module.
+
+Every function here has an exact ANSI-SQL twin (see workload.py), so
+the driver's DuckDB oracle checks them value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword inventories for the n-gram/stopword
+# heuristic language id. Order matters: ties resolve to the FIRST
+# language in this list (mirrored in the oracle SQL).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "que", "por", "para"),
+}
+
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    return F.when(F.trim(text) == "", F.lit(0)) \
+            .otherwise(F.size(tokens(text))).cast("bigint")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: splits on whitespace AND on
+    letter/digit/punctuation boundaries (a cheap stand-in for a BPE
+    tokenizer's fragment count — useful for token budgeting)."""
+    pieces = F.split(F.trim(text), r"\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^\w\s])|(?<=[^\w\s])")
+    return F.size(F.filter(pieces, lambda p: p != "")).cast("bigint")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("bigint")
+
+
+def punct_count(text: Column) -> Column:
+    return (F.length(text) -
+            F.length(F.regexp_replace(text, PUNCT_CLASS, ""))).cast("bigint")
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    """Number of tokens (with duplicates) that are stopwords of ``lang``."""
+    stops = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text),
+                           lambda t: F.array_contains(stops, t))).cast("bigint")
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: rewards moderate length, real
+    sentence punctuation, and natural stopword density; punishes
+    degenerate short/unpunctuated text. Deterministic arithmetic only."""
+    n_chars = F.length(text).cast("double")
+    n_tok = token_count(text).cast("double")
+    mean_tok_len = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0,
+                         punct_count(text) / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0,
+                        stopword_hits(text) / n_tok).otherwise(F.lit(0.0))
+    length_term = F.least(n_tok / 20.0, F.lit(1.0))              # ≥20 tokens
+    tok_len_term = F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 10.0),
+                          F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_term = F.least(punct_ratio * 20.0, F.lit(1.0))
+    stop_term = F.least(stop_ratio * 4.0, F.lit(1.0))
+    return (0.4 * length_term + 0.2 * tok_len_term
+            + 0.2 * punct_term + 0.2 * stop_term)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-voting language id over LANG_STOPWORDS; 'und'
+    (undetermined) when no stopword of any language appears. Ties break
+    by dict order — the oracle SQL mirrors the same chain."""
+    toks = tokens(text)
+
+    def in_list(stops: tuple[str, ...]):
+        arr = F.array(*[F.lit(x) for x in stops])
+        return lambda t: F.array_contains(arr, t)
+
+    scores = {lang: F.size(F.filter(toks, in_list(stops)))
+              for lang, stops in LANG_STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_STOPWORDS)):  # first lang wins ties
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best),
+                      F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalize_for_fingerprint(text: Column) -> Column:
+    """Canonical form for exact-dup detection: lowercase, strip
+    punctuation, collapse whitespace."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, PUNCT_CLASS, "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Exact-duplicate fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_for_fingerprint(text))
+
+
+def rolling_fingerprint(text: Column, window: int = 4) -> Column:
+    """Winnowing-style robust fingerprint: md5 over each ``window``-word
+    shingle of the normalized text, keep the lexicographic minimum.
+    Survives local edits that shift the exact hash."""
+    toks = F.split(normalize_for_fingerprint(text), " ")
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))))
+    return F.array_min(shingles)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of normalized text (MinHash/Jaccard
+    input). For texts shorter than k words, the whole text is the one
+    shingle."""
+    toks = F.split(normalize_for_fingerprint(text), " ")
+    n = F.size(toks)
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))))

@@ -1,0 +1,215 @@
+"""Approximate nearest neighbor: the Spark-idiomatic HNSW analogue.
+
+Reference HNSW (/root/reference/pkg/index/hnsw/hnsw.go) is a
+pointer-chasing graph — an anti-pattern on Spark (SURVEY §7 risk 1).
+Capability parity is "approximate knn, much cheaper than brute force,
+tunable recall" (README.md:190-195); delivered here as:
+
+  1. Random-hyperplane LSH (cosine-family): signature = sign bits of
+     dot(v, plane_i). Index build is one scan; search probes the
+     query's bucket plus ``multiprobe`` Hamming-adjacent buckets, then
+     exact-scores only candidates. Recall tunes with n_planes (fewer
+     planes = bigger buckets = higher recall, more work) and
+     multiprobe — the efSearch analogue (hnsw.go:50).
+  2. IVF via MLlib KMeans: centroid table (broadcast-sized), cluster
+     assignment at build, ``nprobe``-nearest-centroid pruning at
+     search — partition pruning does the rest when the index table is
+     written partitioned by cluster.
+
+Index persistence (reference Save/Load, hnsw.go:556-652 — gob
+snapshots) maps to writing the signed/assigned table + params as
+Parquet: ``save_index`` / ``load_index``.
+
+Scale: build is embarrassingly parallel (no shuffle unless writing
+partitioned); search reads only matching buckets/clusters — with a
+partitioned index table that is real partition pruning at the source.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.distance import distance
+from .knn import knn
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes, shape (n_planes, dim)."""
+    return np.random.RandomState(seed).normal(size=(n_planes, dim))
+
+
+def _sig_expr(vec_col: str, planes: np.ndarray):
+    """Signature as an int: bit i = [dot(v, plane_i) > 0]. Pure Column
+    expression — the dot products run in codegen, no Python.
+    n_planes is small (8-20), so the expression stays manageable."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(F.zip_with(F.col(vec_col).cast("array<double>"), lit,
+                                   lambda x, y: x * y),
+                        F.lit(0.0), lambda s, x: s + x)
+        bits.append(F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def add_lsh_signature(df: DataFrame, planes: np.ndarray,
+                      vec_col: str = "embedding",
+                      sig_col: str = "__sig") -> DataFrame:
+    return df.withColumn(sig_col, _sig_expr(vec_col, planes))
+
+
+def query_signature(qvec: Sequence[float], planes: np.ndarray) -> int:
+    dots = planes @ np.asarray(qvec, dtype=np.float64)
+    return int(sum(1 << i for i, d in enumerate(dots) if d > 0))
+
+
+def probe_signatures(sig: int, n_planes: int, multiprobe: int = 1) -> list[int]:
+    """The query bucket plus all buckets within Hamming distance
+    ``multiprobe`` (efSearch-style recall knob)."""
+    sigs = {sig}
+    frontier = {sig}
+    for _ in range(multiprobe):
+        frontier = {s ^ (1 << b) for s in frontier for b in range(n_planes)}
+        sigs |= frontier
+    return sorted(sigs)
+
+
+class LshIndex:
+    """Bucket-table ANN index (flat/HNSW ``Index`` interface analogue,
+    reference pkg/index/index.go:19-49: Build/Search/Save/Load)."""
+
+    def __init__(self, planes: np.ndarray, table: DataFrame,
+                 id_col: str, vec_col: str):
+        self.planes = planes
+        self.table = table  # base columns + __sig
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def build(cls, df: DataFrame, n_planes: int = 12, seed: int = 42,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dim: int | None = None) -> "LshIndex":
+        if dim is None:
+            row = df.select(F.size(vec_col)).first()
+            if row is None:
+                raise ValueError("cannot build index over an empty corpus")
+            dim = int(row[0])
+        planes = hyperplanes(n_planes, dim, seed)
+        return cls(planes, add_lsh_signature(df, planes, vec_col), id_col, vec_col)
+
+    def search(self, qvec: Sequence[float], k: int = 10,
+               metric: str = "cosine", multiprobe: int = 1) -> DataFrame:
+        qsig = query_signature(qvec, self.planes)
+        probes = probe_signatures(qsig, len(self.planes), multiprobe)
+        cands = self.table.filter(F.col("__sig").isin(probes))
+        return knn(cands, [float(x) for x in qvec], k=k, metric=metric,
+                   vec_col=self.vec_col).drop("__sig")
+
+    # -- persistence (S5 analogue) --------------------------------------
+
+    def save(self, path: str, partitioned: bool = True) -> None:
+        """Write the bucket table (optionally partitioned by signature:
+        bucket probes then become partition pruning at the source) and
+        the plane matrix + params as JSON."""
+        w = self.table.write.mode("overwrite")
+        if partitioned:
+            w = w.partitionBy("__sig")
+        w.parquet(os.path.join(path, "buckets"))
+        meta = {"planes": self.planes.tolist(), "id_col": self.id_col,
+                "vec_col": self.vec_col}
+        with open(os.path.join(path, "lsh_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LshIndex":
+        with open(os.path.join(path, "lsh_meta.json")) as f:
+            meta = json.load(f)
+        table = spark.read.parquet(os.path.join(path, "buckets"))
+        return cls(np.asarray(meta["planes"]), table,
+                   meta["id_col"], meta["vec_col"])
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted file) via KMeans centroids
+# ---------------------------------------------------------------------------
+
+
+class IvfIndex:
+    """Centroid-partitioned ANN index. Build: MLlib KMeans (public
+    Spark API) over a sample; assign every row to its nearest centroid.
+    Search: score centroids driver-side (they're broadcast-sized),
+    scan only the ``nprobe`` nearest clusters."""
+
+    def __init__(self, centroids: np.ndarray, table: DataFrame,
+                 id_col: str, vec_col: str):
+        self.centroids = centroids
+        self.table = table  # base columns + __cluster
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def build(cls, df: DataFrame, n_centroids: int = 16, seed: int = 42,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              max_iter: int = 20) -> "IvfIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        feats = df.withColumn("__features",
+                              array_to_vector(F.col(vec_col).cast("array<double>")))
+        km = KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
+                    featuresCol="__features", predictionCol="__cluster")
+        model = km.fit(feats)
+        centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+        table = model.transform(feats).drop("__features")
+        _ = vector_to_array  # re-exported for callers converting back
+        return cls(centroids, table, id_col, vec_col)
+
+    def search(self, qvec: Sequence[float], k: int = 10,
+               metric: str = "cosine", nprobe: int = 3) -> DataFrame:
+        q = np.asarray(qvec, dtype=np.float64)
+        dists = np.linalg.norm(self.centroids - q, axis=1)
+        probe = [int(c) for c in np.argsort(dists)[:nprobe]]
+        cands = self.table.filter(F.col("__cluster").isin(probe))
+        return knn(cands, [float(x) for x in qvec], k=k, metric=metric,
+                   vec_col=self.vec_col).drop("__cluster")
+
+    def save(self, path: str) -> None:
+        self.table.write.mode("overwrite").partitionBy("__cluster") \
+            .parquet(os.path.join(path, "clusters"))
+        meta = {"centroids": self.centroids.tolist(), "id_col": self.id_col,
+                "vec_col": self.vec_col}
+        with open(os.path.join(path, "ivf_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IvfIndex":
+        with open(os.path.join(path, "ivf_meta.json")) as f:
+            meta = json.load(f)
+        table = spark.read.parquet(os.path.join(path, "clusters"))
+        return cls(np.asarray(meta["centroids"]), table,
+                   meta["id_col"], meta["vec_col"])
+
+
+# ---------------------------------------------------------------------------
+# Recall harness (ANN tiers are validated by recall@k vs the exact
+# tier, not value hashes — SURVEY §5)
+# ---------------------------------------------------------------------------
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, id_col: str) -> float:
+    a = {r[0] for r in approx.select(id_col).collect()}
+    e = {r[0] for r in exact.select(id_col).collect()}
+    return len(a & e) / max(len(e), 1)

@@ -1,0 +1,251 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-parity extension (the reference's only dup handling is the
+INSERT duplicate-id error, executor.go:476-480). Five tiers, cheapest
+to strongest, all shuffle-conscious:
+
+  exact        md5-fingerprint groupBy              (1 shuffle on hash)
+  minhash-LSH  shingle -> minhash sig -> band join  (shuffle on band key)
+  simhash      bitwise near-dup hash, groupBy       (1 shuffle on hash)
+  jaccard      n-gram set similarity (verifier)     (computed per pair)
+  embedding    cosine near-dup via knn_join/LSH     (see ann.py)
+
+Everything except the (optional) verification join is pure Column
+expressions — md5 / array ops are JVM-side, codegen-friendly. The
+DuckDB oracles in workload.py replicate each tier value-for-value
+(md5 hex strings are engine-independent).
+
+At 100 TB: candidate generation only ever shuffles (id, small-key)
+pairs, never full documents; verification joins re-read only candidate
+rows via a semi-join on id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, word_shingles
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_clusters(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents:
+    (fingerprint, n_docs, doc_ids sorted). Only clusters with >1 doc."""
+    return (df.select(fingerprint(F.col(text_col)).alias("fingerprint"),
+                      F.col(id_col))
+            .groupBy("fingerprint")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sort_array(F.collect_list(id_col)).alias("ids"))
+            .filter(F.col("n_docs") > 1))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of every exact-dup cluster.
+    One hash shuffle; the winner set comes back via a semi-join so full
+    rows never shuffle."""
+    keep = (df.select(fingerprint(F.col(text_col)).alias("__fp"), F.col(id_col))
+            .groupBy("__fp").agg(F.min(id_col).alias(id_col)))
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text: Column, num_perm: int = 8,
+                      shingle_k: int = 3) -> Column:
+    """MinHash signature as an array of ``num_perm`` lexicographic-min
+    md5 hex strings over salted word shingles. md5-as-permutation keeps
+    the signature engine-portable (identical in DuckDB), at the cost of
+    hashing each shingle num_perm times — fine for num_perm <= 16."""
+    sh = word_shingles(text, k=shingle_k)
+    # Single fold over the shingle array: per shingle, compute its
+    # num_perm salted hashes and fold element-wise minima. Higher-order
+    # functions are interpreted (no codegen/CSE), so a per-permutation
+    # array_min would re-derive the shingle array num_perm times —
+    # measured 8x slower at sf0.1.
+    init = F.array_repeat(F.lit("g" * 32), num_perm)  # 'g' > any md5 hex char
+
+    def fold(acc, s):
+        salted = F.array(*[F.md5(F.concat(F.lit(f"{i}:"), s))
+                           for i in range(num_perm)])
+        return F.zip_with(acc, salted, lambda a, b: F.least(a, b))
+
+    return F.aggregate(sh, init, fold)
+
+
+def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Band keys: concat of ``rows_per_band`` consecutive signature
+    entries, prefixed with the band index."""
+    return F.array(*[
+        F.concat_ws("|", F.lit(str(b)),
+                    *[F.element_at(sig, b * rows_per_band + r + 1)
+                      for r in range(rows_per_band)])
+        for b in range(bands)])
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0.0, F.lit(1.0)).otherwise(inter / union)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 8,
+                      bands: int = 4, shingle_k: int = 3,
+                      threshold: float | None = 0.5,
+                      verify: bool = True) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash.
+
+    Plan shape: project (id, band_keys[, shingles]) -> explode bands ->
+    self-join on band key (shuffle carries only ids + band strings) ->
+    distinct pairs -> optional exact-Jaccard verification against the
+    re-derived shingle sets (semi-joined, not shuffled with the bands).
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_perm // bands
+    base = df.select(F.col(id_col).alias("__id"),
+                     F.col(text_col).alias("__text"))
+    sig = base.select(
+        "__id",
+        F.explode(minhash_bands(
+            minhash_signature(F.col("__text"), num_perm, shingle_k),
+            bands, rows_per_band)).alias("__band"))
+    left = sig.alias("l")
+    right = sig.alias("r")
+    pairs = (left.join(right, (F.col("l.__band") == F.col("r.__band"))
+                       & (F.col("l.__id") < F.col("r.__id")))
+             .select(F.col("l.__id").alias("id_a"),
+                     F.col("r.__id").alias("id_b"))
+             .distinct())
+    if not verify:
+        return pairs
+    sh = base.select("__id",
+                     word_shingles(F.col("__text"), shingle_k).alias("__sh"))
+    out = (pairs
+           .join(sh.select(F.col("__id").alias("id_a"),
+                           F.col("__sh").alias("__sh_a")), "id_a")
+           .join(sh.select(F.col("__id").alias("id_b"),
+                           F.col("__sh").alias("__sh_b")), "id_b")
+           .select("id_a", "id_b",
+                   jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard")))
+    if threshold is not None:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column, bits: int = 16, shingle_k: int = 1) -> Column:
+    """SimHash over word (or shingle) hashes: for each bit position,
+    majority vote across token hashes; near-identical texts land on
+    identical (or 1-2 bit distant) values.
+
+    Uses the first 4 hex chars of md5 as the per-token 16-bit hash so
+    the DuckDB oracle can reproduce it exactly ('0x'||hex cast)."""
+    sh = word_shingles(text, k=shingle_k)
+    # One fold: each shingle hashes ONCE (md5+conv), contributing +-1 to
+    # every bit counter; a per-bit filter() would recompute all the
+    # hashes bits times (measured 20x slower at sf0.1 — HOFs don't CSE).
+    init = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def fold(acc, s):
+        h = F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("long")
+        votes = F.array(*[
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+             .otherwise(F.lit(-1)).cast("long")
+            for b in range(bits)])
+        return F.zip_with(acc, votes, lambda a, v: a + v)
+
+    counts = F.aggregate(sh, init, fold)
+    # majority vote per bit: counter > 0 <=> 2*ones > n
+    weights = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    return F.aggregate(
+        F.zip_with(counts, weights,
+                   lambda c, w: F.when(c > 0, w).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda s, x: s + x)
+
+
+def simhash_dup_clusters(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """Documents sharing an identical simhash value (cheap near-dup
+    tier: one hash shuffle, no pairwise work)."""
+    return (df.select(simhash(F.col(text_col), bits).alias("simhash"),
+                      F.col(id_col))
+            .groupBy("simhash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sort_array(F.collect_list(id_col)).alias("ids"))
+            .filter(F.col("n_docs") > 1))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (direct pair scoring)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_k: int = 3) -> DataFrame:
+    """Score given (id_a, id_b) candidate pairs with exact n-gram
+    Jaccard. Use after any candidate generator; only candidate rows'
+    shingle sets are joined in."""
+    sh = df.select(F.col(id_col).alias("__id"),
+                   word_shingles(F.col(text_col), shingle_k).alias("__sh"))
+    return (pairs
+            .join(sh.select(F.col("__id").alias("id_a"),
+                            F.col("__sh").alias("__sh_a")), "id_a")
+            .join(sh.select(F.col("__id").alias("id_b"),
+                            F.col("__sh").alias("__sh_b")), "id_b")
+            .select("id_a", "id_b",
+                    jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.95,
+                             n_planes: int = 8,
+                             seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity >= threshold.
+
+    Candidates come from random-hyperplane LSH buckets (identical
+    signature => high cosine likelihood), so the pairwise work is
+    per-bucket, not global crossJoin. Exact cosine verifies.
+    Output: (id_a, id_b, cosine_sim)."""
+    from ..functions.distance import cosine
+    from .ann import add_lsh_signature, hyperplanes
+
+    planes = hyperplanes(n_planes, _dim_of(df, vec_col), seed)
+    sig = add_lsh_signature(df.select(F.col(id_col).alias("__id"),
+                                      F.col(vec_col).alias("__vec")),
+                            planes, vec_col="__vec")
+    left, right = sig.alias("l"), sig.alias("r")
+    return (left.join(right, (F.col("l.__sig") == F.col("r.__sig"))
+                      & (F.col("l.__id") < F.col("r.__id")))
+            .select(F.col("l.__id").alias("id_a"),
+                    F.col("r.__id").alias("id_b"),
+                    (1.0 - cosine(F.col("l.__vec"), F.col("r.__vec")))
+                    .alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold))
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col)).first()
+    if row is None:
+        raise ValueError("empty corpus: cannot infer embedding dimension")
+    return int(row[0])

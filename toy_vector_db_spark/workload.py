@@ -316,6 +316,267 @@ def sql_meta_ne_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT id FROM vectors_dialect_meta WHERE metadata.lang != 'en'")
 
 
+# ---------------------------------------------------------------------------
+# Embedding pipeline (SURVEY §2.7 F8-F10, §2.9 D7). The embedder's PRNG
+# stream is not SQL-reproducible (SURVEY §7 risk 5); the oracle checks
+# the CONTRACT: 384 dims, unit L2 norm, deterministic (same text twice
+# => identical vector).
+# ---------------------------------------------------------------------------
+
+@q("embed_documents_contract", """
+SELECT doc_id,
+       CAST(384 AS BIGINT) AS dim,
+       CAST(1.0 AS DOUBLE) AS norm,
+       TRUE AS stable
+FROM documents
+""")
+def embed_documents_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.embedding import embed_documents, embed_text
+    d = embed_documents(_t(spark, sf_dir, "documents"))
+    norm_sq = F.aggregate(F.col("vector").cast("array<double>"), F.lit(0.0),
+                          lambda s, x: s + x * x)
+    again = embed_text(F.concat(F.col("text"), F.lit("")))
+    return d.select(
+        "doc_id",
+        F.size("vector").cast("bigint").alias("dim"),
+        F.round(F.sqrt(norm_sq), 6).alias("norm"),
+        (F.col("vector") == again).alias("stable"))
+
+
+@q("search_text_documents", None)  # embeddings not SQL-reproducible => rows-only
+def search_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.embedding import embed_documents, search_text
+    corpus = embed_documents(_t(spark, sf_dir, "documents"))
+    return search_text(corpus, "distributed query engine", k=10,
+                       metric="cosine").select(
+        "doc_id", F.round("distance", 4).alias("distance"))
+
+
+# ---------------------------------------------------------------------------
+# Text analytics (training-data pipeline tier). Shared DuckDB fragments
+# mirror functions/text.py exactly; 'g' flags because DuckDB's
+# regexp_replace is first-match-only by default.
+# ---------------------------------------------------------------------------
+
+_DD_NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),"
+            " '\\s+', ' ', 'g'))")
+_DD_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+def _dd_stoplist(lang: str) -> str:
+    from .functions.text import LANG_STOPWORDS
+    return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+
+
+def _dd_shingles(k: int, src: str = "string_split(" + _DD_NORM + ", ' ')") -> str:
+    return (f"list_distinct(list_transform("
+            f"range(0, greatest(len({src}) - {k}, 0) + 1), "
+            f"i -> array_to_string(list_slice({src}, i + 1, i + {k}), ' ')))")
+
+
+@q("text_stats", f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len({_DD_TOKS}) END AS n_tok,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         len(list_filter({_DD_TOKS}, t -> list_contains({{stops}}, t))) AS stop_hits
+  FROM documents
+), s AS (
+  SELECT *,
+    CASE WHEN n_tok > 0 THEN CAST(n_chars AS DOUBLE) / n_tok ELSE 0.0 END AS mtl,
+    CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS pr,
+    CASE WHEN n_tok > 0 THEN CAST(stop_hits AS DOUBLE) / n_tok ELSE 0.0 END AS sr
+  FROM t
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_punct AS BIGINT) AS n_punct, CAST(stop_hits AS BIGINT) AS stop_hits,
+       ROUND(0.4 * least(n_tok / 20.0, 1.0)
+           + 0.2 * (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)
+           + 0.2 * least(pr * 20.0, 1.0)
+           + 0.2 * least(sr * 4.0, 1.0), 4) AS quality
+FROM s
+""".replace("{stops}", _dd_stoplist("en")))
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import text as X
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        X.token_count(t).alias("n_tokens"),
+        X.char_count(t).alias("n_chars"),
+        X.punct_count(t).alias("n_punct"),
+        X.stopword_hits(t).alias("stop_hits"),
+        F.round(X.quality_score(t), 4).alias("quality"))
+
+
+def _lang_id_oracle() -> str:
+    from .functions.text import LANG_STOPWORDS
+    scores = ",\n         ".join(
+        f"len(list_filter({_DD_TOKS}, t -> list_contains({_dd_stoplist(lang)}, t))) AS s_{lang}"
+        for lang in LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_STOPWORDS) + ")"
+    whens = "\n       ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = {best} THEN '{lang}'"
+        for lang in LANG_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         {scores}
+  FROM documents
+)
+SELECT doc_id,
+  CASE {whens}
+       ELSE 'und' END AS lang_pred
+FROM t
+"""
+
+
+@q("text_lang_id", _lang_id_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import lang_id
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@q("text_fingerprints", f"""
+WITH n AS (SELECT doc_id, {_DD_NORM} AS norm_text FROM documents),
+s AS (SELECT doc_id, norm_text,
+             {_dd_shingles(4, "string_split(norm_text, ' ')")} AS rolled
+      FROM n)
+SELECT doc_id, md5(norm_text) AS fingerprint,
+       list_aggregate(list_transform(rolled, x -> md5(x)), 'min') AS rolling_fp
+FROM s
+""")
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import fingerprint, rolling_fingerprint
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    fingerprint(F.col("text")).alias("fingerprint"),
+                    rolling_fingerprint(F.col("text"), 4).alias("rolling_fp"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup tier (per-doc signatures are oracle-checked value-for-value;
+# pair generation is oracle-checked on consecutive-id pairs; the LSH
+# band join itself is exercised in tests/test_dedup.py)
+# ---------------------------------------------------------------------------
+
+def _minhash_oracle(num_perm: int = 8, k: int = 3) -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min')"
+        for i in range(num_perm))
+    return f"""
+WITH s AS (SELECT doc_id, {_dd_shingles(k)} AS sh FROM documents)
+SELECT doc_id, array_to_string([{mins}], '|') AS minhash_sig
+FROM s
+"""
+
+
+@q("dedup_minhash_signatures", _minhash_oracle())
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_signature
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws("|", minhash_signature(F.col("text"), 8, 3))
+         .alias("minhash_sig"))
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    toks = _dd_shingles(1)
+    hs = (f"list_transform({toks}, "
+          f"s -> CAST(('0x' || substr(md5(s), 1, 4)) AS BIGINT))")
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {b}) & 1) = 1)) > len(hs)"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(bits))
+    return f"""
+WITH t AS (SELECT doc_id, {hs} AS hs FROM documents)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM t
+"""
+
+
+@q("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", simhash(F.col("text"), 16).alias("simhash"))
+
+
+@q("dedup_jaccard_consecutive", f"""
+WITH s AS (SELECT doc_id, {_dd_shingles(3)} AS sh FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 1.0
+             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
+FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+""")
+def dedup_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") + 1).alias("id_b"))
+    pairs = pairs.join(d.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    return ngram_jaccard_pairs(d, pairs, shingle_k=3) \
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@q("embedding_cosine_pairs", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(CASE WHEN sqrt(list_inner_product(a.v, a.v)) = 0
+                    OR sqrt(list_inner_product(b.v, b.v)) = 0 THEN 0.0
+             ELSE LEAST(GREATEST(list_inner_product(a.v, b.v)
+                  / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
+                  -1.0), 1.0) END, 4) AS cosine_sim
+FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+""")
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.distance import cosine
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (a.join(b, F.col("id_b") == F.col("id_a") + 1)
+            .select("id_a", "id_b",
+                    F.round(1.0 - cosine(F.col("va"), F.col("vb")), 4)
+                     .alias("cosine_sim")))
+
+
+# ---------------------------------------------------------------------------
+# Batch similarity join (SURVEY §2.3: THE join capability to generalize)
+# ---------------------------------------------------------------------------
+
+@q("knn_join_batch", f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN (1, 2, 3, 4, 5)),
+s AS (SELECT q.query_id, e.vec_id,
+             list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) AS dist
+      FROM embeddings e CROSS JOIN q)
+SELECT query_id, vec_id, ROUND(dist, 4) AS distance
+FROM s
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= 5
+""")
+def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.knn import knn_join
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id").isin(1, 2, 3, 4, 5)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    return knn_join(queries, e, k=5, metric="euclidean").select(
+        "query_id", "vec_id", F.round("distance", 4).alias("distance"))
+
+
+@q("ann_lsh_topk", None)  # ANN: recall-checked vs exact in tests, not hash-stable
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import LshIndex
+    from .operators.knn import lookup_vector
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = lookup_vector(e, "vec_id", QUERY_VEC_ID)
+    idx = LshIndex.build(e, n_planes=6)
+    return idx.search(qvec, k=KNN_K, metric="cosine", multiprobe=2) \
+        .select("vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
 # Hourly rollup over the events table (batch equivalent of the
 # streaming windowed aggregation in streaming/events.py). Buckets are
 # epoch-aligned on the instant, so tz-independent; emitted as BIGINT
