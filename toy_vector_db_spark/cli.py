@@ -1,0 +1,195 @@
+"""CLI front-end — the reference's command surface on Spark.
+
+Reference: /root/reference/cmd/vectodb/main.go
+  add/get/list/delete/count/random/set-metadata  (:101-282)
+  search <index> <id> <k>                        (:335-429)
+  sql "<query>"                                  (:291-332)
+  search-text "<text>"                           (cmd_search_text.go)
+  embed text|json <id> <content>                 (cmd_embed.go)
+  import/export — TODO stubs in the reference    (:84-98); implemented here.
+
+Usage: python -m toy_vector_db_spark.cli <command> [...]
+State lives in --data-dir (versioned-parquet collections, plans/catalog.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame
+
+
+def format_result(df: DataFrame, max_width: int = 50, limit: int = 1000) -> str:
+    """ASCII table like the reference's formatResult
+    (pkg/sql/cli/service.go:100-174, 50-char column cap :116-118)."""
+    rows = df.limit(limit).collect()
+    cols = df.columns
+
+    def cell(v) -> str:
+        if v is None:
+            return "NULL"
+        s = str(v)
+        return s[: max_width - 3] + "..." if len(s) > max_width else s
+
+    table = [[cell(v) for v in row] for row in rows]
+    widths = [max(len(c), *(len(r[i]) for r in table)) if table else len(c)
+              for i, c in enumerate(cols)]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    out = [sep, "|" + "|".join(f" {c:<{w}} " for c, w in zip(cols, widths)) + "|", sep]
+    for r in table:
+        out.append("|" + "|".join(f" {v:<{w}} " for v, w in zip(r, widths)) + "|")
+    out.append(sep)
+    out.append(f"{len(table)} row(s)")
+    return "\n".join(out)
+
+
+def _parse_vector(text: str) -> list[float]:
+    text = text.strip()
+    if text.startswith("["):
+        return [float(x) for x in json.loads(text)]
+    return [float(x) for x in text.split(",")]
+
+
+def _parse_metadata(text: str | None) -> dict[str, str] | None:
+    if not text:
+        return None
+    return dict(kv.split("=", 1) for kv in text.split(","))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="toy_vector_db_spark",
+                                description=__doc__.splitlines()[0])
+    p.add_argument("--data-dir", default="./vectodb_data")
+    p.add_argument("--collection", default="vectors")
+    p.add_argument("--metric", default="euclidean")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("sql").add_argument("query")
+    a = sub.add_parser("add")
+    a.add_argument("id"); a.add_argument("vector")
+    a.add_argument("--metadata", default=None)
+    sub.add_parser("get").add_argument("id")
+    sub.add_parser("list")
+    sub.add_parser("count")
+    sub.add_parser("delete").add_argument("id")
+    r = sub.add_parser("random")
+    r.add_argument("id"); r.add_argument("dim", type=int)
+    m = sub.add_parser("set-metadata")
+    m.add_argument("id"); m.add_argument("key"); m.add_argument("value")
+    s = sub.add_parser("search")
+    s.add_argument("index", choices=["flat", "lsh", "ivf"])
+    s.add_argument("id"); s.add_argument("k", type=int)
+    st = sub.add_parser("search-text")
+    st.add_argument("text"); st.add_argument("--k", type=int, default=10)
+    e = sub.add_parser("embed")
+    e.add_argument("content_type", choices=["text", "json"])
+    e.add_argument("id"); e.add_argument("content")
+    sub.add_parser("import").add_argument("path")
+    sub.add_parser("export").add_argument("path")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from .plans.catalog import CollectionCatalog
+    from .plans.dialect import SqlEngine
+    from .session import get_spark
+
+    spark = get_spark("vectodb-cli", master=args.master)
+    catalog = CollectionCatalog(spark, args.data_dir)
+    engine = SqlEngine(spark, catalog, default_metric=args.metric)
+    coll = args.collection
+    out = sys.stdout
+
+    def ensure():
+        catalog.create(coll, if_not_exists=True)
+
+    cmd = args.command
+    if cmd == "sql":
+        res = engine.execute(args.query)
+        print(format_result(res.df) if res.df is not None else res.message,
+              file=out)
+    elif cmd == "add":
+        ensure()
+        catalog.insert(coll, [(args.id, _parse_vector(args.vector),
+                               _parse_metadata(args.metadata))])
+        print(f"Added vector {args.id}", file=out)
+    elif cmd == "get":
+        ensure()
+        df = catalog.read(coll).filter(f"id = '{args.id}'")
+        print(format_result(df), file=out)
+    elif cmd == "list":
+        ensure()
+        print(format_result(catalog.read(coll).select("id").orderBy("id")),
+              file=out)
+    elif cmd == "count":
+        ensure()
+        print(catalog.read(coll).count(), file=out)
+    elif cmd == "delete":
+        ensure()
+        n = catalog.delete(coll, f"id = '{args.id}'")
+        print(f"Deleted {n} row(s)", file=out)
+    elif cmd == "random":
+        import random as _random
+        ensure()
+        vec = [_random.random() for _ in range(args.dim)]
+        catalog.insert(coll, [(args.id, vec, None)])
+        print(f"Added random vector {args.id} (dim {args.dim})", file=out)
+    elif cmd == "set-metadata":
+        ensure()
+        n = catalog.set_metadata(coll, args.id, args.key, args.value)
+        print(f"Updated {n} row(s)", file=out)
+    elif cmd == "search":
+        ensure()
+        from .operators.knn import knn, lookup_vector
+        df = catalog.read(coll)
+        qvec = lookup_vector(df.withColumnRenamed("id", "__id"), "__id", args.id)
+        if args.index == "flat":
+            res = knn(df, qvec, k=args.k + 1, metric=args.metric,
+                      exclude_id=args.id, id_col="id").limit(args.k)
+        else:
+            from .operators.ann import IvfIndex, LshIndex
+            cls = LshIndex if args.index == "lsh" else IvfIndex
+            idx = cls.build(df, id_col="id", vec_col="embedding")
+            res = idx.search(qvec, k=args.k + 1, metric=args.metric) \
+                .filter(f"id <> '{args.id}'").limit(args.k)
+        print(format_result(res.select("id", "distance")), file=out)
+    elif cmd == "search-text":
+        ensure()
+        from .functions.embedding import search_text
+        res = search_text(catalog.read(coll), args.text, k=args.k,
+                          metric=args.metric, vec_col="embedding")
+        print(format_result(res.select("id", "distance")), file=out)
+    elif cmd == "embed":
+        ensure()
+        from .functions.embedding import embed_one, process_json
+        content = args.content
+        if args.content_type == "json":
+            row = spark.range(1).select(
+                process_json(__import__("pyspark.sql.functions", fromlist=["lit"])
+                             .lit(content)).alias("t")).first()
+            content = row["t"]
+        vec = [float(x) for x in embed_one(content)]
+        catalog.insert(coll, [(args.id, vec, {"content_type": args.content_type})])
+        print(f"Embedded and stored {args.id} (dim {len(vec)})", file=out)
+    elif cmd == "import":
+        ensure()
+        src = spark.read.parquet(args.path) if args.path.endswith(".parquet") \
+            else spark.read.json(args.path)
+        rows = [(r["id"], list(r["embedding"]),
+                 dict(r["metadata"]) if r["metadata"] is not None else None)
+                for r in src.collect()]
+        catalog.insert(coll, rows)
+        print(f"Imported {len(rows)} vector(s)", file=out)
+    elif cmd == "export":
+        ensure()
+        catalog.read(coll).write.mode("overwrite").parquet(args.path)
+        print(f"Exported to {args.path}", file=out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

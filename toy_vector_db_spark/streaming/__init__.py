@@ -1,0 +1,4 @@
+from .events import (  # noqa: F401
+    EVENTS_DDL, dedup_stream, hourly_rollup_stream, read_event_stream,
+    run_to_memory, sessionize_stream,
+)

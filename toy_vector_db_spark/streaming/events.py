@@ -1,0 +1,100 @@
+"""Structured Streaming over the events stream.
+
+Beyond-parity: the reference has NO streaming surface (SURVEY §2.10).
+This module gives the events table a streaming twin of the batch
+operators, plus a custom stateful operator:
+
+- hourly_rollup_stream: windowed aggregate + watermark (late data
+  tolerated up to the watermark; same bucketing as the batch
+  events_hourly_rollup workload query)
+- dedup_stream: exactly-once-per-event-id within the watermark
+- sessionize_stream: custom stateful sessionization via
+  applyInPandasWithState (per-user inactivity-gap sessions, the
+  streaming twin of operators/sessions.py)
+
+All sources/sinks are pluggable; tests drive a file source micro-batch
+by micro-batch into a memory sink. On a cluster the same plans run
+against Kafka with checkpointing — nothing here is local-mode-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_DDL = ("event_id LONG, ts TIMESTAMP, user_id LONG, "
+              "event_type STRING, value DOUBLE, props STRING")
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = 1) -> DataFrame:
+    """File-source stream over parquet event files (schema fixed:
+    streaming sources cannot infer)."""
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def hourly_rollup_stream(events: DataFrame,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Per-hour, per-type counts/sums with late-data watermark —
+    streaming twin of workload.events_hourly_rollup."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.unix_timestamp("win.start").alias("bucket_epoch"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Drop replayed event_ids arriving within the watermark window."""
+    return events.withWatermark("ts", watermark) \
+        .dropDuplicatesWithinWatermark(["event_id"])
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: per-user session counting with
+    inactivity-gap semantics, state = (last event time, session count).
+
+    Emits (user_id, n_sessions, n_events) updates per micro-batch.
+    Within a batch events are sorted by event time; across batches
+    arrival order stands in for event order (the usual streaming
+    sessionization approximation — exact ordering would need the
+    watermark-delayed session window operator)."""
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            last_us, n_sessions, n_events = state.get
+        else:
+            last_us, n_sessions, n_events = None, 0, 0
+        for pdf in pdfs:
+            for ts in pdf.sort_values("ts")["ts"]:
+                t_us = int(pd.Timestamp(ts).value // 1_000)
+                if last_us is None or t_us - last_us > gap_us:
+                    n_sessions += 1
+                last_us = t_us
+                n_events += 1
+        state.update((last_us, n_sessions, n_events))
+        yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [n_sessions],
+                            "n_events": [n_events]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id LONG, n_sessions LONG, n_events LONG",
+        stateStructType="last_us LONG, n_sessions LONG, n_events LONG",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming frame into an in-memory table (tests/demos);
+    returns the StreamingQuery — caller awaits processAllAvailable()."""
+    return (df.writeStream.format("memory").queryName(name)
+            .outputMode(output_mode).start())

@@ -268,6 +268,131 @@ def window_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational surface: set ops, rollup, HAVING, anti join (all reserved-
+# but-unparsed keywords in the reference, SURVEY §2.4/§2.6 — fully
+# implemented here via Catalyst)
+# ---------------------------------------------------------------------------
+
+@q("set_ops_segments", """
+SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+INTERSECT
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+""")
+def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    seg = c.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")) \
+        .select("c_custkey")
+    with_orders = o.select(F.col("o_custkey").alias("c_custkey"))
+    negative = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return seg.intersect(with_orders).exceptAll(negative).distinct()
+
+
+@q("agg_rollup_region", """
+SELECT r_name AS region, n_name AS nation,
+       ROUND(SUM(c_acctbal), 2) AS total_balance,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+""")
+def agg_rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .rollup(F.col("r_name").alias("region"),
+                    F.col("n_name").alias("nation"))
+            .agg(F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+                 F.count("*").alias("n_customers")))
+
+
+@q("having_repeat_customers", """
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+""")
+def having_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("spend"))
+            .filter(F.col("n_orders") >= 15))
+
+
+@q("anti_join_no_orders", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 150000)
+""")
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti") \
+        .select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: as-of join + sessionization (beyond-parity operators;
+# DuckDB's native ASOF JOIN / window SQL are the oracles)
+# ---------------------------------------------------------------------------
+
+@q("asof_join_events", """
+SELECT p.event_id, c.event_id AS click_id,
+       ROUND(c.value, 2) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+""")
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts",
+                F.col("event_id").alias("click_id"),
+                F.col("value").alias("click_value"))
+    return asof_join(purchases, clicks,
+                     value_cols=["click_id", "click_value"]) \
+        .select("event_id", "click_id",
+                F.round("click_value", 2).alias("click_value"))
+
+
+@q("events_sessionize", """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), ids AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n FROM ids GROUP BY 1, 2
+)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(MAX(n) AS BIGINT) AS max_session_events
+FROM per_session GROUP BY user_id
+""")
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessions import session_stats
+    return session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# ---------------------------------------------------------------------------
 # SQL dialect end-to-end (SURVEY §3.1): the statement goes through the
 # NEAREST TO rewriter / metadata-sugar rewriter in plans/dialect.py, so
 # these exercise tokenize->rewrite->spark.sql->Catalyst against the
