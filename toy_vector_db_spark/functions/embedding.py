@@ -82,9 +82,10 @@ def embed_documents(docs: DataFrame, content_col: str = "text",
                     out_col: str = "vector") -> DataFrame:
     """Document ingest (D7, cmd_embed.go:21-120): process content by
     type, append the embedding column."""
+    from ..sources.tables import ensure_parallelism
     col = F.col(content_col)
     processed = process_json(col) if content_type == "json" else process_text(col)
-    return docs.withColumn(out_col, embed_text(processed))
+    return ensure_parallelism(docs).withColumn(out_col, embed_text(processed))
 
 
 def search_text(corpus: DataFrame, text: str, k: int = 10,

@@ -40,12 +40,17 @@ def token_count(text: Column) -> Column:
             .otherwise(F.size(tokens(text))).cast("bigint")
 
 
+# Maximal letter runs, digit runs, and single non-word marks — a cheap
+# stand-in for a BPE tokenizer's fragment count. RE2-compatible (no
+# lookaround) so the DuckDB oracle runs the identical pattern.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\w\s]"
+
+
 def bpe_ish_token_count(text: Column) -> Column:
-    """Sub-word-ish token estimate: splits on whitespace AND on
-    letter/digit/punctuation boundaries (a cheap stand-in for a BPE
-    tokenizer's fragment count — useful for token budgeting)."""
-    pieces = F.split(F.trim(text), r"\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^\w\s])|(?<=[^\w\s])")
-    return F.size(F.filter(pieces, lambda p: p != "")).cast("bigint")
+    """Sub-word-ish token estimate for token budgeting: counts regex
+    matches of BPE_ISH_PATTERN ("don't x42" -> don/'/t/x/42 = 5)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0))) \
+            .cast("bigint")
 
 
 def char_count(text: Column) -> Column:

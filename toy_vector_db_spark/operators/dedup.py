@@ -81,9 +81,20 @@ def minhash_signature(text: Column, num_perm: int = 8,
     return F.aggregate(sh, init, fold)
 
 
+def _bind_once(expr: Column, f) -> Column:
+    """Evaluate ``expr`` exactly once and pass it to ``f`` as a
+    higher-order-function lambda variable. Catalyst's projection
+    collapse inlines derived expressions at every reference site (HOFs
+    don't CSE), so an expression referenced N times is computed N
+    times; lambda variables are bound once per row."""
+    return F.element_at(F.transform(F.array(expr), f), 1)
+
+
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
     """Band keys: concat of ``rows_per_band`` consecutive signature
-    entries, prefixed with the band index."""
+    entries, prefixed with the band index. ``sig`` is referenced
+    bands*rows_per_band times — pass a plain column or a lambda var,
+    not an expensive derived expression (see ``_bind_once``)."""
     return F.array(*[
         F.concat_ws("|", F.lit(str(b)),
                     *[F.element_at(sig, b * rows_per_band + r + 1)
@@ -111,20 +122,31 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     re-derived shingle sets (semi-joined, not shuffled with the bands).
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
+    from ..sources.tables import ensure_parallelism
     rows_per_band = num_perm // bands
-    base = df.select(F.col(id_col).alias("__id"),
-                     F.col(text_col).alias("__text"))
+    base = ensure_parallelism(df.select(F.col(id_col).alias("__id"),
+                                        F.col(text_col).alias("__text")))
     sig = base.select(
         "__id",
-        F.explode(minhash_bands(
+        F.explode(_bind_once(
             minhash_signature(F.col("__text"), num_perm, shingle_k),
-            bands, rows_per_band)).alias("__band"))
-    left = sig.alias("l")
-    right = sig.alias("r")
-    pairs = (left.join(right, (F.col("l.__band") == F.col("r.__band"))
-                       & (F.col("l.__id") < F.col("r.__id")))
-             .select(F.col("l.__id").alias("id_a"),
-                     F.col("r.__id").alias("id_b"))
+            lambda s: minhash_bands(s, bands, rows_per_band))).alias("__band"))
+    # Candidate pairs via groupBy-bucket, not a band self-join: one
+    # shuffle of (band, id), the signatures compute exactly once, and
+    # there is no sort-merge of two re-derived branches (Catalyst does
+    # not reuse the exchange across self-join sides here). A degenerate
+    # bucket still costs O(|bucket|^2) pairs — same as the join, but
+    # emitted from one task; LSH bucket sizes are the tuning knob.
+    buckets = (sig.groupBy("__band")
+               .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
+               .filter(F.size("__ids") > 1))
+    ids = F.col("__ids")
+    combos = F.flatten(F.transform(
+        ids, lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    pairs = (buckets.select(F.explode(combos).alias("__p"))
+             .select(F.col("__p.id_a"), F.col("__p.id_b"))
              .distinct())
     if not verify:
         return pairs
@@ -214,6 +236,33 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
+
+
+def cosine_near_dup_blocked(df: DataFrame, block_col: str,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.9) -> DataFrame:
+    """Exact cosine near-dup pairs within blocking-key groups.
+
+    The blocking key (a label, shard, cluster id, ...) turns the global
+    O(n^2) self-join into per-group joins — the shuffle is hash(block),
+    and each executor only cross-pairs its own group. With k balanced
+    groups that is n^2/k comparisons; at 100 TB the block key would be
+    an IVF/LSH bucket (see ``embedding_near_dup_pairs``), which keeps
+    the same plan shape. Output: (id_a, id_b, cosine_sim >= threshold).
+    """
+    from ..functions.distance import cosine
+
+    a = df.select(F.col(block_col).alias("__blk"),
+                  F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(block_col).alias("__blk"),
+                  F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (a.join(b, "__blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    (1.0 - cosine(F.col("__va"), F.col("__vb")))
+                    .alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold))
 
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",

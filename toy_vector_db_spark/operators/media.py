@@ -71,9 +71,11 @@ def _decode_backend(payload: bytes, modality: str) -> dict:
     except ImportError:
         pass
     # deterministic fake: statistics derived from the payload bytes —
-    # stable across runs/engines, shaped like real decoder output
+    # stable across runs/engines, shaped like real decoder output.
+    # Hashes the *hex* form so an ANSI-SQL oracle (sha256 over VARCHAR)
+    # can reproduce width/height value-for-value.
     arr = np.frombuffer(payload, dtype=np.uint8)
-    h = hashlib.sha256(payload).digest()
+    h = hashlib.sha256(payload.hex().encode()).digest()
     return {
         "n_bytes": int(arr.size),
         "width": int.from_bytes(h[0:2], "big") % 1920 + 1,

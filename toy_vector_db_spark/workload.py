@@ -64,6 +64,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t + rebalance: for queries whose map side does CPU-heavy
+    per-row work (hash folds, embeddings) — the testdata's single-row-
+    group files would otherwise run them on one core."""
+    from .sources.tables import ensure_parallelism
+    return ensure_parallelism(_t(spark, sf_dir, name))
+
+
 # ---------------------------------------------------------------------------
 # k-NN: flat (exact brute-force) search under all 4 metrics
 # (SURVEY §2.8 K1/K9; reference flat.go:100-144, executor.go:251-388)
@@ -524,7 +532,7 @@ FROM s
 """.replace("{stops}", _dd_stoplist("en")))
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import text as X
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -560,7 +568,7 @@ FROM t
 @q("text_lang_id", _lang_id_oracle())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import lang_id
-    return _t(spark, sf_dir, "documents").select(
+    return _tp(spark, sf_dir, "documents").select(
         "doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -575,7 +583,7 @@ FROM s
 """)
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import fingerprint, rolling_fingerprint
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return d.select("doc_id",
                     fingerprint(F.col("text")).alias("fingerprint"),
                     rolling_fingerprint(F.col("text"), 4).alias("rolling_fp"))
@@ -601,7 +609,7 @@ FROM s
 @q("dedup_minhash_signatures", _minhash_oracle())
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_signature
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.concat_ws("|", minhash_signature(F.col("text"), 8, 3))
@@ -625,7 +633,7 @@ SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM t
 @q("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash
-    return _t(spark, sf_dir, "documents").select(
+    return _tp(spark, sf_dir, "documents").select(
         "doc_id", simhash(F.col("text"), 16).alias("simhash"))
 
 
@@ -639,7 +647,7 @@ FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
 """)
 def dedup_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import ngram_jaccard_pairs
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     pairs = d.select(F.col("doc_id").alias("id_a"),
                      (F.col("doc_id") + 1).alias("id_b"))
     pairs = pairs.join(d.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
@@ -666,6 +674,144 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b",
                     F.round(1.0 - cosine(F.col("va"), F.col("vb")), 4)
                      .alias("cosine_sim")))
+
+
+# Exact dedup (hash-groupBy tier). The corpus has no byte-identical
+# texts, so plant deterministic copies (same UNION in the oracle) to
+# keep the query non-vacuous: every doc_id % 50 == 0 gets a clone.
+@q("dedup_exact_clusters", f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+), f AS (SELECT md5({_DD_NORM}) AS fingerprint, doc_id FROM corpus)
+SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS id_min,
+       CAST(max(doc_id) AS BIGINT) AS id_max
+FROM f GROUP BY fingerprint HAVING count(*) > 1
+""")
+def dedup_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dup_clusters
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 50 == 0) \
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    clusters = exact_dup_clusters(d.unionByName(clones))
+    return clusters.select(
+        "fingerprint", F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.element_at("ids", 1).cast("bigint").alias("id_min"),
+        F.element_at("ids", -1).cast("bigint").alias("id_max"))
+
+
+# Full MinHash-LSH near-dup pipeline: signature -> banded self-join ->
+# exact-Jaccard verify. Both engines derive identical md5-based
+# signatures, so even the LSH *candidate generation* is replicated
+# value-for-value — a strong oracle over the whole pipeline.
+def _minhash_pairs_oracle(num_perm: int = 8, bands: int = 4, k: int = 3,
+                          threshold: float = 0.5) -> str:
+    r = num_perm // bands
+    mins = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min')"
+        for i in range(num_perm))
+    band_key = " || '|' || ".join(["CAST(b AS VARCHAR)"]
+                                  + [f"sig[{r}*b + {i} + 1]" for i in range(r)])
+    return f"""
+WITH s AS (SELECT doc_id, {_dd_shingles(k)} AS sh FROM documents),
+sig AS (SELECT doc_id, sh, [{mins}] AS sig FROM s),
+bands AS (
+  SELECT doc_id, unnest(list_transform(range(0, {bands}), b -> {band_key})) AS band
+  FROM sig),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT id_a, id_b,
+         CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 1.0
+              ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.sh, sb.sh))) END AS j
+  FROM pairs
+  JOIN s sa ON sa.doc_id = pairs.id_a
+  JOIN s sb ON sb.doc_id = pairs.id_b)
+SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM scored WHERE j >= {threshold}
+"""
+
+
+@q("dedup_minhash_pairs", _minhash_pairs_oracle())
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_perm=8, bands=4, shingle_k=3,
+                              threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+# Embedding-cosine near-dup with a blocking key (label): exact within
+# blocks, the 100 TB plan shape (block = IVF/LSH bucket there).
+@q("dedup_cosine_blocked", """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CASE WHEN sqrt(list_inner_product(a.v, a.v)) = 0
+                OR sqrt(list_inner_product(b.v, b.v)) = 0 THEN 0.0
+         ELSE LEAST(GREATEST(list_inner_product(a.v, b.v)
+              / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
+              -1.0), 1.0) END AS sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, ROUND(sim, 4) AS cosine_sim FROM p WHERE sim >= 0.35
+""")
+def dedup_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import cosine_near_dup_blocked
+    e = _tp(spark, sf_dir, "embeddings")
+    return cosine_near_dup_blocked(e, "label", threshold=0.35) \
+        .select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+# Token budgeting: whitespace + BPE-ish sub-word counts (both engines
+# run the identical RE2 pattern).
+@q("text_token_budget", r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+       END AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\w\s]')) AS BIGINT)
+         AS bpe_ish_tokens
+FROM documents
+""")
+def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import bpe_ish_token_count, token_count
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    token_count(F.col("text")).alias("ws_tokens"),
+                    bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"))
+
+
+# Multimodal decode pipeline: synthetic payloads (sha2 chains, both
+# engines re-derive them) -> mapInPandas Arrow-batched stub decoder.
+# The oracle reproduces the deterministic fake decode value-for-value,
+# so the whole binary-column plumbing is hash-checked.
+@q("media_decode_stats", """
+WITH g AS (SELECT range AS id FROM range(0, 100)),
+p AS (SELECT 'image_' || id AS media_id,
+             sha256('42:0:' || id) || sha256('42:1:' || id)
+             || sha256('42:2:' || id) || sha256('42:3:' || id) AS ph
+      FROM g),
+h AS (SELECT media_id, ph, sha256(ph) AS hh FROM p)
+SELECT media_id,
+       CAST(octet_length(from_hex(ph)) AS BIGINT) AS n_bytes,
+       CAST(('0x' || substr(hh, 1, 4))::BIGINT % 1920 + 1 AS BIGINT) AS width,
+       CAST(('0x' || substr(hh, 5, 4))::BIGINT % 1080 + 1 AS BIGINT) AS height,
+       ROUND(list_aggregate(list_transform(range(0, octet_length(from_hex(ph))),
+             i -> ('0x' || substr(ph, 2*i + 1, 2))::BIGINT), 'avg'), 4)
+         AS mean_intensity
+FROM h
+""")
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.media import decode_media, synth_media
+    decoded = decode_media(synth_media(spark, n=100, modality="image"))
+    return decoded.select(
+        "media_id", F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.round("mean_intensity", 4).alias("mean_intensity"))
 
 
 # ---------------------------------------------------------------------------
@@ -699,6 +845,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = lookup_vector(e, "vec_id", QUERY_VEC_ID)
     idx = LshIndex.build(e, n_planes=6)
     return idx.search(qvec, k=KNN_K, metric="cosine", multiprobe=2) \
+        .select("vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
+@q("ann_ivf_topk", None)  # KMeans centroids: recall-checked in tests
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import IvfIndex
+    from .operators.knn import lookup_vector
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = lookup_vector(e, "vec_id", QUERY_VEC_ID)
+    idx = IvfIndex.build(e, n_centroids=8)
+    return idx.search(qvec, k=KNN_K, metric="cosine", nprobe=3) \
         .select("vec_id", "label", F.round("distance", 4).alias("distance"))
 
 
