@@ -71,3 +71,51 @@ def test_sessionize_stream_totals(spark, events_dir):
     assert {r["user_id"]: r["n_events"] for r in rows} == batch_counts
     for r in rows:
         assert 1 <= r["n_sessions"] <= r["n_events"]
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """A late event arriving after the watermark passed its window is
+    excluded from the emitted aggregate.
+
+    Spark filters late events against the PREVIOUS batch's watermark
+    (watermarkForLateEvents lags watermarkForEviction by one batch), so
+    the late event arrives two batches after the window's data."""
+    import os
+    from datetime import datetime
+
+    from toy_vector_db_spark.streaming.events import EVENTS_DDL
+    d = str(tmp_path / "late")
+    batches = [
+        # batch 0: the 10:00 window's real content + a 13:30 event that
+        # advances the watermark to 11:30, past the window end
+        [(1, datetime(2024, 1, 1, 10, 0, 5), 1, "click", 1.0, None),
+         (2, datetime(2024, 1, 1, 13, 30, 0), 1, "click", 1.0, None)],
+        # batch 1: watermark carrier only
+        [(3, datetime(2024, 1, 1, 14, 30, 0), 1, "click", 1.0, None)],
+        # batch 2: event 4 is LATE (10:30 < every in-force watermark)
+        [(4, datetime(2024, 1, 1, 10, 30, 0), 1, "click", 5.0, None),
+         (5, datetime(2024, 1, 1, 15, 30, 0), 1, "click", 1.0, None)],
+    ]
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, rows_ in enumerate(batches):
+        sub = f"{d}/f{i}"
+        spark.createDataFrame(rows_, EVENTS_DDL).coalesce(1).write.parquet(sub)
+        src = next(p for p in os.listdir(sub) if p.endswith(".parquet"))
+        dst = f"{flat}/{i}.parquet"
+        os.rename(f"{sub}/{src}", dst)
+        os.utime(dst, (1000 + i, 1000 + i))  # file source orders by mtime
+
+    stream = hourly_rollup_stream(read_event_stream(spark, flat, 1),
+                                  watermark="2 hours")
+    query = run_to_memory(stream, "late_t", "append")
+    query.processAllAvailable()
+    dropped = sum(p["stateOperators"][0]["numRowsDroppedByWatermark"]
+                  for p in query.recentProgress if p["stateOperators"])
+    query.stop()
+    rows = {r["bucket_epoch"]: (r["n_events"], r["sum_value"])
+            for r in spark.table("late_t").collect()}
+    bucket_10 = int(datetime(2024, 1, 1, 10).timestamp())
+    # closed 10:00 window holds only event 1 — the late 5.0 never lands
+    assert rows[bucket_10] == (1, 1.0)
+    assert dropped == 1

@@ -815,6 +815,111 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Flagship composite: the full training-corpus cleaning pipeline.
+# quality filter -> exact dedup (keep lowest id) -> MinHash-LSH
+# near-dup removal (drop the higher id of each verified pair >= 0.5).
+# Every stage is replicated in the oracle, so the END-TO-END pipeline
+# is hash-checked, not just its pieces.
+# ---------------------------------------------------------------------------
+
+def _clean_pipeline_oracle(q_threshold: float = 0.6, num_perm: int = 8,
+                           bands: int = 4, k: int = 3,
+                           j_threshold: float = 0.5) -> str:
+    r = num_perm // bands
+    mins = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min')"
+        for i in range(num_perm))
+    band_key = " || '|' || ".join(["CAST(b AS VARCHAR)"]
+                                  + [f"sig[{r}*b + {i} + 1]" for i in range(r)])
+    stops = _dd_stoplist("en")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+), t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len({_DD_TOKS}) END AS n_tok,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         len(list_filter({_DD_TOKS}, x -> list_contains({stops}, x))) AS stop_hits
+  FROM corpus
+), scored AS (
+  SELECT doc_id, text,
+    0.4 * least(n_tok / 20.0, 1.0)
+  + 0.2 * (CASE WHEN n_tok > 0 AND CAST(n_chars AS DOUBLE) / n_tok >= 3.0
+                 AND CAST(n_chars AS DOUBLE) / n_tok <= 10.0 THEN 1.0 ELSE 0.5 END)
+  + 0.2 * least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 20.0, 1.0)
+  + 0.2 * least((CASE WHEN n_tok > 0 THEN CAST(stop_hits AS DOUBLE) / n_tok ELSE 0.0 END) * 4.0, 1.0)
+    AS quality
+  FROM t
+), kept AS (
+  SELECT doc_id, text, quality FROM scored WHERE quality >= {q_threshold}
+), fp AS (
+  SELECT doc_id, text, quality, md5({_DD_NORM}) AS f FROM kept
+), keep1 AS (
+  SELECT min(doc_id) AS doc_id FROM fp GROUP BY f
+), dedup AS (
+  SELECT fp.doc_id, fp.text, fp.quality FROM fp JOIN keep1 USING (doc_id)
+), s AS (
+  SELECT doc_id, {_dd_shingles(k)} AS sh FROM dedup
+), sig AS (
+  SELECT doc_id, sh, [{mins}] AS sig FROM s
+), bands_t AS (
+  SELECT doc_id, unnest(list_transform(range(0, {bands}), b -> {band_key})) AS band
+  FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands_t a JOIN bands_t b ON a.band = b.band AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT id_a, id_b FROM pairs
+  JOIN s sa ON sa.doc_id = pairs.id_a
+  JOIN s sb ON sb.doc_id = pairs.id_b
+  WHERE (CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 1.0
+         ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh, sb.sh))) END) >= {j_threshold}
+)
+SELECT doc_id, ROUND(quality, 4) AS quality
+FROM dedup WHERE doc_id NOT IN (SELECT id_b FROM verified)
+"""
+
+
+@q("corpus_clean_pipeline", _clean_pipeline_oracle())
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import quality_score
+    from .operators.dedup import exact_dedup, minhash_lsh_pairs
+    d = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 50 == 0) \
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    corpus = d.unionByName(clones)
+    kept = corpus.withColumn("quality", quality_score(F.col("text"))) \
+        .filter(F.col("quality") >= 0.6)
+    deduped = exact_dedup(kept)
+    losers = minhash_lsh_pairs(deduped, num_perm=8, bands=4, shingle_k=3,
+                               threshold=0.5) \
+        .select(F.col("id_b").alias("doc_id")).distinct()
+    return deduped.join(losers, "doc_id", "left_anti") \
+        .select("doc_id", F.round("quality", 4).alias("quality"))
+
+
+# Exact percentiles per event type (Spark `percentile` and DuckDB
+# `quantile_cont` both use linear interpolation on the sorted set).
+@q("events_value_percentiles", """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4)  AS p50,
+       ROUND(quantile_cont(value, 0.9), 4)  AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+""")
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+                 F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99")))
+
+
+# ---------------------------------------------------------------------------
 # Batch similarity join (SURVEY §2.3: THE join capability to generalize)
 # ---------------------------------------------------------------------------
 
