@@ -109,6 +109,38 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+def text_stats_struct(text: Column) -> Column:
+    """All per-document stats + the quality score as ONE struct, with
+    each counting expression evaluated exactly once per row (via
+    util.bind_once — projection collapse would otherwise re-inline the
+    tokenizer into every consumer, multiplying both runtime and
+    generated-code size). Fan out with ``F.inline(F.array(...))``."""
+    from .util import bind_once
+
+    stats = F.array(token_count(text).cast("double"),
+                    char_count(text).cast("double"),
+                    punct_count(text).cast("double"),
+                    stopword_hits(text).cast("double"))
+
+    def build(s: Column) -> Column:
+        n_tok, n_chars, n_punct, stop = s[0], s[1], s[2], s[3]
+        mean_tok_len = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+        punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+        stop_ratio = F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0))
+        quality = (0.4 * F.least(n_tok / 20.0, F.lit(1.0))
+                   + 0.2 * F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 10.0),
+                                  F.lit(1.0)).otherwise(F.lit(0.5))
+                   + 0.2 * F.least(punct_ratio * 20.0, F.lit(1.0))
+                   + 0.2 * F.least(stop_ratio * 4.0, F.lit(1.0)))
+        return F.struct(n_tok.cast("bigint").alias("n_tokens"),
+                        n_chars.cast("bigint").alias("n_chars"),
+                        n_punct.cast("bigint").alias("n_punct"),
+                        stop.cast("bigint").alias("stop_hits"),
+                        quality.alias("quality"))
+
+    return bind_once(stats, build)
+
+
 def normalize_for_fingerprint(text: Column) -> Column:
     """Canonical form for exact-dup detection: lowercase, strip
     punctuation, collapse whitespace."""

@@ -81,13 +81,7 @@ def minhash_signature(text: Column, num_perm: int = 8,
     return F.aggregate(sh, init, fold)
 
 
-def _bind_once(expr: Column, f) -> Column:
-    """Evaluate ``expr`` exactly once and pass it to ``f`` as a
-    higher-order-function lambda variable. Catalyst's projection
-    collapse inlines derived expressions at every reference site (HOFs
-    don't CSE), so an expression referenced N times is computed N
-    times; lambda variables are bound once per row."""
-    return F.element_at(F.transform(F.array(expr), f), 1)
+from ..functions.util import bind_once as _bind_once  # noqa: E402
 
 
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:

@@ -533,14 +533,11 @@ FROM s
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import text as X
     d = _tp(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        X.token_count(t).alias("n_tokens"),
-        X.char_count(t).alias("n_chars"),
-        X.punct_count(t).alias("n_punct"),
-        X.stopword_hits(t).alias("stop_hits"),
-        F.round(X.quality_score(t), 4).alias("quality"))
+    # inline(array(struct)) is a generator: the stats struct computes
+    # once per row and fans out to columns without re-inlining.
+    return (d.select("doc_id",
+                     F.inline(F.array(X.text_stats_struct(F.col("text")))))
+            .withColumn("quality", F.round("quality", 4)))
 
 
 def _lang_id_oracle() -> str:
@@ -886,15 +883,20 @@ FROM dedup WHERE doc_id NOT IN (SELECT id_b FROM verified)
 
 @q("corpus_clean_pipeline", _clean_pipeline_oracle())
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import quality_score
+    from .functions.text import text_stats_struct
     from .operators.dedup import exact_dedup, minhash_lsh_pairs
     d = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     clones = d.filter(F.col("doc_id") % 50 == 0) \
         .withColumn("doc_id", F.col("doc_id") + 100000)
     corpus = d.unionByName(clones)
-    kept = corpus.withColumn("quality", quality_score(F.col("text"))) \
+    kept = corpus.withColumn("quality",
+                             text_stats_struct(F.col("text"))["quality"]) \
         .filter(F.col("quality") >= 0.6)
-    deduped = exact_dedup(kept)
+    # The deduped corpus feeds three consumers (LSH banding, Jaccard
+    # verification, survivor anti-join): materialize it once instead of
+    # recomputing the quality scan per branch — at scale this is the
+    # "write the filtered corpus" checkpoint every cleaning pipeline has.
+    deduped = exact_dedup(kept).persist()
     losers = minhash_lsh_pairs(deduped, num_perm=8, bands=4, shingle_k=3,
                                threshold=0.5) \
         .select(F.col("id_b").alias("doc_id")).distinct()
