@@ -904,6 +904,86 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.round("quality", 4).alias("quality"))
 
 
+# Distinct aggregation (2-shuffle expand plan in Spark; the classic
+# daily-active-users rollup).
+@q("events_daily_active", """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+""")
+def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.countDistinct("user_id").alias("dau"),
+                 F.count("*").alias("n_events")))
+
+
+# Semi-structured props: JSON path extraction inside the aggregation.
+@q("events_props_extract", """
+SELECT event_type,
+       CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+       CAST(COUNT(json_extract(props, '$.k')) AS BIGINT) AS n_with_k
+FROM events GROUP BY event_type
+""")
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (e.groupBy("event_type")
+            .agg(F.sum(k).alias("sum_k"),
+                 F.count(k).alias("n_with_k")))
+
+
+# TPC-H Q3-shaped: selective date predicates (pushed to both scans) +
+# 3-way join + ranked top-10.
+@q("shipping_priority", """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1998-06-01'
+  AND l_shipdate  > DATE '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+""")
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-06-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .select("l_orderkey", "revenue",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10))
+
+
+# Video frame-sampling plan: pure Column explode over synthetic media
+# (both engines re-derive the deterministic duration).
+@q("media_frame_sample", """
+WITH g AS (SELECT range AS id FROM range(0, 100)),
+v AS (SELECT 'video_' || id AS media_id,
+             (id % 30) * 1000 + 1000 AS duration_ms
+      FROM g)
+SELECT media_id, CAST(duration_ms AS BIGINT) AS duration_ms,
+       CAST(unnest(range(0, duration_ms, 1000)) AS BIGINT) AS frame_ms
+FROM v
+""")
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.media import frame_sample, synth_media
+    frames = frame_sample(synth_media(spark, n=100, modality="video"),
+                          every_ms=1000)
+    return frames.select("media_id",
+                         F.col("duration_ms").cast("bigint").alias("duration_ms"),
+                         F.col("frame_ms").cast("bigint").alias("frame_ms"))
+
+
 # Exact percentiles per event type (Spark `percentile` and DuckDB
 # `quantile_cont` both use linear interpolation on the sorted set).
 @q("events_value_percentiles", """
