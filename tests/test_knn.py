@@ -79,3 +79,18 @@ def test_knn_join_two_phase_equals_window(spark):
     norm = lambda d: sorted((r["query_id"], r["vec_id"], round(r["distance"], 9))
                             for r in d.collect())
     assert norm(a) == norm(b)
+
+
+def test_dim_mismatch_yields_null_distance_sorted_last(spark):
+    """Reference errors on dimension mismatch (distance.go:56-58); the
+    Spark engine scores mismatched rows as NULL distance, which sorts
+    after every real match in ascending knn order — a documented
+    divergence (mismatches are excluded rather than fatal)."""
+    from toy_vector_db_spark.operators.knn import knn
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("bad", [1.0, 0.0, 0.0])],
+        "id STRING, embedding ARRAY<DOUBLE>")
+    out = knn(df, [1.0, 0.0], k=3, metric="euclidean").collect()
+    assert [r["id"] for r in out[:2]] == ["a", "b"]
+    assert out[2]["id"] == "bad" and out[2]["distance"] is None

@@ -1,0 +1,101 @@
+"""Physical-plan audits: the scale properties README claims are
+asserted here — predicate pushdown, broadcast joins, top-k without a
+global sort, and no accidental cartesian products.
+
+These guard the 100 TB story: a regression that un-pushes a filter or
+turns a broadcast into a sort-merge self-join passes value checks but
+fails here.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from toy_vector_db_spark.workload import spark_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _fresh_scans(spark):
+    # other test modules cache testdata tables; a cached relation shows
+    # InMemoryTableScan instead of the parquet scan we're auditing
+    spark.catalog.clearCache()
+
+
+def plan_of(spark, name: str) -> str:
+    df = spark_queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup_pushes_filter(spark):
+    plan = plan_of(spark, "filter_id_eq")
+    assert re.search(r"PushedFilters: \[.*EqualTo\(vec_id,42\)", plan)
+
+
+def test_date_predicates_push_to_all_scans(spark):
+    plan = plan_of(spark, "shipping_priority")
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_scan_prunes_columns(spark):
+    plan = plan_of(spark, "filter_like")
+    # only doc_id + text may be read for this projection
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m is not None
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"doc_id", "text"}
+
+
+def test_dim_joins_broadcast(spark):
+    plan = plan_of(spark, "join_region_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_is_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "knn_euclidean")
+    assert "TakeOrderedAndProject" in plan
+    # no full-exchange sort of the scored corpus
+    assert "Sort [distance" not in plan
+
+
+def test_knn_join_broadcasts_queries(spark):
+    plan = plan_of(spark, "knn_join_batch")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the reduction is aggregation-based (two-phase top-k), not a
+    # row_number window over the full cross product
+    assert "Window" not in plan
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    plan = plan_of(spark, "asof_join_events")
+    # union+window implementation: no nested-loop inequality join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_minhash_pairs_no_self_join_recompute(spark):
+    plan = plan_of(spark, "dedup_minhash_pairs")
+    # candidate generation is groupBy-bucket: exactly one aggregate over
+    # the banded signatures, no sort-merge self-join of two sig branches
+    assert "SortMergeJoin" not in plan.split("ObjectHashAggregate")[0]
+
+
+def test_knn_join_cross_is_broadcast_bounded(spark):
+    # the one intentional cross product (query set x corpus) must run
+    # as a broadcast of the small query side, never a CartesianProduct
+    plan = plan_of(spark, "knn_join_batch")
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["agg_pricing_summary", "count_star"])
+def test_aggregates_are_partial_then_final(spark, name):
+    plan = plan_of(spark, name)
+    # map-side combine: two HashAggregate levels around the exchange
+    assert plan.count("HashAggregate") >= 2

@@ -60,7 +60,11 @@ def knn(df: DataFrame, query_vec: Sequence[float] | Column, k: int = DEFAULT_K,
             raise ValueError("exclude_id requires id_col")
         out = out.filter(F.col(id_col) != exclude_id)
     # orderBy + limit => TakeOrderedAndProject (no full sort, no shuffle).
-    return out.orderBy(F.col(dist_col).asc()).limit(k)
+    # NULLS LAST: Spark's asc is nulls-FIRST, which would rank rows with
+    # null distance (dimension mismatch, null embedding) above every
+    # real match. The reference hard-errors on mismatch
+    # (distance.go:56-58); we exclude — documented divergence.
+    return out.orderBy(F.col(dist_col).asc_nulls_last()).limit(k)
 
 
 def knn_join(queries: DataFrame, corpus: DataFrame, k: int = DEFAULT_K,
@@ -83,7 +87,8 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = DEFAULT_K,
         F.col(corpus_id_col).alias("__cid"), F.col(corpus_vec_col).alias("__cvec")
     ).crossJoin(q).select(
         "__qid", "__cid",
-        distance(metric, F.col("__cvec"), F.col("__qvec")).alias(dist_col))
+        distance(metric, F.col("__cvec"), F.col("__qvec")).alias(dist_col)
+    ).filter(F.col(dist_col).isNotNull())  # drop dim-mismatch scores
 
     def local_topk(df: DataFrame, keys: list[str]) -> DataFrame:
         # slice(sort_array(collect_list(struct(dist,id)))) keeps only k

@@ -250,7 +250,7 @@ class SqlEngine:
         # compiles to TakeOrderedAndProject (per-partition top-k, no sort
         # shuffle) — scan stays pruned to the referenced columns.
         query = (f"SELECT {proj} FROM (SELECT *, {dist} AS distance "
-                 f"FROM {table}{wsql}) ORDER BY distance ASC LIMIT {k}")
+                 f"FROM {table}{wsql}) ORDER BY distance ASC NULLS LAST LIMIT {k}")
         return self.spark.sql(query)
 
     def _projection(self, cols_raw: str, knn: bool = False) -> str:

@@ -118,7 +118,8 @@ def _make_knn(metric: str) -> WorkloadFn:
         res = (emb.withColumn("distance", distance(metric, F.col("embedding"),
                                                    F.lit(qvec).cast("array<double>")))
                .filter(F.col("vec_id") != QUERY_VEC_ID)
-               .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+               .orderBy(F.col("distance").asc_nulls_last(),
+                        F.col("vec_id").asc())
                .limit(KNN_K))
         return res.select("vec_id", "label",
                           F.round("distance", 4).alias("distance"))
@@ -982,6 +983,27 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id",
                          F.col("duration_ms").cast("bigint").alias("duration_ms"),
                          F.col("frame_ms").cast("bigint").alias("frame_ms"))
+
+
+# Multi-resolution rollup in ONE pass (grouping sets => single
+# shuffle for all resolutions; the continuous-aggregate pattern).
+@q("events_multi_rollup", """
+SELECT * FROM (
+  SELECT CASE WHEN hb IS NOT NULL THEN 'hour' ELSE 'day' END AS resolution,
+         COALESCE(hb, db) AS bucket_epoch, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 2) AS sum_value
+  FROM (SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS hb,
+               CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS db,
+               event_type, value
+        FROM events)
+  GROUP BY GROUPING SETS ((hb, event_type), (db, event_type))
+) WHERE bucket_epoch IS NOT NULL
+""")
+def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rollup import multi_rollup
+    return multi_rollup(_t(spark, sf_dir, "events"),
+                        resolutions=["hour", "day"])
 
 
 # Exact percentiles per event type (Spark `percentile` and DuckDB
