@@ -163,18 +163,27 @@ class IvfIndex:
     @classmethod
     def build(cls, df: DataFrame, n_centroids: int = 16, seed: int = 42,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              max_iter: int = 20) -> "IvfIndex":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector, vector_to_array
+              max_iter: int = 10, train_rows: int = 20_000) -> "IvfIndex":
+        """Train centroids on a bounded sample, then assign every row.
 
-        feats = df.withColumn("__features",
-                              array_to_vector(F.col(vec_col).cast("array<double>")))
+        Training on a sample is the standard IVF recipe (faiss trains
+        on ~50*nlist points): KMeans quality saturates quickly, and a
+        full-corpus fit would iterate over 100 TB per step. Assignment
+        is one map-only pass over the full table.
+        """
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats_col = array_to_vector(F.col(vec_col).cast("array<double>"))
+        n = df.count()
+        sample = df if n <= train_rows else \
+            df.sample(fraction=min(1.0, train_rows / n), seed=seed)
         km = KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
                     featuresCol="__features", predictionCol="__cluster")
-        model = km.fit(feats)
+        model = km.fit(sample.select(feats_col.alias("__features")))
         centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
-        table = model.transform(feats).drop("__features")
-        _ = vector_to_array  # re-exported for callers converting back
+        table = model.transform(df.withColumn("__features", feats_col)) \
+            .drop("__features")
         return cls(centroids, table, id_col, vec_col)
 
     def search(self, qvec: Sequence[float], k: int = 10,
