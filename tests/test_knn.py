@@ -94,3 +94,20 @@ def test_dim_mismatch_yields_null_distance_sorted_last(spark):
     out = knn(df, [1.0, 0.0], k=3, metric="euclidean").collect()
     assert [r["id"] for r in out[:2]] == ["a", "b"]
     assert out[2]["id"] == "bad" and out[2]["distance"] is None
+
+
+def test_knn_arrow_matches_hof_tier(spark):
+    """The Arrow/NumPy scoring tier returns the same top-k as the
+    pure-Column tier on every metric (values to 1e-9, ids exactly)."""
+    from toy_vector_db_spark.operators.knn import knn, knn_arrow
+    from toy_vector_db_spark.workload import _t
+
+    e = _t(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    q = [0.1] * dim
+    for metric in ("euclidean", "cosine", "dotproduct", "manhattan"):
+        a = knn(e, q, k=5, metric=metric).collect()
+        b = knn_arrow(e, q, k=5, metric=metric).collect()
+        assert [r["vec_id"] for r in a] == [r["vec_id"] for r in b], metric
+        for ra, rb in zip(a, b):
+            assert ra["distance"] == pytest.approx(rb["distance"], abs=1e-9)

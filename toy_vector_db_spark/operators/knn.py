@@ -67,6 +67,75 @@ def knn(df: DataFrame, query_vec: Sequence[float] | Column, k: int = DEFAULT_K,
     return out.orderBy(F.col(dist_col).asc_nulls_last()).limit(k)
 
 
+def knn_arrow(df: DataFrame, query_vec: Sequence[float], k: int = DEFAULT_K,
+              metric: str = "euclidean", vec_col: str = "embedding",
+              id_cols: Sequence[str] | None = None,
+              exclude_id=None, id_col: str | None = None,
+              dist_col: str = "distance") -> DataFrame:
+    """Exact top-k via Arrow-batched NumPy scoring.
+
+    The pure-Column ``knn`` keeps everything in the JVM, but Catalyst
+    evaluates higher-order distance folds element-at-a-time; for wide
+    embeddings the BLAS path wins by an order of magnitude. Plan shape:
+    mapInPandas scores a batch (one matrix-vector product) and emits
+    only that batch's local top-k, then TakeOrderedAndProject merges —
+    the executors return k rows per batch, never the scored corpus.
+
+    Same null/mismatch semantics as ``knn``: rows whose vector length
+    differs from the query are excluded.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if metric not in ("euclidean", "cosine", "dotproduct", "manhattan"):
+        raise ValueError(f"unsupported metric: {metric!r}")
+    if id_cols is None:
+        id_cols = [c for c in df.columns if c != vec_col]
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    src = df.select(*id_cols, vec_col)
+    if exclude_id is not None:
+        if id_col is None:
+            raise ValueError("exclude_id requires id_col")
+        # exclusion must precede the per-batch top-k, or a batch whose
+        # local top-k contained the excluded row under-contributes
+        src = src.filter(F.col(id_col) != exclude_id)
+    out_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in src.schema.fields
+                        if f.name != vec_col) + f", {dist_col} double"
+
+    def score(batches):
+        for pdf in batches:
+            vecs = pdf[vec_col]
+            ok = vecs.map(lambda v: v is not None and len(v) == q.size)
+            pdf = pdf[ok.values]
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].map(
+                lambda v: np.asarray(v, dtype=np.float64)).values)
+            if metric == "euclidean":
+                d = np.sqrt(((m - q) ** 2).sum(axis=1))
+            elif metric == "manhattan":
+                d = np.abs(m - q).sum(axis=1)
+            elif metric == "dotproduct":
+                d = -(m @ q)
+            else:  # cosine, reference branch semantics (distance.go:73-107)
+                nm = np.linalg.norm(m, axis=1)
+                nq = np.linalg.norm(q)
+                dot = m @ q
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = np.clip(dot / (nm * nq), -1.0, 1.0)
+                d = np.where((nm == 0) | (nq == 0), 1.0, 1.0 - sim)
+            res = pdf[list(id_cols)].copy()
+            res[dist_col] = d
+            top = res.nsmallest(min(k, len(res)), dist_col)
+            yield pd.DataFrame(top)
+
+    scored = src.mapInPandas(score, out_ddl)
+    return scored.orderBy(F.col(dist_col).asc_nulls_last()).limit(k)
+
+
 def knn_join(queries: DataFrame, corpus: DataFrame, k: int = DEFAULT_K,
              metric: str = "euclidean",
              query_id_col: str = "query_id", query_vec_col: str = "query_vec",
