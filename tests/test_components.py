@@ -1,0 +1,55 @@
+"""connected_components / dup_clusters on hand-built graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from toy_vector_db_spark.operators.components import (
+    connected_components, dup_clusters,
+)
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+
+
+def test_chain_and_triangle_and_pair(spark):
+    # chain 1-2-3-4, triangle 10-11, 11-12, 10-12, pair 20-21
+    pairs = _df(spark, [(1, 2), (2, 3), (3, 4),
+                        (10, 11), (11, 12), (10, 12),
+                        (20, 21)])
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_transitivity_without_direct_edge(spark):
+    # A~B and B~C but never A~C: all three must share a component
+    pairs = _df(spark, [(100, 5), (5, 200)])
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {5: 5, 100: 5, 200: 5}
+
+
+def test_dup_clusters_summary(spark):
+    pairs = _df(spark, [(1, 2), (2, 3), (20, 21)])
+    got = {r["component"]: (r["n_docs"], r["keep"])
+          for r in dup_clusters(pairs).collect()}
+    assert got == {1: (3, 1), 20: (2, 20)}
+
+
+def test_long_chain_converges(spark):
+    # diameter 20: label must walk the whole chain
+    pairs = _df(spark, [(i, i + 1) for i in range(20)])
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 21
+
+
+def test_nonconvergence_raises(spark):
+    pairs = _df(spark, [(i, i + 1) for i in range(10)])
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iter=1)

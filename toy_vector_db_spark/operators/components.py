@@ -1,0 +1,64 @@
+"""Connected components over candidate-pair graphs.
+
+Near-dup pairs are edges; the training-pipeline need is the transitive
+cluster (keep one doc per component, not per pair — A~B, B~C must
+collapse A,B,C together even when A~C was never scored).
+
+Spark-idiomatic iterative algorithm: min-label propagation. Each round
+every node takes the minimum label among itself and its neighbors; the
+loop converges in O(component diameter) rounds. Per round: one join +
+one groupBy — both shuffle on node id, so AQE coalesces as labels
+shrink. ``localCheckpoint`` truncates the growing lineage each round
+(the standard guard for iterative DataFrame algorithms).
+
+Convergence detection is O(1) driver-side: labels only ever decrease,
+so the global label sum is strictly monotone until fixpoint.
+
+Oracle: DuckDB recursive CTE computes the transitive closure and takes
+min reachable id per node — see workload.dedup_components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """(id_a, id_b) edge list -> (node, component), component = min id
+    reachable. Only nodes that appear in an edge are returned."""
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint()
+
+    labels = edges.select(F.col("src").alias("node")).distinct() \
+        .withColumn("label", F.col("node")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges.dst == labels.node)
+                   .groupBy("src").agg(F.min("label").alias("__nl")))
+        labels = (labels.join(nbr_min, labels.node == nbr_min.src, "left")
+                  .select("node",
+                          F.least("label", F.coalesce("__nl", "label"))
+                          .alias("label"))
+                  .localCheckpoint())
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(f"did not converge within {max_iter} rounds")
+
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dup_clusters(pairs: DataFrame, a_col: str = "id_a",
+                 b_col: str = "id_b") -> DataFrame:
+    """Components summarized: (component, n_docs, keep=min id)."""
+    cc = connected_components(pairs, a_col, b_col)
+    return (cc.groupBy("component")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("node").alias("keep")))

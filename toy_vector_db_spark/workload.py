@@ -742,6 +742,58 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+# Transitive dup clusters: near-dup pairs are edges; connected
+# components give the keep-one-per-cluster semantics (A~B, B~C
+# collapses all three). Spark runs iterative min-label propagation;
+# the oracle computes the same fixpoint with a recursive CTE.
+def _components_oracle(num_perm: int = 8, bands: int = 4, k: int = 3,
+                       threshold: float = 0.5) -> str:
+    r = num_perm // bands
+    mins = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min')"
+        for i in range(num_perm))
+    band_key = " || '|' || ".join(["CAST(b AS VARCHAR)"]
+                                  + [f"sig[{r}*b + {i} + 1]" for i in range(r)])
+    return f"""
+WITH RECURSIVE s AS (SELECT doc_id, {_dd_shingles(k)} AS sh FROM documents),
+sig AS (SELECT doc_id, sh, [{mins}] AS sig FROM s),
+bands_t AS (
+  SELECT doc_id, unnest(list_transform(range(0, {bands}), b -> {band_key})) AS band
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands_t a JOIN bands_t b ON a.band = b.band AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  JOIN s sa ON sa.doc_id = cand.id_a
+  JOIN s sb ON sb.doc_id = cand.id_b
+  WHERE (CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 1.0
+         ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh, sb.sh))) END) >= {threshold}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)
+SELECT node, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
+@q("dedup_components", _components_oracle())
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.components import connected_components
+    from .operators.dedup import minhash_lsh_pairs
+    d = _tp(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_perm=8, bands=4, shingle_k=3,
+                              threshold=0.5)
+    return connected_components(pairs) \
+        .select("node", F.col("component").cast("bigint").alias("component"))
+
+
 # Embedding-cosine near-dup with a blocking key (label): exact within
 # blocks, the 100 TB plan shape (block = IVF/LSH bucket there).
 @q("dedup_cosine_blocked", """
