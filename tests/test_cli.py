@@ -1,0 +1,60 @@
+"""CLI front-end round-trip (reference cmd surface, main.go:99-282),
+run in-process against the shared test SparkSession."""
+
+from __future__ import annotations
+
+import pytest
+
+from toy_vector_db_spark.cli import main
+
+
+@pytest.fixture()
+def run(spark, tmp_path, capsys):
+    data_dir = str(tmp_path / "colls")
+
+    def _run(*argv: str) -> str:
+        assert main(["--data-dir", data_dir, *argv]) == 0
+        return capsys.readouterr().out
+
+    return _run
+
+
+def test_crud_roundtrip(run):
+    run("add", "v1", "[1,0,0]", "--metadata", "cat=a")
+    run("add", "v2", "[0,1,0]")
+    assert "2" in run("count")
+    got = run("get", "v1")
+    assert "v1" in got
+    listing = run("list")
+    assert "v1" in listing and "v2" in listing
+    run("delete", "v2")
+    assert "1" in run("count")
+
+
+def test_search_and_sql(run):
+    for vid, vec in [("a", "[1,0,0]"), ("b", "[0,1,0]"), ("c", "[0.9,0.1,0]")]:
+        run("add", vid, vec)
+    out = run("search", "flat", "a", "1")
+    assert "c" in out and "a" not in out.split("distance")[1]  # self excluded
+    out = run("sql", "SELECT id FROM vectors NEAREST TO [1,0,0] LIMIT 2")
+    assert "a" in out and "c" in out
+    out = run("sql", "SELECT count(*) FROM vectors")
+    assert "3" in out
+
+
+def test_embed_and_search_text(run):
+    run("embed", "text", "doc1", "spark distributed query engine")
+    run("embed", "text", "doc2", "cooking pasta at home")
+    # the mock embedder is deterministic-random: only IDENTICAL text
+    # lands on the same vector, so query with doc1's exact content
+    out = run("search-text", "spark distributed query engine", "--k", "1")
+    assert "doc1" in out and "0.0" in out
+
+
+def test_export_import(run, tmp_path):
+    run("add", "x", "[1,2]")
+    path = str(tmp_path / "dump")
+    run("export", path)
+    run("--collection", "restored", "import", path)
+    out = run("--collection", "restored", "list")
+    assert "x" in out

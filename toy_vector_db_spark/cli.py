@@ -177,13 +177,12 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Embedded and stored {args.id} (dim {len(vec)})", file=out)
     elif cmd == "import":
         ensure()
-        src = spark.read.parquet(args.path) if args.path.endswith(".parquet") \
-            else spark.read.json(args.path)
-        rows = [(r["id"], list(r["embedding"]),
-                 dict(r["metadata"]) if r["metadata"] is not None else None)
-                for r in src.collect()]
-        catalog.insert(coll, rows)
-        print(f"Imported {len(rows)} vector(s)", file=out)
+        try:
+            src = spark.read.parquet(args.path)
+        except Exception:
+            src = spark.read.json(args.path)
+        n = catalog.insert_df(coll, src)  # distributed append, no collect
+        print(f"Imported {n} vector(s)", file=out)
     elif cmd == "export":
         ensure()
         catalog.read(coll).write.mode("overwrite").parquet(args.path)

@@ -147,6 +147,30 @@ class CollectionCatalog:
         self._commit(name, cur.unionByName(new))
         return len(rows)
 
+    def insert_df(self, name: str, df: DataFrame) -> int:
+        """Distributed append of an (id, embedding[, metadata]) frame —
+        the bulk-ingest path (no driver materialization, unlike the
+        row-list ``insert``). Any duplicate id — within the batch or
+        against the stored table — errors like the reference."""
+        if not self.exists(name):
+            self.create(name, if_not_exists=True)
+        cols = {"id", "embedding", "metadata"} & set(df.columns)
+        new = df.select(
+            F.col("id").cast("string"),
+            F.col("embedding").cast("array<float>"),
+            (F.col("metadata") if "metadata" in cols
+             else F.lit(None)).cast("map<string,string>").alias("metadata"))
+        cur = self.read(name)
+        dup = new.groupBy("id").count().filter(F.col("count") > 1) \
+            .unionByName(cur.join(new.select("id"), "id", "left_semi")
+                         .groupBy("id").count()).limit(1)
+        hit = dup.first()
+        if hit is not None:
+            raise ValueError(f"duplicate id: {hit[0]!r}")
+        n = new.count()
+        self._commit(name, cur.unionByName(new))
+        return n
+
     def delete(self, name: str, condition: str) -> int:
         """DELETE WHERE <condition> (SQL-string predicate); returns the
         deleted count (executor.go:519-576)."""
