@@ -44,8 +44,20 @@ from .knn import knn
 
 
 def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
-    """Deterministic Gaussian hyperplanes, shape (n_planes, dim)."""
-    return np.random.RandomState(seed).normal(size=(n_planes, dim))
+    """Deterministic engine-portable hyperplanes, shape (n_planes, dim):
+    coefficient (i, j) = first 8 hex digits of md5(f"{seed}:{i}:{j}")
+    scaled to [-1, 1). Any SQL engine with md5 derives the identical
+    matrix, which makes the LSH bucketing itself oracle-checkable
+    (workload.ann_lsh_topk) — something a PRNG-seeded matrix can't do.
+    Uniform directions bucket as well as Gaussian for sign-LSH."""
+    import hashlib
+
+    def coef(i: int, j: int) -> float:
+        h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:8]
+        return int(h, 16) / 2 ** 31 - 1.0
+
+    return np.array([[coef(i, j) for j in range(dim)]
+                     for i in range(n_planes)])
 
 
 def _sig_expr(vec_col: str, planes: np.ndarray):
@@ -110,12 +122,18 @@ class LshIndex:
         planes = hyperplanes(n_planes, dim, seed)
         return cls(planes, add_lsh_signature(df, planes, vec_col), id_col, vec_col)
 
-    def search(self, qvec: Sequence[float], k: int = 10,
-               metric: str = "cosine", multiprobe: int = 1) -> DataFrame:
+    def candidates(self, qvec: Sequence[float],
+                   multiprobe: int = 1) -> DataFrame:
+        """Rows in the query's bucket plus Hamming-adjacent buckets
+        (partition pruning when the table was saved partitioned)."""
         qsig = query_signature(qvec, self.planes)
         probes = probe_signatures(qsig, len(self.planes), multiprobe)
-        cands = self.table.filter(F.col("__sig").isin(probes))
-        return knn(cands, [float(x) for x in qvec], k=k, metric=metric,
+        return self.table.filter(F.col("__sig").isin(probes))
+
+    def search(self, qvec: Sequence[float], k: int = 10,
+               metric: str = "cosine", multiprobe: int = 1) -> DataFrame:
+        return knn(self.candidates(qvec, multiprobe),
+                   [float(x) for x in qvec], k=k, metric=metric,
                    vec_col=self.vec_col).drop("__sig")
 
     # -- persistence (S5 analogue) --------------------------------------

@@ -1098,15 +1098,51 @@ def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id", F.round("distance", 4).alias("distance"))
 
 
-@q("ann_lsh_topk", None)  # ANN: recall-checked vs exact in tests, not hash-stable
+# LSH ANN with a FULL value oracle: hyperplane coefficients derive
+# from md5 (ann.hyperplanes), so DuckDB recomputes the identical
+# signatures, the identical multiprobe candidate set (Hamming ball via
+# xor/bit_count), and the identical ranked top-k.
+def _ann_lsh_oracle(n_planes: int = 6, multiprobe: int = 2) -> str:
+    dots = ",\n         ".join(
+        f"list_sum(list_transform(range(1, len(v) + 1), j -> v[j] * "
+        f"(('0x' || substr(md5('42:{i}:' || (j - 1)), 1, 8))::BIGINT"
+        f" / 2147483648.0 - 1.0))) AS d{i}"
+        for i in range(n_planes))
+    sig = " + ".join(f"(CASE WHEN d{i} > 0 THEN {1 << i} ELSE 0 END)"
+                     for i in range(n_planes))
+    cos = _ORACLE_DIST["cosine"].replace("a, a", "v, v").replace("a, q", "v, q") \
+        .replace("(a,", "(v,")
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT vec_id, label, v,
+         {dots}
+      FROM e),
+s AS (SELECT vec_id, label, v, CAST({sig} AS BIGINT) AS sig FROM d),
+qrow AS (SELECT v AS q, sig AS qsig FROM s WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT vec_id, label, {cos} AS dist
+  FROM s, qrow WHERE bit_count(xor(sig, qsig)) <= {multiprobe})
+SELECT vec_id, label, ROUND(dist, 4) AS distance
+FROM cand ORDER BY dist ASC, vec_id ASC LIMIT {KNN_K}
+"""
+
+
+@q("ann_lsh_topk", _ann_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.distance import cosine
     from .operators.ann import LshIndex
     from .operators.knn import lookup_vector
     e = _t(spark, sf_dir, "embeddings")
     qvec = lookup_vector(e, "vec_id", QUERY_VEC_ID)
     idx = LshIndex.build(e, n_planes=6)
-    return idx.search(qvec, k=KNN_K, metric="cosine", multiprobe=2) \
-        .select("vec_id", "label", F.round("distance", 4).alias("distance"))
+    cands = idx.candidates(qvec, multiprobe=2)
+    # vec_id tiebreak matches the oracle's total order
+    return (cands.withColumn("distance",
+                             cosine(F.col("embedding"),
+                                    F.lit(qvec).cast("array<double>")))
+            .orderBy(F.col("distance").asc_nulls_last(), F.col("vec_id").asc())
+            .limit(KNN_K)
+            .select("vec_id", "label", F.round("distance", 4).alias("distance")))
 
 
 @q("ann_ivf_topk", None)  # KMeans centroids: recall-checked in tests
