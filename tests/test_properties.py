@@ -96,7 +96,7 @@ def test_normalize_unit_norm_and_zero_fixed(spark):
 def test_embedder_contract(text):
     v1, v2 = embed_one(text), embed_one(text)
     assert np.array_equal(v1, v2)                       # deterministic
-    assert v1.shape == (384,) and v1.dtype == np.float32
+    assert v1.shape == (384,) and v1.dtype == np.float64
     assert np.linalg.norm(v1) == pytest.approx(1.0, rel=1e-5)
 
 

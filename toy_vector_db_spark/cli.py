@@ -19,6 +19,7 @@ import json
 import sys
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def format_result(df: DataFrame, max_width: int = 50, limit: int = 1000) -> str:
@@ -156,13 +157,13 @@ def main(argv: list[str] | None = None) -> int:
             idx = cls.build(df, id_col="id", vec_col="embedding")
             res = idx.search(qvec, k=args.k + 1, metric=args.metric) \
                 .filter(f"id <> '{args.id}'").limit(args.k)
-        print(format_result(res.select("id", "distance")), file=out)
+        print(format_result(res.select("id", F.round("distance", 6).alias("distance"))), file=out)
     elif cmd == "search-text":
         ensure()
         from .functions.embedding import search_text
         res = search_text(catalog.read(coll), args.text, k=args.k,
                           metric=args.metric, vec_col="embedding")
-        print(format_result(res.select("id", "distance")), file=out)
+        print(format_result(res.select("id", F.round("distance", 6).alias("distance"))), file=out)
     elif cmd == "embed":
         ensure()
         from .functions.embedding import embed_one, process_json

@@ -1,9 +1,9 @@
 """Deterministic mock embedding pipeline.
 
 Reference: /root/reference/pkg/embedding/
-  - Mock "all-MiniLM-L6-v2" model (models/huggingface.go:36-87): sha256
-    of the text seeds a PRNG that draws 384 floats in [-1, 1], then
-    L2-normalizes. Deterministic per text.
+  - Mock "all-MiniLM-L6-v2" model (models/huggingface.go:36-87): a hash
+    of the text seeds a deterministic draw of 384 floats in [-1, 1),
+    then L2-normalizes. Deterministic per text.
   - Text processor (pipeline/processor.go:21-40): pass-through.
   - JSON processor (pipeline/processor.go:43-78): map -> "k: v" pairs
     joined by spaces — Go map iteration makes the reference's output
@@ -12,17 +12,33 @@ Reference: /root/reference/pkg/embedding/
     the reference but is never registered (:95-97 registers only COUNT);
     here ``register_udfs`` actually installs it.
 
-Parity scope (SURVEY §7 risk 5): Go's math/rand stream cannot be
-reproduced bit-for-bit in Python, and the oracle can't run it either.
-The contract is determinism + 384 dims + unit norm, which IS testable.
+The reference seeds Go's math/rand, which neither Python nor a SQL
+oracle can reproduce (SURVEY §7 risk 5); the parity contract is
+determinism + 384 dims + unit norm. We meet it with a HASH-CHAIN
+construction instead of a PRNG, which buys two big properties:
 
-The embedder is a pandas UDF: Arrow-batched, one Python roundtrip per
-~10k rows instead of per row. Hashing+PRNG per text is pure NumPy.
+  value(j) = int(md5(sha256(text) + ":" + j)[:8], 16) / 2^31 - 1,
+  then L2-normalize; all arithmetic in IEEE double.
+
+1. It is a pure Column expression (sha2/md5/conv/transform/aggregate),
+   so BULK embedding runs inside whole-stage codegen — no Python
+   workers, no Arrow transfer, and Catalyst can pipeline it into the
+   downstream knn / dedup plan. UDFs are reserved for the SQL-facing
+   EMBEDDING() registration.
+2. Any engine with md5/sha256 derives bit-identical vectors, so the
+   DuckDB oracle value-checks the whole embed -> knn pipeline
+   (embed_documents_values / search_text_documents in workload.py),
+   not just the dim/norm contract.
+
+``embed_one`` (driver-side, plain Python), ``embedding_expr`` (Column),
+and the oracle SQL all fold the norm left-to-right so the doubles agree
+bit-for-bit across all three.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -31,27 +47,64 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from .util import bind_once
+
 EMBEDDING_DIM = 384  # mocked all-MiniLM-L6-v2 (huggingface.go:31)
 
 
 def embed_one(text: str, dim: int = EMBEDDING_DIM) -> np.ndarray:
-    """sha256(text) -> seed -> uniform[-1,1)^dim -> L2 normalize.
-    Same shape/contract as huggingface.go:36-87."""
-    digest = hashlib.sha256(text.encode("utf-8")).digest()
-    seed = int.from_bytes(digest[:4], "big")
-    rng = np.random.RandomState(seed)
-    v = rng.uniform(-1.0, 1.0, dim)
-    norm = float(np.linalg.norm(v))
-    if norm > 0:
-        v = v / norm
-    return v.astype(np.float32)
+    """Hash-chain embedding of one string, driver-side. Bit-identical
+    to ``embedding_expr`` (sequential fold, IEEE double throughout)."""
+    seed = hashlib.sha256(text.encode("utf-8")).hexdigest()
+    vals = [int(hashlib.md5(f"{seed}:{j}".encode()).hexdigest()[:8], 16)
+            / 2.0 ** 31 - 1.0 for j in range(dim)]
+    acc = 0.0
+    for x in vals:
+        acc += x * x
+    nrm = math.sqrt(acc)
+    if nrm > 0:
+        vals = [x / nrm for x in vals]
+    return np.asarray(vals, dtype=np.float64)
+
+
+def embedding_expr(text: Column, dim: int = EMBEDDING_DIM) -> Column:
+    """EMBEDDING(text) as a pure Column expression (F8/F9/F10): the
+    scale path for bulk embedding — JVM-side, codegen-friendly, no
+    Python in the loop. NULL embeds as the empty string (matching the
+    UDF). The sha256 seed, the raw array, and the norm are each bound
+    once per row via bind_once so codegen doesn't re-inline them per
+    element."""
+    t = F.coalesce(text.cast("string"), F.lit(""))
+
+    def from_seed(seed: Column) -> Column:
+        raw = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.conv(
+                F.substring(
+                    F.md5(F.concat(seed, F.lit(":"), j.cast("string"))), 1, 8),
+                16, 10).cast("long") / F.lit(2.0 ** 31) - F.lit(1.0))
+
+        def normed(arr: Column) -> Column:
+            nrm_expr = F.sqrt(F.aggregate(arr, F.lit(0.0),
+                                          lambda s, x: s + x * x))
+            return bind_once(
+                nrm_expr,
+                lambda nrm: F.when(
+                    nrm > 0, F.transform(arr, lambda x: x / nrm)).otherwise(arr))
+
+        return bind_once(raw, normed)
+
+    return bind_once(F.sha2(t, 256), from_seed)
 
 
 # explicit DataType (not a DDL string): keeps the UDF constructible
 # before any SparkSession exists
-@pandas_udf(T.ArrayType(T.FloatType()))
+@pandas_udf(T.ArrayType(T.DoubleType()))
 def embed_text(texts: pd.Series) -> pd.Series:
-    """EMBEDDING(text) as an Arrow-batched pandas UDF (F8/F9/F10)."""
+    """EMBEDDING(text) as an Arrow-batched pandas UDF — the SQL-facing
+    registration (F8). Bulk pipelines use ``embedding_expr`` instead;
+    this exists so ad-hoc SQL can call EMBEDDING('...') and so tests
+    can cross-check the UDF against the Column expression bit-for-bit."""
     return texts.map(lambda t: embed_one("" if t is None else str(t)))
 
 
@@ -81,11 +134,13 @@ def embed_documents(docs: DataFrame, content_col: str = "text",
                     content_type: str = "text",
                     out_col: str = "vector") -> DataFrame:
     """Document ingest (D7, cmd_embed.go:21-120): process content by
-    type, append the embedding column."""
+    type, append the embedding column. JVM-side end to end — the
+    embedding is a Column expression, so the whole ingest is one
+    codegen'd projection over the scan."""
     from ..sources.tables import ensure_parallelism
     col = F.col(content_col)
     processed = process_json(col) if content_type == "json" else process_text(col)
-    return ensure_parallelism(docs).withColumn(out_col, embed_text(processed))
+    return ensure_parallelism(docs).withColumn(out_col, embedding_expr(processed))
 
 
 def search_text(corpus: DataFrame, text: str, k: int = 10,

@@ -114,13 +114,22 @@ def text_stats_struct(text: Column) -> Column:
     each counting expression evaluated exactly once per row (via
     util.bind_once — projection collapse would otherwise re-inline the
     tokenizer into every consumer, multiplying both runtime and
-    generated-code size). Fan out with ``F.inline(F.array(...))``."""
+    generated-code size). The whitespace tokenizer itself is also bound
+    once: token_count and stopword_hits both consume the same split
+    array instead of re-splitting. Fan out with
+    ``F.inline(F.array(...))``."""
     from .util import bind_once
 
-    stats = F.array(token_count(text).cast("double"),
-                    char_count(text).cast("double"),
-                    punct_count(text).cast("double"),
-                    stopword_hits(text).cast("double"))
+    stops = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+
+    def stats_from_tokens(toks: Column) -> Column:
+        n_tok = F.when(F.trim(text) == "", F.lit(0)) \
+                 .otherwise(F.size(toks))
+        stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+        return F.array(n_tok.cast("double"),
+                       char_count(text).cast("double"),
+                       punct_count(text).cast("double"),
+                       stop.cast("double"))
 
     def build(s: Column) -> Column:
         n_tok, n_chars, n_punct, stop = s[0], s[1], s[2], s[3]
@@ -138,7 +147,7 @@ def text_stats_struct(text: Column) -> Column:
                         stop.cast("bigint").alias("stop_hits"),
                         quality.alias("quality"))
 
-    return bind_once(stats, build)
+    return bind_once(tokens(text), lambda tk: bind_once(stats_from_tokens(tk), build))
 
 
 def normalize_for_fingerprint(text: Column) -> Column:

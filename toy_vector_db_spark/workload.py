@@ -451,11 +451,27 @@ def sql_meta_ne_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding pipeline (SURVEY §2.7 F8-F10, §2.9 D7). The embedder's PRNG
-# stream is not SQL-reproducible (SURVEY §7 risk 5); the oracle checks
-# the CONTRACT: 384 dims, unit L2 norm, deterministic (same text twice
-# => identical vector).
+# Embedding pipeline (SURVEY §2.7 F8-F10, §2.9 D7). The embedder is a
+# hash-chain Column expression (functions/embedding.py): sha256 seed ->
+# md5 per dimension -> L2 normalize, IEEE double throughout — so DuckDB
+# derives bit-identical vectors and the oracle value-checks the whole
+# embed -> knn pipeline, not just the dim/norm contract.
 # ---------------------------------------------------------------------------
+
+# DuckDB twin of embedding_expr over a `text` column: CTEs producing
+# (doc_id, vec DOUBLE[384]) named `emb`.
+_DD_EMBED = """
+  emb_raw AS (
+    SELECT doc_id, text, list_transform(range(0, 384), j ->
+      ('0x' || substr(md5(sha256(text) || ':' || j), 1, 8))::BIGINT
+        / 2147483648.0 - 1.0) AS raw
+    FROM documents),
+  emb AS (
+    SELECT doc_id, text,
+           list_transform(raw, x -> x / sqrt(list_sum(list_transform(raw, y -> y * y)))) AS vec
+    FROM emb_raw)
+"""
+
 
 @q("embed_documents_contract", """
 SELECT doc_id,
@@ -465,6 +481,8 @@ SELECT doc_id,
 FROM documents
 """)
 def embed_documents_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `stable` cross-checks the pandas-UDF embedder against the Column
+    # expression bit-for-bit (both fold the norm left-to-right).
     from .functions.embedding import embed_documents, embed_text
     d = embed_documents(_t(spark, sf_dir, "documents"))
     norm_sq = F.aggregate(F.col("vector").cast("array<double>"), F.lit(0.0),
@@ -477,13 +495,63 @@ def embed_documents_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vector") == again).alias("stable"))
 
 
-@q("search_text_documents", None)  # embeddings not SQL-reproducible => rows-only
+@q("embed_documents_values", f"""
+WITH {_DD_EMBED}
+SELECT doc_id, ROUND(vec[1], 4) AS d0, ROUND(vec[384], 4) AS d383,
+       ROUND(list_sum(vec), 4) AS vsum
+FROM emb
+""")
+def embed_documents_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level oracle on the bulk embedding path itself: first and
+    last dimension plus the component sum of every document vector."""
+    from .functions.embedding import embed_documents
+    d = embed_documents(_t(spark, sf_dir, "documents"))
+    v = F.col("vector")
+    return d.select(
+        "doc_id",
+        F.round(F.element_at(v, 1), 4).alias("d0"),
+        F.round(F.element_at(v, 384), 4).alias("d383"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda s, x: s + x), 4).alias("vsum"))
+
+
+_SEARCH_TEXT_QUERY = "distributed query engine"
+
+
+def _search_text_oracle() -> str:
+    import hashlib
+    qseed = hashlib.sha256(_SEARCH_TEXT_QUERY.encode()).hexdigest()
+    cos = _ORACLE_DIST["cosine"].replace("a, a", "vec, vec") \
+        .replace("a, q", "vec, q").replace("(a,", "(vec,")
+    return f"""
+WITH {_DD_EMBED},
+  qraw AS (
+    SELECT list_transform(range(0, 384), j ->
+      ('0x' || substr(md5('{qseed}' || ':' || j), 1, 8))::BIGINT
+        / 2147483648.0 - 1.0) AS raw),
+  qv AS (
+    SELECT list_transform(raw, x -> x / sqrt(list_sum(list_transform(raw, y -> y * y)))) AS q
+    FROM qraw),
+  scored AS (
+    SELECT doc_id, {cos} AS dist FROM emb, qv)
+SELECT doc_id, ROUND(dist, 4) AS distance
+FROM scored ORDER BY dist ASC, doc_id ASC LIMIT 10
+"""
+
+
+@q("search_text_documents", _search_text_oracle())
 def search_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.embedding import embed_documents, search_text
+    from .functions.distance import cosine
+    from .functions.embedding import embed_documents, embed_one
     corpus = embed_documents(_t(spark, sf_dir, "documents"))
-    return search_text(corpus, "distributed query engine", k=10,
-                       metric="cosine").select(
-        "doc_id", F.round("distance", 4).alias("distance"))
+    qvec = [float(x) for x in embed_one(_SEARCH_TEXT_QUERY)]
+    # doc_id tiebreak matches the oracle's total order (search_text()
+    # itself orders by distance alone — ties are rare but real)
+    return (corpus.withColumn("distance",
+                              cosine(F.col("vector"),
+                                     F.lit(qvec).cast("array<double>")))
+            .orderBy(F.col("distance").asc_nulls_last(), F.col("doc_id").asc())
+            .limit(10)
+            .select("doc_id", F.round("distance", 4).alias("distance")))
 
 
 # ---------------------------------------------------------------------------
