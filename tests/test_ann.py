@@ -79,3 +79,17 @@ def test_ivf_save_load_roundtrip(spark, emb, qvec, tmp_path):
     a = sorted(r["vec_id"] for r in idx.search(qvec, k=5).collect())
     b = sorted(r["vec_id"] for r in idx2.search(qvec, k=5).collect())
     assert a == b
+
+
+def test_ivf_deterministic_build(spark, emb, qvec):
+    # same corpus -> identical centroids and assignments, and probe-all
+    # still equals exact (partitioning is lossless)
+    a = IvfIndex.build_deterministic(emb, n_centroids=4)
+    b = IvfIndex.build_deterministic(emb, n_centroids=4)
+    assert a.centroids.tolist() == b.centroids.tolist()
+    ca = a.table.groupBy("__cluster").count().collect()
+    cb = b.table.groupBy("__cluster").count().collect()
+    assert sorted(map(tuple, ca)) == sorted(map(tuple, cb))
+    exact = {r["vec_id"] for r in knn(emb, qvec, k=10, metric="cosine").collect()}
+    full = a.search(qvec, k=10, metric="cosine", nprobe=4)
+    assert {r["vec_id"] for r in full.collect()} == exact

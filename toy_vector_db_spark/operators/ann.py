@@ -204,13 +204,57 @@ class IvfIndex:
             .drop("__features")
         return cls(centroids, table, id_col, vec_col)
 
-    def search(self, qvec: Sequence[float], k: int = 10,
-               metric: str = "cosine", nprobe: int = 3) -> DataFrame:
+    @classmethod
+    def build_deterministic(cls, df: DataFrame, n_centroids: int = 8,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> "IvfIndex":
+        """Init-only IVF: centroids are the ``n_centroids`` corpus
+        vectors with the smallest md5(id) — a deterministic pseudo-random
+        sample that any SQL engine reproduces, so cluster assignment,
+        probe selection, and the pruned search are all value-checkable
+        by the DuckDB oracle (workload.ann_ivf_det_topk). Recall behaves
+        like sampled-centroid IVF; use ``build`` for Lloyd-trained
+        centroids when bit-reproducibility isn't needed."""
+        rows = (df.select(F.col(vec_col).cast("array<double>").alias("v"),
+                          F.col(id_col).alias("i"))
+                .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+                .limit(n_centroids).collect())
+        if not rows:
+            raise ValueError("cannot build index over an empty corpus")
+        centroids = np.array([list(r["v"]) for r in rows])
+        table = df.withColumn("__cluster", cls._assign_expr(centroids, vec_col))
+        return cls(centroids, table, id_col, vec_col)
+
+    @staticmethod
+    def _assign_expr(centroids: np.ndarray, vec_col: str):
+        """Nearest-centroid id as a pure Column expression (ties -> the
+        lowest centroid index, matching SQL list_position-of-min)."""
+        v = F.col(vec_col).cast("array<double>")
+        dists = F.array(*[
+            F.sqrt(F.aggregate(
+                F.zip_with(v, F.lit([float(x) for x in c]),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda s, x: s + x))
+            for c in centroids])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    def probe_clusters(self, qvec: Sequence[float], nprobe: int = 3) -> list[int]:
+        """The ``nprobe`` centroids nearest the query (ties -> lowest
+        centroid index; stable sort mirrors the oracle's total order)."""
         q = np.asarray(qvec, dtype=np.float64)
         dists = np.linalg.norm(self.centroids - q, axis=1)
-        probe = [int(c) for c in np.argsort(dists)[:nprobe]]
-        cands = self.table.filter(F.col("__cluster").isin(probe))
-        return knn(cands, [float(x) for x in qvec], k=k, metric=metric,
+        return [int(c) for c in np.argsort(dists, kind="stable")[:nprobe]]
+
+    def candidates(self, qvec: Sequence[float], nprobe: int = 3) -> DataFrame:
+        """Rows of the ``nprobe`` clusters nearest the query (partition
+        pruning when the table was saved partitioned by cluster)."""
+        probe = self.probe_clusters(qvec, nprobe)
+        return self.table.filter(F.col("__cluster").isin(probe))
+
+    def search(self, qvec: Sequence[float], k: int = 10,
+               metric: str = "cosine", nprobe: int = 3) -> DataFrame:
+        return knn(self.candidates(qvec, nprobe),
+                   [float(x) for x in qvec], k=k, metric=metric,
                    vec_col=self.vec_col).drop("__cluster")
 
     def save(self, path: str) -> None:

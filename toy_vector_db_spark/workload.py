@@ -1213,6 +1213,55 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "label", F.round("distance", 4).alias("distance")))
 
 
+# Deterministic IVF with a FULL value oracle: centroids are the 8
+# corpus vectors with smallest md5(vec_id) (IvfIndex.build_deterministic),
+# so DuckDB reproduces the identical centroid set, cluster assignment,
+# probe selection, and ranked top-k.
+def _ann_ivf_det_oracle(n_centroids: int = 8, nprobe: int = 3) -> str:
+    cos = _ORACLE_DIST["cosine"].replace("a, a", "v, v").replace("a, q", "v, q") \
+        .replace("(a,", "(v,")
+    eu = "sqrt(list_sum(list_transform(list_zip({x}, c), p -> (p[1]-p[2])*(p[1]-p[2]))))"
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
+         FROM e ORDER BY h, vec_id LIMIT {n_centroids}),
+cents AS (SELECT list(v ORDER BY h, vec_id) AS cs FROM cent),
+assigned AS (
+  SELECT vec_id, label, v, list_position(ds, list_min(ds)) - 1 AS cluster
+  FROM (SELECT vec_id, label, v,
+          list_transform((SELECT cs FROM cents), c -> {eu.format(x='v')}) AS ds
+        FROM e)),
+qv AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}),
+qds AS (SELECT list_transform(cs, c -> {eu.format(x='q')}) AS ds FROM cents, qv),
+probes AS (
+  SELECT i - 1 AS cluster
+  FROM (SELECT unnest(ds) AS d, generate_subscripts(ds, 1) AS i FROM qds)
+  ORDER BY d, i LIMIT {nprobe}),
+cand AS (
+  SELECT a.vec_id, a.label, {cos} AS dist
+  FROM assigned a JOIN probes p USING (cluster), qv)
+SELECT vec_id, label, ROUND(dist, 4) AS distance
+FROM cand ORDER BY dist ASC, vec_id ASC LIMIT {KNN_K}
+"""
+
+
+@q("ann_ivf_det_topk", _ann_ivf_det_oracle())
+def ann_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.distance import cosine
+    from .operators.ann import IvfIndex
+    from .operators.knn import lookup_vector
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = lookup_vector(e, "vec_id", QUERY_VEC_ID)
+    idx = IvfIndex.build_deterministic(e, n_centroids=8)
+    cands = idx.candidates(qvec, nprobe=3)
+    return (cands.withColumn("distance",
+                             cosine(F.col("embedding"),
+                                    F.lit(qvec).cast("array<double>")))
+            .orderBy(F.col("distance").asc_nulls_last(), F.col("vec_id").asc())
+            .limit(KNN_K)
+            .select("vec_id", "label", F.round("distance", 4).alias("distance")))
+
+
 @q("ann_ivf_topk", None)  # KMeans centroids: recall-checked in tests
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import IvfIndex
