@@ -1,0 +1,97 @@
+"""Deterministic sampling/splits and vocabulary/tf-idf operators
+(training-pipeline tier; oracle-checked end-to-end in workload.py —
+these tests pin the operator-level contracts)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.operators.sampling import (
+    deterministic_shuffle, hash_sample, stratified_sample, train_test_split,
+)
+from toy_vector_db_spark.operators.tfidf import (
+    term_frequencies, tfidf_top_terms, vocabulary,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"doc number {i}", "en" if i % 3 else "de")
+         for i in range(300)], ["doc_id", "text", "lang"]).cache()
+
+
+def test_hash_sample_fraction_and_determinism(docs):
+    s1 = hash_sample(docs, "doc_id", 0.3)
+    s2 = hash_sample(docs, "doc_id", 0.3)
+    ids1 = {r["doc_id"] for r in s1.collect()}
+    ids2 = {r["doc_id"] for r in s2.collect()}
+    assert ids1 == ids2                       # no RNG state anywhere
+    assert 0.15 < len(ids1) / 300 < 0.45      # roughly the fraction
+
+
+def test_hash_sample_stable_under_growth(spark, docs):
+    # adding rows never evicts a previously sampled row
+    small = hash_sample(docs.filter("doc_id < 100"), "doc_id", 0.3)
+    big = hash_sample(docs, "doc_id", 0.3)
+    small_ids = {r["doc_id"] for r in small.collect()}
+    big_ids = {r["doc_id"] for r in big.collect()}
+    assert small_ids <= big_ids
+    assert small_ids == {i for i in big_ids if i < 100}
+
+
+def test_hash_sample_nested_fractions(docs):
+    # a 10% sample is a subset of a 30% sample (same salt): thresholds
+    # nest, which is what makes fraction tuning reproducible
+    s10 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1).collect()}
+    s30 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3).collect()}
+    assert s10 <= s30
+
+
+def test_train_test_split_partition(docs):
+    out = train_test_split(docs, "doc_id", 0.2).collect()
+    assert len(out) == 300                    # every row exactly once
+    frac = sum(r["split"] == "test" for r in out) / 300
+    assert 0.1 < frac < 0.3
+
+
+def test_stratified_sample_respects_quotas(docs):
+    out = stratified_sample(docs, "doc_id", "lang",
+                            {"en": 0.5, "de": 0.0}).collect()
+    assert out and all(r["lang"] == "en" for r in out)  # de quota is 0
+
+
+def test_deterministic_shuffle_reproducible(docs):
+    a = [r["doc_id"] for r in deterministic_shuffle(docs, "doc_id").collect()]
+    b = [r["doc_id"] for r in deterministic_shuffle(docs, "doc_id").collect()]
+    assert a == b and a != sorted(a)          # shuffled, but stable
+
+
+def test_term_frequencies_and_vocabulary(spark):
+    d = spark.createDataFrame(
+        [(1, "the cat sat, the cat!"), (2, "the dog"), (3, "")],
+        ["doc_id", "text"])
+    tf = {(r["doc_id"], r["term"]): r["tf"]
+          for r in term_frequencies(d).collect()}
+    assert tf[(1, "the")] == 2 and tf[(1, "cat")] == 2 and tf[(1, "sat")] == 1
+    assert tf[(2, "dog")] == 1
+    assert not any(k[0] == 3 for k in tf)     # empty text -> no terms
+    v = {r["term"]: (r["doc_freq"], r["total_tf"])
+         for r in vocabulary(d).collect()}
+    assert v["the"] == (2, 3) and v["cat"] == (1, 2)
+
+
+def test_tfidf_top_terms_ranking(spark):
+    d = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date")],
+        ["doc_id", "text"])
+    out = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"])
+           for r in tfidf_top_terms(d, k=2).collect()}
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    term, score = out[(1, 1)]
+    assert term == "apple"
+    assert score == pytest.approx(2 * math.log(4 / 2), rel=1e-9)
+    assert out[(1, 2)][0] == "banana"

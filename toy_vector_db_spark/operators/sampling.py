@@ -1,0 +1,77 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+Beyond-parity extension (the reference has no sampling; its only
+"random" surface is the random-vector constructor,
+/root/reference/pkg/core/vector/vector.go:56-71). These are the
+data-mixing primitives a 100 TB pre-training corpus needs: drawing a
+reproducible subsample, carving train/held-out splits, and enforcing
+per-stratum quotas — WITHOUT a global shuffle or a stateful RNG.
+
+Everything keys off ``md5(key)``: each row's fate is a pure function
+of its id, so
+
+  * results are identical across runs, executors, partition layouts,
+    and engines (the DuckDB oracle recomputes the same md5 ordering),
+  * membership is stable under corpus growth (a row never flips split
+    when other rows are added — critical for contamination control),
+  * no shuffle: sampling/splitting is a map-only filter; Catalyst
+    pushes the projection to the scan.
+
+The hash is uniform on [0, 1) via the first 8 hex digits / 2^32 —
+the same engine-portable construction as operators/ann.hyperplanes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_uniform(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform [0, 1) from a row key: first 8 hex digits
+    of md5(salt + key) / 2^32. Engine-portable (md5 + hex parse)."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(2.0 ** 32)
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float,
+                salt: str = "") -> DataFrame:
+    """Reproducible ``fraction``-sample: keep rows with
+    hash_uniform(key) < fraction. Map-only — no shuffle, no RNG state;
+    the sample is a stable subset (growing the corpus never evicts a
+    previously sampled row)."""
+    return df.filter(hash_uniform(F.col(key), salt) < fraction)
+
+
+def train_test_split(df: DataFrame, key: str, test_fraction: float = 0.1,
+                     salt: str = "split") -> DataFrame:
+    """Append a ``split`` column ('test' iff hash_uniform < fraction,
+    else 'train'). One deterministic pass; a row's split never changes
+    as the corpus grows — the contamination-safety property."""
+    return df.withColumn(
+        "split",
+        F.when(hash_uniform(F.col(key), salt) < test_fraction,
+               F.lit("test")).otherwise(F.lit("train")))
+
+
+def stratified_sample(df: DataFrame, key: str, strata_col: str,
+                      fractions: dict[str, float],
+                      default_fraction: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Per-stratum hash sampling (data-mixing quotas): stratum s keeps
+    ``fractions[s]`` of its rows, unlisted strata keep
+    ``default_fraction``. Still map-only — the per-stratum threshold is
+    a CASE expression, not a per-group shuffle."""
+    thr = F.lit(default_fraction)
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(frac)).otherwise(thr)
+    return df.filter(hash_uniform(F.col(key), salt) < thr)
+
+
+def deterministic_shuffle(df: DataFrame, key: str,
+                          salt: str = "shuffle") -> DataFrame:
+    """Global reproducible shuffle for training-order randomization:
+    sort by md5(salt + key). The one intentionally wide op here — a
+    range-partitioned sort (Spark samples hash boundaries, so skew is
+    bounded); downstream writers get the same order every run."""
+    return df.orderBy(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))))

@@ -1291,3 +1291,106 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.groupBy(F.unix_timestamp(bucket).alias("bucket_epoch"), "event_type")
              .agg(F.count("*").alias("n_events"),
                   F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits (operators/sampling.py): every row's
+# fate is md5(key) -> uniform [0,1), so the oracle recomputes exact
+# membership — and the Spark side is a map-only filter (no shuffle).
+# ---------------------------------------------------------------------------
+
+_DD_U = ("('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+         " / 4294967296.0")
+
+
+@q("sample_documents_hash", f"""
+SELECT doc_id, lang FROM documents
+WHERE {_DD_U.format(salt='')} < 0.25
+""")
+def sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_sample
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", 0.25).select("doc_id", "lang")
+
+
+@q("split_train_test", f"""
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT lang,
+         CASE WHEN {_DD_U.format(salt='split')} < 0.1
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents)
+GROUP BY split, lang
+""")
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import train_test_split
+    d = _t(spark, sf_dir, "documents")
+    return (train_test_split(d, "doc_id", 0.1)
+            .groupBy("split", "lang").agg(F.count("*").alias("n")))
+
+
+@q("stratified_sample_mix", f"""
+SELECT doc_id, lang FROM documents
+WHERE {_DD_U.format(salt='')} <
+      CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.3 ELSE 0.1 END
+""")
+def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import stratified_sample
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, "doc_id", "lang",
+                             {"en": 0.5, "de": 0.3},
+                             default_fraction=0.1).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary / TF-IDF (operators/tfidf.py): explode -> partial agg ->
+# one shuffle on term; per-doc top-k is a window keyed by doc.
+# ---------------------------------------------------------------------------
+
+_DD_TF = f"""
+terms AS (
+  SELECT doc_id, unnest(string_split({{norm}}, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms
+  WHERE term <> '' GROUP BY doc_id, term)
+"""
+
+
+@q("vocab_top_terms", "WITH " + _DD_TF.format(norm=_DD_NORM) + """
+SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+       CAST(SUM(tf) AS BIGINT) AS total_tf
+FROM tf GROUP BY term
+ORDER BY total_tf DESC, term ASC LIMIT 50
+""")
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.tfidf import vocabulary
+    d = _tp(spark, sf_dir, "documents")
+    return (vocabulary(d)
+            .orderBy(F.col("total_tf").desc(), F.col("term").asc())
+            .limit(50)
+            .select("term", F.col("doc_freq").cast("bigint").alias("doc_freq"),
+                    F.col("total_tf").cast("bigint").alias("total_tf")))
+
+
+@q("tfidf_top_terms", "WITH " + _DD_TF.format(norm=_DD_NORM) + """,
+dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ln((n.n + 1.0) / (dfreq.doc_freq + 1.0)) AS tfidf
+  FROM tf JOIN dfreq USING (term), n),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       ROUND(tfidf, 4) AS tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+""")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.tfidf import tfidf_top_terms as _tt
+    d = _tp(spark, sf_dir, "documents")
+    return _tt(d, k=3).select(
+        "doc_id", "term", F.col("tf").cast("bigint").alias("tf"),
+        F.round("tfidf", 4).alias("tfidf"),
+        F.col("rank").cast("bigint").alias("rank"))
