@@ -99,3 +99,36 @@ def test_aggregates_are_partial_then_final(spark, name):
     plan = plan_of(spark, name)
     # map-side combine: two HashAggregate levels around the exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_hash_sample_is_map_only_scan_filter(spark):
+    # sampling must not shuffle, collect, or leave codegen
+    plan = plan_of(spark, "sample_documents_hash")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"doc_id", "lang"}          # column pruning held
+
+
+def test_embed_pipeline_is_jvm_side(spark):
+    # the hash-chain embedder is a Column expression: bulk embedding
+    # must show NO Python evaluation in the physical plan
+    plan = plan_of(spark, "embed_documents_values")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # ensure_parallelism round-robins tiny inputs; what embed must
+    # never introduce is a KEYED shuffle
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+
+
+def test_vocab_topk_is_partial_agg_then_take_ordered(spark):
+    plan = plan_of(spark, "vocab_top_terms")
+    assert "partial_count" in plan             # map-side combine
+    assert "TakeOrderedAndProject" in plan     # top-50 without global sort
+
+
+def test_tfidf_scalar_n_is_broadcast(spark):
+    # the 1-row N aggregate must join by broadcast, never cartesian
+    plan = plan_of(spark, "tfidf_top_terms")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
