@@ -98,3 +98,16 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     returns the StreamingQuery — caller awaits processAllAvailable()."""
     return (df.writeStream.format("memory").queryName(name)
             .outputMode(output_mode).start())
+
+
+def run_available_now(df: DataFrame, name: str,
+                      output_mode: str = "complete") -> None:
+    """Process everything currently in the source as a bounded stream
+    (Trigger.AvailableNow), land it in the in-memory table ``name``,
+    and return when the stream has drained. The batch-parity harness:
+    with all input in the initial batch and complete output, a windowed
+    aggregation must equal its batch twin exactly — which is how the
+    workload query events_rollup_streaming shares the batch oracle."""
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()

@@ -1394,3 +1394,42 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "term", F.col("tf").cast("bigint").alias("tf"),
         F.round("tfidf", 4).alias("tfidf"),
         F.col("rank").cast("bigint").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming with a FULL value oracle: the events stream is
+# drained with Trigger.AvailableNow into a complete-mode memory sink,
+# so the windowed streaming aggregate must equal the batch rollup —
+# same oracle SQL as events_hourly_rollup.
+# ---------------------------------------------------------------------------
+
+@q("events_rollup_streaming", """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_epoch,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
+def events_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.events import hourly_rollup_stream, run_available_now
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # nanos timestamps: declare ts LONG, convert to micros post-read
+    # (the streaming twin of _t's conversion)
+    schema = ("event_id LONG, ts LONG, user_id LONG, "
+              "event_type STRING, value DOUBLE, props STRING")
+    # the file source wants a directory or glob; '[t]' makes the single
+    # testdata file a glob without copying it anywhere
+    src = (spark.readStream.schema(schema)
+           .parquet(os.path.join(sf_dir, "events.parque[t]"))
+           .withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+    # one state store spins up per shuffle partition; for a bounded
+    # drain of one file, 8 is plenty (a real deployment sizes this to
+    # the key cardinality, and the checkpoint pins it thereafter)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_available_now(hourly_rollup_stream(src), "events_rollup_streaming")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("events_rollup_streaming")
