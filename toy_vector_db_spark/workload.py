@@ -1433,3 +1433,51 @@ def events_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("events_rollup_streaming")
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join: band events by value against an irregular
+# band dimension (operators/rangejoin.py). Dimension-sized bands =>
+# broadcast non-equi join is the correct 100 TB plan; the banded
+# equi-join rewrite for large interval tables is equivalence-tested in
+# tests/test_rangejoin.py.
+# ---------------------------------------------------------------------------
+
+VALUE_BANDS = [("micro", 0.0, 1.0), ("small", 1.0, 10.0),
+               ("mid", 10.0, 50.0), ("large", 50.0, 200.0),
+               ("huge", 200.0, 1e9)]
+
+
+@q("events_value_bands", """
+WITH bands(band, lo, hi) AS (VALUES
+  ('micro', 0.0, 1.0), ('small', 1.0, 10.0), ('mid', 10.0, 50.0),
+  ('large', 50.0, 200.0), ('huge', 200.0, 1000000000.0))
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY band
+""")
+def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rangejoin import interval_join
+    e = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(VALUE_BANDS, ["band", "lo", "hi"])
+    return (interval_join(e, bands, "value")
+            .groupBy("band")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+# Approximate distinct (HLL++): THE way to count 100 TB of distinct
+# users without an exact distinct shuffle. No cross-engine oracle —
+# Spark's HLL++ and DuckDB's HLL sketch differently — so this entry is
+# rows-only here and error-bound-tested vs exact in
+# tests/test_rangejoin.py (< 5% rsd contract).
+@q("events_dau_approx", None)
+def events_dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    return (e.groupBy(F.unix_timestamp(day).alias("day_epoch"))
+            .agg(F.approx_count_distinct("user_id", 0.02).alias("dau_approx"))
+            .orderBy("day_epoch"))
