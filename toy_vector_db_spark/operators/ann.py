@@ -181,13 +181,15 @@ class IvfIndex:
     @classmethod
     def build(cls, df: DataFrame, n_centroids: int = 16, seed: int = 42,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              max_iter: int = 10, train_rows: int = 20_000) -> "IvfIndex":
+              max_iter: int = 5, train_rows: int = 20_000) -> "IvfIndex":
         """Train centroids on a bounded sample, then assign every row.
 
         Training on a sample is the standard IVF recipe (faiss trains
         on ~50*nlist points): KMeans quality saturates quickly, and a
         full-corpus fit would iterate over 100 TB per step. Assignment
-        is one map-only pass over the full table.
+        is one map-only pass over the full table. max_iter=5 measured
+        within recall noise of 10 on the synthetic corpus at half the
+        build jobs; raise it for strongly clustered data.
         """
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
