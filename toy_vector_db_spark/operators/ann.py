@@ -35,7 +35,6 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.distance import distance
 from .knn import knn
 
 # ---------------------------------------------------------------------------

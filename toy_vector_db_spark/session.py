@@ -44,7 +44,11 @@ def get_spark(app_name: str = "toy_vector_db_spark", master: str | None = None,
     builder = SparkSession.builder.master(master).appName(app_name)
     conf = dict(DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
-    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    # local mode folds every executor into the driver JVM: with 32
+    # concurrent tasks an 8g heap GC-thrashes (bench variance measured
+    # up to 5x on expression-heavy queries). On a real cluster this
+    # setting governs only the driver; executors are sized separately.
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
