@@ -132,3 +132,20 @@ def test_tfidf_scalar_n_is_broadcast(spark):
     plan = plan_of(spark, "tfidf_top_terms")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_correlated_subquery_decorrelates(spark):
+    # Catalyst must rewrite the per-row scalar subquery into one
+    # join against the per-customer aggregate — no ScalarSubquery
+    # (re-)execution in the physical plan
+    plan = plan_of(spark, "orders_above_cust_avg")
+    assert "ScalarSubquery" not in plan
+    assert "Join" in plan
+
+
+def test_running_sum_single_window_exchange(spark):
+    # one hash exchange on the partition key, then WindowExec — a
+    # frame spec must not add extra shuffles
+    plan = plan_of(spark, "cust_running_revenue")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan

@@ -1481,3 +1481,63 @@ def events_dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.groupBy(F.unix_timestamp(day).alias("day_epoch"))
             .agg(F.approx_count_distinct("user_id", 0.02).alias("dau_approx"))
             .orderBy("day_epoch"))
+
+
+# ---------------------------------------------------------------------------
+# Relational-completeness tier: the reference reserves keywords for
+# these but can neither parse nor execute them (SURVEY §2.4/§2.5 —
+# "free in Catalyst"). Proving they are in fact free:
+#   - correlated scalar subquery (Catalyst decorrelates to join+agg)
+#   - window frame spec (running sum, ROWS UNBOUNDED PRECEDING)
+#   - CUBE grouping sets
+# ---------------------------------------------------------------------------
+
+@q("orders_above_cust_avg", """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total
+FROM orders o
+WHERE o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+""")
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately THROUGH spark.sql with the correlated form: the
+    # value here is Catalyst's subquery decorrelation (the reference
+    # parses subqueries but cannot run them, parser.go:228-239)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_corr")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total
+        FROM orders_corr o
+        WHERE o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+                              FROM orders_corr o2
+                              WHERE o2.o_custkey = o.o_custkey)""")
+
+
+@q("cust_running_revenue", """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_total
+FROM orders
+""")
+def cust_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select("o_custkey", "o_orderkey",
+                    F.round(F.sum("o_totalprice").over(w), 2)
+                    .alias("running_total"))
+
+
+@q("cube_order_stats", """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""")
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
