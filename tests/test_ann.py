@@ -93,3 +93,90 @@ def test_ivf_deterministic_build(spark, emb, qvec):
     exact = {r["vec_id"] for r in knn(emb, qvec, k=10, metric="cosine").collect()}
     full = a.search(qvec, k=10, metric="cosine", nprobe=4)
     assert {r["vec_id"] for r in full.collect()} == exact
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance (reference Index.Add/Delete/Size/GetIDs,
+# pkg/index/index.go:19-49; tombstone delete hnsw.go:391-412; dup-add
+# error flat.go:68-80)
+# ---------------------------------------------------------------------------
+
+
+def _fresh_rows(spark, emb, ids):
+    """Rows shaped like embeddings but with unused ids (delta to add)."""
+    base = emb.filter(F.col("vec_id").isin([1, 2, 3][: len(ids)])).collect()
+    data = [(new_id, r["embedding"], r["label"])
+            for new_id, r in zip(ids, base)]
+    return spark.createDataFrame(data, emb.schema)
+
+
+@pytest.mark.parametrize("builder", [
+    lambda emb: LshIndex.build(emb, n_planes=6),
+    lambda emb: IvfIndex.build_deterministic(emb, n_centroids=8),
+], ids=["lsh", "ivf"])
+def test_index_add_then_searchable(spark, emb, builder):
+    idx = builder(emb)
+    n0 = idx.size()
+    delta = _fresh_rows(spark, emb, [900001, 900002])
+    idx2 = idx.add(delta)
+    assert idx2.size() == n0 + 2
+    # the clone of vec_id=1 must be found at distance ~0 from vector 1
+    q = lookup_vector(emb, "vec_id", 1)
+    hits = {r["vec_id"] for r in idx2.search(q, k=3, metric="cosine").collect()}
+    assert 900001 in hits and 1 in hits
+    # original index object untouched (immutable handles)
+    assert idx.size() == n0
+
+
+def test_index_add_duplicate_id_errors(spark, emb):
+    idx = LshIndex.build(emb, n_planes=6)
+    dup = _fresh_rows(spark, emb, [1])  # vec_id 1 already indexed
+    with pytest.raises(ValueError, match="already exists"):
+        idx.add(dup)
+
+
+@pytest.mark.parametrize("builder", [
+    lambda emb: LshIndex.build(emb, n_planes=6),
+    lambda emb: IvfIndex.build_deterministic(emb, n_centroids=8),
+], ids=["lsh", "ivf"])
+def test_index_delete_tombstones_search(spark, emb, qvec, builder):
+    idx = builder(emb)
+    n0 = idx.size()
+    # self-match is the top hit; after deleting it, it must vanish
+    idx2 = idx.delete([7])
+    assert idx2.size() == n0 - 1
+    hits = {r["vec_id"] for r in
+            idx2.search(qvec, k=10, metric="cosine").collect()}
+    assert 7 not in hits
+    assert 7 not in idx2.get_ids()
+    # compact folds tombstones into the table; results unchanged
+    idx3 = idx2.compact()
+    assert idx3._deleted is None and idx3.size() == n0 - 1
+    hits3 = {r["vec_id"] for r in
+             idx3.search(qvec, k=10, metric="cosine").collect()}
+    assert hits3 == hits
+
+
+def test_index_delete_then_readd_resurrects(spark, emb):
+    idx = LshIndex.build(emb, n_planes=6).delete([1])
+    assert 1 not in idx.get_ids()
+    row = emb.filter(F.col("vec_id") == 1)
+    idx2 = idx.add(row)
+    assert 1 in idx2.get_ids()
+
+
+def test_index_save_compacts_tombstones(spark, emb, qvec, tmp_path):
+    idx = LshIndex.build(emb, n_planes=8).delete([7])
+    path = str(tmp_path / "lsh_tomb")
+    idx.save(path)
+    idx2 = LshIndex.load(spark, path)
+    assert idx2.size() == idx.size()
+    assert 7 not in {r["vec_id"] for r in
+                     idx2.search(qvec, k=10, metric="cosine").collect()}
+
+
+def test_index_delete_accepts_dataframe(spark, emb):
+    ids_df = emb.select("vec_id").filter(F.col("vec_id") < 5)
+    idx = IvfIndex.build_deterministic(emb, n_centroids=8).delete(ids_df)
+    live = set(idx.get_ids())
+    assert live.isdisjoint({0, 1, 2, 3, 4})

@@ -1,0 +1,127 @@
+"""Product quantization: compressed-domain ANN (operators/pq.py).
+
+ADC is an approximation of euclidean distance, so the contract is
+recall-vs-exact plus exactness of the deterministic pipeline itself
+(codes and ADC scores are value-oracled in workload.ann_pq_adc_topk).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.operators.knn import knn, lookup_vector
+from toy_vector_db_spark.operators.pq import PqCodec, PqIndex
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return lookup_vector(emb, "vec_id", 7)
+
+
+@pytest.fixture(scope="module")
+def idx(emb):
+    return PqIndex.build(emb, m=4, ks=8)
+
+
+def test_codes_shape_and_range(emb, idx):
+    dim = len(emb.select("embedding").first()[0])
+    assert idx.codec.m * idx.codec.dsub == dim
+    stats = idx.table.select(
+        F.min(F.size("__code")).alias("lo"), F.max(F.size("__code")).alias("hi"),
+        F.max(F.array_max("__code")).alias("cmax"),
+        F.min(F.array_min("__code")).alias("cmin")).first()
+    assert stats["lo"] == stats["hi"] == 4
+    assert 0 <= stats["cmin"] and stats["cmax"] <= 7
+
+
+def test_encode_deterministic(emb):
+    a = PqIndex.build(emb, m=4, ks=8)
+    b = PqIndex.build(emb, m=4, ks=8)
+    rows_a = {r["vec_id"]: list(r["__code"]) for r in a.table.collect()}
+    rows_b = {r["vec_id"]: list(r["__code"]) for r in b.table.collect()}
+    assert rows_a == rows_b
+
+
+def test_adc_self_match_small(idx, qvec):
+    # the query row's own ADC distance is the quantization error —
+    # must be among the smallest, and far below the corpus median
+    top = idx.search(qvec, k=10).collect()
+    ids = [r["vec_id"] for r in top]
+    assert 7 in ids
+
+
+def test_adc_recall_and_rerank(emb, idx, qvec):
+    exact = {r["vec_id"] for r in
+             knn(emb, qvec, k=10, metric="euclidean").collect()}
+    adc = {r["vec_id"] for r in idx.search(qvec, k=10).collect()}
+    rr = {r["vec_id"] for r in idx.search(qvec, k=10, rerank=4).collect()}
+    # m=4 x ks=8 is a very coarse code (32 bits/vector): ADC alone is a
+    # shortlist generator; with rerank the true ranking reasserts
+    assert len(adc & exact) >= 2
+    assert len(rr & exact) >= len(adc & exact)
+    # reranked distances are TRUE euclidean: monotone + match exact knn
+    rr_rows = idx.search(qvec, k=3, rerank=10).collect()
+    ds = [r["distance"] for r in rr_rows]
+    assert ds == sorted(ds)
+
+
+def test_rerank_distances_are_exact(emb, idx, qvec):
+    rr = {r["vec_id"]: r["distance"]
+          for r in idx.search(qvec, k=5, rerank=20).collect()}
+    ex = {r["vec_id"]: r["distance"]
+          for r in knn(emb, qvec, k=500, metric="euclidean").collect()}
+    for vid, d in rr.items():
+        assert abs(d - ex[vid]) < 1e-6
+
+
+def test_save_load_roundtrip(spark, idx, qvec, tmp_path):
+    path = str(tmp_path / "pq")
+    idx.save(path)
+    idx2 = PqIndex.load(spark, path)
+    a = [(r["vec_id"], round(r["distance"], 6))
+         for r in idx.search(qvec, k=5).collect()]
+    b = [(r["vec_id"], round(r["distance"], 6))
+         for r in idx2.search(qvec, k=5).collect()]
+    assert a == b
+
+
+def test_save_drop_vectors_is_compact(spark, idx, qvec, tmp_path):
+    path = str(tmp_path / "pq_small")
+    idx.save(path, drop_vectors=True)
+    idx2 = PqIndex.load(spark, path)
+    assert idx.vec_col not in idx2.table.columns
+    # codes-only search still works (ADC needs no raw vectors)
+    assert idx2.search(qvec, k=5).count() == 5
+    with pytest.raises(Exception):
+        idx2.search(qvec, k=5, rerank=2).collect()  # no vectors to rerank
+
+
+def test_pq_maintenance_add_delete(spark, emb, idx, qvec):
+    n0 = idx.size()
+    clone = emb.filter(F.col("vec_id") == 7) \
+        .withColumn("vec_id", F.lit(900007).cast("bigint"))
+    idx2 = idx.add(clone)
+    assert idx2.size() == n0 + 1
+    hits = {r["vec_id"] for r in idx2.search(qvec, k=5).collect()}
+    assert 900007 in hits  # identical vector -> identical code -> same ADC
+    idx3 = idx2.delete([7, 900007])
+    hits3 = {r["vec_id"] for r in idx3.search(qvec, k=5).collect()}
+    assert hits3.isdisjoint({7, 900007})
+
+
+def test_codec_dim_mismatch_errors(idx):
+    with pytest.raises(ValueError, match="dim"):
+        idx.codec.lut([0.0] * 3)
+
+
+def test_fit_requires_divisible_dim(emb):
+    with pytest.raises(ValueError, match="divisible"):
+        PqCodec.fit_deterministic(emb, m=7, ks=4)

@@ -38,6 +38,103 @@ from pyspark.sql import functions as F
 from .knn import knn
 
 # ---------------------------------------------------------------------------
+# Incremental maintenance shared by both index types
+# ---------------------------------------------------------------------------
+
+
+class _MaintainableIndex:
+    """Add/Delete/Size/GetIDs from the reference ``Index`` interface
+    (pkg/index/index.go:19-49), Spark-idiomatic:
+
+    - ``add``: index only the NEW rows (sign / assign — a map-only pass
+      over the delta, never a rebuild) and union them in. Duplicate ids
+      error like flat.go:72-80 / hnsw.go:145-156 (ErrVectorAlreadyExists).
+    - ``delete``: tombstones, exactly the HNSW strategy (hnsw.go:391-412
+      sets ``Deleted=true``; every search skips deleted nodes). Here the
+      tombstone set is a DataFrame anti-joined at candidate time — with
+      a driver-side id list it broadcasts, so the per-query cost is a
+      broadcast hash anti-join over the already-pruned candidate set.
+    - ``compact``: fold tombstones into the table (the rebuild the
+      reference never does); ``save`` compacts implicitly so persisted
+      indexes carry no tombstone debt.
+
+    Mutations return a NEW index object (DataFrames are immutable);
+    callers rebind, which is the reference's mutate-in-place under a
+    lock re-expressed without shared state.
+    """
+
+    table: DataFrame
+    id_col: str
+    vec_col: str
+    _deleted: DataFrame | None  # single column __del_id
+
+    def _with_table(self, table: DataFrame, deleted: DataFrame | None):
+        import copy
+
+        out = copy.copy(self)
+        out.table = table
+        out._deleted = deleted
+        return out
+
+    def _index_rows(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def _live(self, df: DataFrame) -> DataFrame:
+        d = getattr(self, "_deleted", None)
+        if d is None:
+            return df
+        return df.join(d, df[self.id_col] == d["__del_id"], "left_anti")
+
+    def add(self, rows: DataFrame, check_dups: bool = True):
+        """Index a delta of new rows. ``check_dups=True`` replicates the
+        reference's ErrVectorAlreadyExists (one anti-join count job);
+        disable for bulk loads where ids are known fresh."""
+        if check_dups:
+            clash = rows.join(
+                self._live(self.table).select(self.id_col), self.id_col,
+                "semi").limit(1).count()
+            if clash:
+                raise ValueError("vector already exists")  # flat.go:19
+        delta = self._index_rows(rows).select(*self.table.columns)
+        # re-adding a previously deleted id resurrects it: drop its tombstone
+        d = getattr(self, "_deleted", None)
+        if d is not None:
+            d = d.join(rows.select(F.col(self.id_col).alias("__del_id")),
+                       "__del_id", "left_anti")
+        return self._with_table(self.table.unionByName(delta), d)
+
+    def delete(self, ids: Sequence | DataFrame):
+        """Tombstone ids (HNSW hnsw.go:391-412). Accepts a driver-side
+        list (broadcast at search) or a DataFrame of ids for bulk
+        deletes too large to collect."""
+        spark = self.table.sparkSession
+        if isinstance(ids, DataFrame):
+            d = ids.select(F.col(ids.columns[0]).alias("__del_id"))
+        else:
+            id_type = self.table.schema[self.id_col].dataType
+            d = spark.createDataFrame(
+                [(i,) for i in ids], f"__del_id {id_type.simpleString()}")
+        prev = getattr(self, "_deleted", None)
+        if prev is not None:
+            d = prev.unionByName(d).distinct()
+        return self._with_table(self.table, d)
+
+    def compact(self):
+        """Materialize tombstones: the live view becomes the table."""
+        return self._with_table(self._live(self.table), None)
+
+    def size(self) -> int:
+        """Live row count (flat.go:147-151; HNSW counts non-deleted)."""
+        return self._live(self.table).count()
+
+    def get_ids(self) -> list:
+        """All live ids (flat.go:155-163). Driver-side by contract —
+        use ``self.table`` directly when the corpus is large."""
+        return [r[0] for r in
+                self._live(self.table).select(self.id_col).collect()]
+
+
+# ---------------------------------------------------------------------------
 # Random-hyperplane LSH
 # ---------------------------------------------------------------------------
 
@@ -98,9 +195,10 @@ def probe_signatures(sig: int, n_planes: int, multiprobe: int = 1) -> list[int]:
     return sorted(sigs)
 
 
-class LshIndex:
+class LshIndex(_MaintainableIndex):
     """Bucket-table ANN index (flat/HNSW ``Index`` interface analogue,
-    reference pkg/index/index.go:19-49: Build/Search/Save/Load)."""
+    reference pkg/index/index.go:19-49: Build/Add/Delete/Search/Size/
+    GetIDs/Save/Load — maintenance via _MaintainableIndex)."""
 
     def __init__(self, planes: np.ndarray, table: DataFrame,
                  id_col: str, vec_col: str):
@@ -108,6 +206,10 @@ class LshIndex:
         self.table = table  # base columns + __sig
         self.id_col = id_col
         self.vec_col = vec_col
+        self._deleted = None
+
+    def _index_rows(self, df: DataFrame) -> DataFrame:
+        return add_lsh_signature(df, self.planes, self.vec_col)
 
     @classmethod
     def build(cls, df: DataFrame, n_planes: int = 12, seed: int = 42,
@@ -127,7 +229,7 @@ class LshIndex:
         (partition pruning when the table was saved partitioned)."""
         qsig = query_signature(qvec, self.planes)
         probes = probe_signatures(qsig, len(self.planes), multiprobe)
-        return self.table.filter(F.col("__sig").isin(probes))
+        return self._live(self.table.filter(F.col("__sig").isin(probes)))
 
     def search(self, qvec: Sequence[float], k: int = 10,
                metric: str = "cosine", multiprobe: int = 1) -> DataFrame:
@@ -140,8 +242,9 @@ class LshIndex:
     def save(self, path: str, partitioned: bool = True) -> None:
         """Write the bucket table (optionally partitioned by signature:
         bucket probes then become partition pruning at the source) and
-        the plane matrix + params as JSON."""
-        w = self.table.write.mode("overwrite")
+        the plane matrix + params as JSON. Tombstones are compacted
+        away — persisted indexes carry only live rows."""
+        w = self._live(self.table).write.mode("overwrite")
         if partitioned:
             w = w.partitionBy("__sig")
         w.parquet(os.path.join(path, "buckets"))
@@ -164,11 +267,13 @@ class LshIndex:
 # ---------------------------------------------------------------------------
 
 
-class IvfIndex:
+class IvfIndex(_MaintainableIndex):
     """Centroid-partitioned ANN index. Build: MLlib KMeans (public
     Spark API) over a sample; assign every row to its nearest centroid.
     Search: score centroids driver-side (they're broadcast-sized),
-    scan only the ``nprobe`` nearest clusters."""
+    scan only the ``nprobe`` nearest clusters. ``add`` assigns new rows
+    to the EXISTING centroids (standard IVF — no retrain; faiss
+    add_with_ids does the same); ``delete`` tombstones."""
 
     def __init__(self, centroids: np.ndarray, table: DataFrame,
                  id_col: str, vec_col: str):
@@ -176,6 +281,11 @@ class IvfIndex:
         self.table = table  # base columns + __cluster
         self.id_col = id_col
         self.vec_col = vec_col
+        self._deleted = None
+
+    def _index_rows(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__cluster", self._assign_expr(self.centroids, self.vec_col))
 
     @classmethod
     def build(cls, df: DataFrame, n_centroids: int = 16, seed: int = 42,
@@ -250,7 +360,7 @@ class IvfIndex:
         """Rows of the ``nprobe`` clusters nearest the query (partition
         pruning when the table was saved partitioned by cluster)."""
         probe = self.probe_clusters(qvec, nprobe)
-        return self.table.filter(F.col("__cluster").isin(probe))
+        return self._live(self.table.filter(F.col("__cluster").isin(probe)))
 
     def search(self, qvec: Sequence[float], k: int = 10,
                metric: str = "cosine", nprobe: int = 3) -> DataFrame:
@@ -259,8 +369,8 @@ class IvfIndex:
                    vec_col=self.vec_col).drop("__cluster")
 
     def save(self, path: str) -> None:
-        self.table.write.mode("overwrite").partitionBy("__cluster") \
-            .parquet(os.path.join(path, "clusters"))
+        self._live(self.table).write.mode("overwrite") \
+            .partitionBy("__cluster").parquet(os.path.join(path, "clusters"))
         meta = {"centroids": self.centroids.tolist(), "id_col": self.id_col,
                 "vec_col": self.vec_col}
         with open(os.path.join(path, "ivf_meta.json"), "w") as f:

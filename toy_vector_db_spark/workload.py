@@ -1262,6 +1262,64 @@ def ann_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "label", F.round("distance", 4).alias("distance")))
 
 
+# PQ with a FULL value oracle: codebooks are subvector slices of the
+# ks corpus vectors with smallest md5(vec_id) (PqCodec.fit_deterministic),
+# so DuckDB reproduces codebooks, per-row codes (argmin), the query's
+# ADC lookup table, and the identical compressed-domain ranking. The
+# scan side of this query reads only the m code bytes per row — the
+# 100 TB layout (operators/pq.py).
+def _ann_pq_oracle(m: int = 4, ks: int = 8) -> str:
+    # subvector width derives from the stored vector length (the
+    # testdata dimension differs by scale factor), mirroring
+    # PqCodec.fit_deterministic which infers dim from the corpus
+    def subd(x: str, j: int) -> str:
+        off = f"{j} * (len({x}) // {m})"
+        return (f"list_sum(list_transform(range(1, len({x}) // {m} + 1), "
+                f"i -> ({x}[{off} + i] - c[{off} + i]) * "
+                f"({x}[{off} + i] - c[{off} + i])))")
+
+    code_cols = ",\n    ".join(
+        f"list_position(ds{j}, list_min(ds{j})) - 1 AS code{j}"
+        for j in range(m))
+    ds_cols = ",\n    ".join(
+        f"list_transform((SELECT bs FROM books), c -> {subd('v', j)}) AS ds{j}"
+        for j in range(m))
+    qlut_cols = ",\n    ".join(
+        f"list_transform((SELECT bs FROM books), c -> {subd('q', j)}) AS lut{j}"
+        for j in range(m))
+    adc = " + ".join(f"lut{j}[code{j} + 1]" for j in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb AS (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
+       FROM e ORDER BY h, vec_id LIMIT {ks}),
+books AS (SELECT list(v ORDER BY h, vec_id) AS bs FROM cb),
+coded AS (
+  SELECT vec_id, label,
+    {code_cols}
+  FROM (SELECT vec_id, label,
+    {ds_cols}
+        FROM e)),
+qlut AS (
+  SELECT
+    {qlut_cols}
+  FROM (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}))
+SELECT vec_id, label, ROUND(sqrt({adc}), 4) AS distance
+FROM coded, qlut
+ORDER BY sqrt({adc}) ASC, vec_id ASC LIMIT {KNN_K}
+"""
+
+
+@q("ann_pq_adc_topk", _ann_pq_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.knn import lookup_vector
+    from .operators.pq import PqIndex
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = lookup_vector(e, "vec_id", QUERY_VEC_ID)
+    idx = PqIndex.build(e, m=4, ks=8)
+    return idx.search(qvec, k=KNN_K).select(
+        "vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
 @q("ann_ivf_topk", None)  # KMeans centroids: recall-checked in tests
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import IvfIndex
