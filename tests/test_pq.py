@@ -125,3 +125,67 @@ def test_codec_dim_mismatch_errors(idx):
 def test_fit_requires_divisible_dim(emb):
     with pytest.raises(ValueError, match="divisible"):
         PqCodec.fit_deterministic(emb, m=7, ks=4)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition (coarse pruning + compressed scoring)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq(emb):
+    from toy_vector_db_spark.operators.pq import IvfPqIndex
+    return IvfPqIndex.build_deterministic(emb, n_centroids=8, m=4, ks=8)
+
+
+def test_ivfpq_prunes_to_probed_clusters(ivfpq, qvec):
+    cands = ivfpq.candidates(qvec, nprobe=2)
+    assert cands.select("__cluster").distinct().count() <= 2
+    full = ivfpq.table.count()
+    assert cands.count() < full
+
+
+def test_ivfpq_search_recall(emb, ivfpq, qvec):
+    exact = {r["vec_id"] for r in
+             knn(emb, qvec, k=10, metric="euclidean").collect()}
+    # full probe (all clusters) + heavy rerank must converge on exact
+    rr = {r["vec_id"] for r in
+          ivfpq.search(qvec, k=10, nprobe=8, rerank=20).collect()}
+    assert len(rr & exact) >= 8
+    # pruned compressed-domain search still finds the self-match
+    hits = [r["vec_id"] for r in ivfpq.search(qvec, k=10, nprobe=3).collect()]
+    assert 7 in hits
+
+
+def test_ivfpq_matches_pq_at_full_probe(emb, idx, ivfpq, qvec):
+    # with every cluster probed, IVF-PQ degenerates to plain PQ-ADC
+    a = [(r["vec_id"], round(r["distance"], 6))
+         for r in ivfpq.search(qvec, k=10, nprobe=8).collect()]
+    b = [(r["vec_id"], round(r["distance"], 6))
+         for r in idx.search(qvec, k=10).collect()]
+    assert a == b
+
+
+def test_ivfpq_save_load_partition_pruning(spark, ivfpq, qvec, tmp_path):
+    from toy_vector_db_spark.operators.pq import IvfPqIndex
+    path = str(tmp_path / "ivfpq")
+    ivfpq.save(path)
+    idx2 = IvfPqIndex.load(spark, path)
+    a = [r["vec_id"] for r in ivfpq.search(qvec, k=5, nprobe=3).collect()]
+    b = [r["vec_id"] for r in idx2.search(qvec, k=5, nprobe=3).collect()]
+    assert a == b
+    # cluster filter on the partitioned table must prune at the source
+    plan = idx2.candidates(qvec, nprobe=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "__cluster" in plan
+
+
+def test_ivfpq_maintenance(spark, emb, ivfpq, qvec):
+    clone = emb.filter(F.col("vec_id") == 7) \
+        .withColumn("vec_id", F.lit(910007).cast("bigint"))
+    idx2 = ivfpq.add(clone)
+    hits = {r["vec_id"] for r in idx2.search(qvec, k=5, nprobe=3).collect()}
+    assert 910007 in hits  # same vector -> same cluster + code
+    idx3 = idx2.delete([910007])
+    assert 910007 not in {r["vec_id"]
+                          for r in idx3.search(qvec, k=5, nprobe=3).collect()}

@@ -42,7 +42,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ann import _MaintainableIndex
+from .ann import IvfIndex, _MaintainableIndex
 from .knn import DEFAULT_K
 
 
@@ -190,4 +190,95 @@ class PqIndex(_MaintainableIndex):
             meta = json.load(f)
         table = spark.read.parquet(os.path.join(path, "codes"))
         return cls(PqCodec(np.asarray(meta["codebooks"])), table,
+                   meta["id_col"], meta["vec_col"])
+
+
+class IvfPqIndex(_MaintainableIndex):
+    """IVF coarse pruning composed with PQ compressed scoring — the
+    canonical billion-scale ANN layout (faiss ``IVFx,PQy``): the probe
+    prunes to ``nprobe`` clusters (partition pruning when saved
+    partitioned by ``__cluster``), then ADC ranks the survivors from
+    their code bytes alone. A 100 TB search touches
+    ``nprobe/n_centroids`` of the partitions and m bytes per surviving
+    row; raw vectors only appear in the optional k-row re-rank.
+
+    Codes quantize the RAW vectors (not residuals v - centroid): the
+    codes stay cluster-independent, so one codec serves all clusters,
+    ``add`` needs no per-cluster state, and the DuckDB value oracle
+    (workload.ann_ivfpq_topk) stays an exact composition of the IVF
+    and PQ oracles. Residual encoding buys accuracy at equal code size
+    — swap the encode/LUT to ``v - centroid[cluster]`` if needed.
+    """
+
+    def __init__(self, centroids: np.ndarray, codec: PqCodec,
+                 table: DataFrame, id_col: str, vec_col: str):
+        self.centroids = centroids
+        self.codec = codec
+        self.table = table  # base columns + __cluster + __code
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._deleted = None
+
+    @classmethod
+    def build_deterministic(cls, df: DataFrame, n_centroids: int = 8,
+                            m: int = 4, ks: int = 8,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> "IvfPqIndex":
+        """One map-only pass adds both the cluster id and the code."""
+        ivf = IvfIndex.build_deterministic(df, n_centroids, id_col, vec_col)
+        codec = PqCodec.fit_deterministic(df, m, ks, id_col, vec_col)
+        return cls(ivf.centroids, codec, codec.encode(ivf.table, vec_col),
+                   id_col, vec_col)
+
+    def _index_rows(self, df: DataFrame) -> DataFrame:
+        assigned = df.withColumn(
+            "__cluster", IvfIndex._assign_expr(self.centroids, self.vec_col))
+        return self.codec.encode(assigned, self.vec_col)
+
+    def candidates(self, qvec: Sequence[float], nprobe: int = 3) -> DataFrame:
+        q = np.asarray(list(qvec), dtype=np.float64)
+        dists = np.linalg.norm(self.centroids - q, axis=1)
+        probe = [int(c) for c in np.argsort(dists, kind="stable")[:nprobe]]
+        return self._live(self.table.filter(F.col("__cluster").isin(probe)))
+
+    def search(self, qvec: Sequence[float], k: int = DEFAULT_K,
+               nprobe: int = 3, rerank: int = 0,
+               dist_col: str = "distance") -> DataFrame:
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        scored = self.candidates(qvec, nprobe).withColumn(
+            dist_col, self.codec.adc_expr(qvec))
+        top = (scored.orderBy(F.col(dist_col).asc_nulls_last(),
+                              F.col(self.id_col).asc())
+               .limit(rerank * k if rerank else k))
+        if not rerank:
+            return top.drop("__code", "__cluster")
+        from ..functions.distance import distance
+        exact = top.drop(dist_col).withColumn(
+            dist_col, distance("euclidean", F.col(self.vec_col),
+                               F.lit([float(x) for x in qvec])
+                               .cast("array<double>")))
+        return (exact.orderBy(F.col(dist_col).asc_nulls_last(),
+                              F.col(self.id_col).asc())
+                .limit(k).drop("__code", "__cluster"))
+
+    def save(self, path: str, drop_vectors: bool = False) -> None:
+        t = self._live(self.table)
+        if drop_vectors:
+            t = t.drop(self.vec_col)
+        t.write.mode("overwrite").partitionBy("__cluster") \
+            .parquet(os.path.join(path, "clusters"))
+        meta = {"centroids": self.centroids.tolist(),
+                "codebooks": self.codec.codebooks.tolist(),
+                "id_col": self.id_col, "vec_col": self.vec_col}
+        with open(os.path.join(path, "ivfpq_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IvfPqIndex":
+        with open(os.path.join(path, "ivfpq_meta.json")) as f:
+            meta = json.load(f)
+        table = spark.read.parquet(os.path.join(path, "clusters"))
+        return cls(np.asarray(meta["centroids"]),
+                   PqCodec(np.asarray(meta["codebooks"])), table,
                    meta["id_col"], meta["vec_col"])

@@ -1309,6 +1309,76 @@ ORDER BY sqrt({adc}) ASC, vec_id ASC LIMIT {KNN_K}
 """
 
 
+# IVF-PQ: the det-IVF oracle's cluster pruning composed with the PQ
+# oracle's compressed-domain ranking — one SQL statement reproduces
+# the entire billion-scale search pipeline (prune -> ADC -> top-k).
+def _ann_ivfpq_oracle(n_centroids: int = 8, nprobe: int = 3,
+                      m: int = 4, ks: int = 8) -> str:
+    eu = ("sqrt(list_sum(list_transform(list_zip({x}, c), "
+          "p -> (p[1]-p[2])*(p[1]-p[2]))))")
+
+    def subd(x: str, j: int) -> str:
+        off = f"{j} * (len({x}) // {m})"
+        return (f"list_sum(list_transform(range(1, len({x}) // {m} + 1), "
+                f"i -> ({x}[{off} + i] - c[{off} + i]) * "
+                f"({x}[{off} + i] - c[{off} + i])))")
+
+    code_cols = ",\n    ".join(
+        f"list_position(ds{j}, list_min(ds{j})) - 1 AS code{j}"
+        for j in range(m))
+    ds_cols = ",\n    ".join(
+        f"list_transform((SELECT bs FROM books), c -> {subd('v', j)}) AS ds{j}"
+        for j in range(m))
+    qlut_cols = ",\n    ".join(
+        f"list_transform((SELECT bs FROM books), c -> {subd('q', j)}) AS lut{j}"
+        for j in range(m))
+    adc = " + ".join(f"lut{j}[code{j} + 1]" for j in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
+         FROM e ORDER BY h, vec_id LIMIT {n_centroids}),
+cents AS (SELECT list(v ORDER BY h, vec_id) AS cs FROM cent),
+assigned AS (
+  SELECT vec_id, label, list_position(ds, list_min(ds)) - 1 AS cluster
+  FROM (SELECT vec_id, label,
+          list_transform((SELECT cs FROM cents), c -> {eu.format(x='v')}) AS ds
+        FROM e)),
+qv AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}),
+qds AS (SELECT list_transform(cs, c -> {eu.format(x='q')}) AS ds FROM cents, qv),
+probes AS (
+  SELECT i - 1 AS cluster
+  FROM (SELECT unnest(ds) AS d, generate_subscripts(ds, 1) AS i FROM qds)
+  ORDER BY d, i LIMIT {nprobe}),
+cb AS (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
+       FROM e ORDER BY h, vec_id LIMIT {ks}),
+books AS (SELECT list(v ORDER BY h, vec_id) AS bs FROM cb),
+coded AS (
+  SELECT vec_id,
+    {code_cols}
+  FROM (SELECT vec_id,
+    {ds_cols}
+        FROM e)),
+qlut AS (
+  SELECT
+    {qlut_cols}
+  FROM qv)
+SELECT a.vec_id, a.label, ROUND(sqrt({adc}), 4) AS distance
+FROM assigned a JOIN probes p USING (cluster) JOIN coded USING (vec_id), qlut
+ORDER BY sqrt({adc}) ASC, a.vec_id ASC LIMIT {KNN_K}
+"""
+
+
+@q("ann_ivfpq_topk", _ann_ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.knn import lookup_vector
+    from .operators.pq import IvfPqIndex
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = lookup_vector(e, "vec_id", QUERY_VEC_ID)
+    idx = IvfPqIndex.build_deterministic(e, n_centroids=8, m=4, ks=8)
+    return idx.search(qvec, k=KNN_K, nprobe=3).select(
+        "vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
 @q("ann_pq_adc_topk", _ann_pq_oracle())
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.knn import lookup_vector
