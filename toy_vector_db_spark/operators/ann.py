@@ -200,6 +200,9 @@ class LshIndex(_MaintainableIndex):
     reference pkg/index/index.go:19-49: Build/Add/Delete/Search/Size/
     GetIDs/Save/Load — maintenance via _MaintainableIndex)."""
 
+    TABLE_DIR = "buckets"
+    PARTITION_COL = "__sig"
+
     def __init__(self, planes: np.ndarray, table: DataFrame,
                  id_col: str, vec_col: str):
         self.planes = planes
@@ -274,6 +277,9 @@ class IvfIndex(_MaintainableIndex):
     scan only the ``nprobe`` nearest clusters. ``add`` assigns new rows
     to the EXISTING centroids (standard IVF — no retrain; faiss
     add_with_ids does the same); ``delete`` tombstones."""
+
+    TABLE_DIR = "clusters"
+    PARTITION_COL = "__cluster"
 
     def __init__(self, centroids: np.ndarray, table: DataFrame,
                  id_col: str, vec_col: str):

@@ -126,6 +126,9 @@ class PqIndex(_MaintainableIndex):
     pkg/index/index.go:19-49) via _MaintainableIndex; ``add`` encodes
     only the delta."""
 
+    TABLE_DIR = "codes"
+    PARTITION_COL = None
+
     def __init__(self, codec: PqCodec, table: DataFrame,
                  id_col: str, vec_col: str):
         self.codec = codec
@@ -209,6 +212,9 @@ class IvfPqIndex(_MaintainableIndex):
     and PQ oracles. Residual encoding buys accuracy at equal code size
     — swap the encode/LUT to ``v - centroid[cluster]`` if needed.
     """
+
+    TABLE_DIR = "clusters"
+    PARTITION_COL = "__cluster"
 
     def __init__(self, centroids: np.ndarray, codec: PqCodec,
                  table: DataFrame, id_col: str, vec_col: str):
