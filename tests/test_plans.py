@@ -149,3 +149,23 @@ def test_running_sum_single_window_exchange(spark):
     plan = plan_of(spark, "cust_running_revenue")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_pq_adc_is_maponly_topk(spark):
+    # ADC scoring is a map-only scan over codes; the only data movement
+    # is the k-row per-partition top-k merge
+    plan = plan_of(spark, "ann_pq_adc_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Sort [distance" not in plan
+
+
+def test_ivfpq_prune_then_maponly_topk(spark):
+    plan = plan_of(spark, "ann_ivfpq_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    # cluster pruning: Catalyst inlines __cluster into a Filter over the
+    # assignment expression, pushed into the scan's DataFilters; on the
+    # saved layout it becomes PartitionFilters (asserted in test_pq.py)
+    assert "Filter cast((array_position" in plan
+    assert "DataFilters: [cast((array_position" in plan

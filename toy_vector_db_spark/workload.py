@@ -130,6 +130,24 @@ for _m in METRICS:
     q(f"knn_{_m}", _knn_oracle(_m))(_make_knn(_m))
 
 
+@q("knn_arrow_euclidean", _knn_oracle("euclidean"))
+def knn_arrow_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched NumPy exact tier (operators/knn.knn_arrow)
+    against the same oracle as the Column-expression tier: identical
+    answers from a BLAS matrix-vector scoring path (mapInPandas with
+    per-batch local top-k, then TakeOrderedAndProject merge)."""
+    from .operators.knn import knn_arrow
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = lookup_vector(emb, "vec_id", QUERY_VEC_ID)
+    res = knn_arrow(emb, qvec, k=KNN_K, metric="euclidean",
+                    id_cols=["vec_id", "label"],
+                    exclude_id=QUERY_VEC_ID, id_col="vec_id")
+    return (res.orderBy(F.col("distance").asc_nulls_last(),
+                        F.col("vec_id").asc())
+            .select("vec_id", "label",
+                    F.round("distance", 4).alias("distance")))
+
+
 # ---------------------------------------------------------------------------
 # Scan / projection / limit (SURVEY §2.1 S2, §2.2 P1, §2.5 W2)
 # `dimension` is computed, not stored (SURVEY §1.1).
