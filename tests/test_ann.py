@@ -163,6 +163,26 @@ def test_index_delete_then_readd_resurrects(spark, emb):
     row = emb.filter(F.col("vec_id") == 1)
     idx2 = idx.add(row)
     assert 1 in idx2.get_ids()
+    # the stale physical row must be gone too: exactly one live row for
+    # id 1, size back to the original count, no duplicate ids anywhere
+    assert idx2.size() == emb.count()
+    ids = idx2.get_ids()
+    assert len(ids) == len(set(ids))
+    assert idx2.table.filter(F.col("vec_id") == 1).count() == 1
+
+
+def test_index_readd_with_new_vector_replaces_stale(spark, emb):
+    # delete id 1 then re-add it with a DIFFERENT vector: searches must
+    # see only the new vector, never the stale one
+    new_vec = [9.0] * len(emb.filter(F.col("vec_id") == 1)
+                          .first()["embedding"])
+    replacement = spark.createDataFrame(
+        [(1, new_vec, -1)], "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    idx = LshIndex.build(emb, n_planes=6).delete([1]).add(replacement)
+    rows = idx.table.filter(F.col("vec_id") == 1).collect()
+    assert len(rows) == 1
+    assert [round(float(x)) for x in rows[0]["embedding"]] == \
+        [9] * len(new_vec)
 
 
 def test_index_save_compacts_tombstones(spark, emb, qvec, tmp_path):

@@ -49,6 +49,18 @@ def test_long_chain_converges(spark):
     assert len(got) == 21
 
 
+def test_string_node_ids(spark):
+    # non-numeric ids: the SUM convergence probe would be NULL/error, so
+    # the changed-label probe must kick in; min label = lexicographic min
+    pairs = spark.createDataFrame(
+        [("docA", "docB"), ("docB", "docC"), ("x", "y")],
+        "id_a STRING, id_b STRING")
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {"docA": "docA", "docB": "docA", "docC": "docA",
+                   "x": "x", "y": "x"}
+
+
 def test_nonconvergence_raises(spark):
     pairs = _df(spark, [(i, i + 1) for i in range(10)])
     with pytest.raises(RuntimeError, match="converge"):

@@ -80,6 +80,27 @@ def test_count_star(engine):
     assert engine.sql("SELECT COUNT(*) FROM vectors").first()[0] == 5
 
 
+def test_nearest_by_quoted_id_escapes(engine):
+    # an id containing a single quote must round-trip through the
+    # NEAREST TO rewrite (the self-exclusion predicate re-escapes it)
+    engine.execute(
+        "INSERT INTO quoted (id, vector) VALUES ('o''brien', [1.0, 0.0, 0.1])")
+    engine.execute(
+        "INSERT INTO quoted (id, vector) VALUES ('plain', [0.9, 0.0, 0.0])")
+    rows = engine.sql(
+        "SELECT id, distance FROM quoted NEAREST TO 'o''brien' LIMIT 5").collect()
+    assert [r["id"] for r in rows] == ["plain"]  # self excluded
+
+
+def test_set_metadata_escapes_quoted_id(engine):
+    engine.execute(
+        "INSERT INTO quoted2 (id, vector) VALUES ('it''s', [1.0, 0.0, 0.0])")
+    n = engine.catalog.set_metadata("quoted2", "it's", "k", "v")
+    assert n == 1
+    got = engine.sql("SELECT metadata.k FROM quoted2 WHERE id = 'it''s'").first()
+    assert got[0] == "v"
+
+
 def test_metadata_eq_missing_key_false(engine):
     rows = engine.sql(
         "SELECT id FROM vmeta WHERE metadata.category = 'image'").collect()

@@ -96,12 +96,20 @@ class _MaintainableIndex:
             if clash:
                 raise ValueError("vector already exists")  # flat.go:19
         delta = self._index_rows(rows).select(*self.table.columns)
-        # re-adding a previously deleted id resurrects it: drop its tombstone
+        # re-adding a previously deleted id resurrects it: drop its
+        # tombstone AND its stale physical row (otherwise the old row
+        # stays in self.table alongside the new delta row — size()
+        # over-counts and searches can surface the stale vector).
+        base = self.table
         d = getattr(self, "_deleted", None)
         if d is not None:
-            d = d.join(rows.select(F.col(self.id_col).alias("__del_id")),
-                       "__del_id", "left_anti")
-        return self._with_table(self.table.unionByName(delta), d)
+            add_ids = rows.select(F.col(self.id_col).alias("__del_id"))
+            readded = d.join(add_ids, "__del_id", "semi")
+            base = base.join(
+                readded.withColumnRenamed("__del_id", self.id_col),
+                self.id_col, "left_anti")
+            d = d.join(add_ids, "__del_id", "left_anti")
+        return self._with_table(base.unionByName(delta), d)
 
     def delete(self, ids: Sequence | DataFrame):
         """Tombstone ids (HNSW hnsw.go:391-412). Accepts a driver-side

@@ -11,8 +11,12 @@ one groupBy — both shuffle on node id, so AQE coalesces as labels
 shrink. ``localCheckpoint`` truncates the growing lineage each round
 (the standard guard for iterative DataFrame algorithms).
 
-Convergence detection is O(1) driver-side: labels only ever decrease,
-so the global label sum is strictly monotone until fixpoint.
+Convergence detection: for numeric node ids the global label sum is
+strictly monotone until fixpoint, so the probe is one cheap agg per
+round. For any other id type (strings, etc. — where SUM would be NULL
+or an ANSI cast error) the probe joins old vs new labels and stops at
+the first changed row (``limit(1).count()`` — an early-exit existence
+check, not a full count).
 
 Oracle: DuckDB recursive CTE computes the transitive closure and takes
 min reachable id per node — see workload.dedup_components.
@@ -35,20 +39,34 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
 
     labels = edges.select(F.col("src").alias("node")).distinct() \
         .withColumn("label", F.col("node")).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+
+    from pyspark.sql.types import NumericType
+    numeric_ids = isinstance(labels.schema["label"].dataType, NumericType)
+    prev_sum = (labels.agg(F.sum("label")).first()[0]
+                if numeric_ids else None)
 
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges.dst == labels.node)
                    .groupBy("src").agg(F.min("label").alias("__nl")))
-        labels = (labels.join(nbr_min, labels.node == nbr_min.src, "left")
-                  .select("node",
-                          F.least("label", F.coalesce("__nl", "label"))
-                          .alias("label"))
-                  .localCheckpoint())
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
+        new_labels = (labels.join(nbr_min, labels.node == nbr_min.src, "left")
+                      .select("node",
+                              F.least("label", F.coalesce("__nl", "label"))
+                              .alias("label"))
+                      .localCheckpoint())
+        if numeric_ids:
+            cur_sum = new_labels.agg(F.sum("label")).first()[0]
+            converged = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            # SUM over string labels would be NULL / an ANSI error;
+            # probe for any changed label instead (early-exit limit 1).
+            converged = (new_labels.alias("n")
+                         .join(labels.alias("o"), "node")
+                         .filter(F.col("n.label") != F.col("o.label"))
+                         .limit(1).count() == 0)
+        labels = new_labels
+        if converged:
             break
-        prev_sum = cur_sum
     else:
         raise RuntimeError(f"did not converge within {max_iter} rounds")
 

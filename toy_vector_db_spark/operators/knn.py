@@ -47,10 +47,13 @@ def lookup_vector(df: DataFrame, id_col: str, id_value) -> list[float]:
 def knn(df: DataFrame, query_vec: Sequence[float] | Column, k: int = DEFAULT_K,
         metric: str = "euclidean", vec_col: str = "embedding",
         exclude_id=None, id_col: str | None = None,
-        dist_col: str = "distance") -> DataFrame:
+        dist_col: str = "distance", tie_col: str | None = None) -> DataFrame:
     """Top-k nearest rows to ``query_vec``. Errors on k < 1 like the
     reference (flat.go:108-110). ``exclude_id`` drops the self-match
-    when the query is itself a stored row (executor.go:363-366)."""
+    when the query is itself a stored row (executor.go:363-366).
+    ``tie_col`` adds a secondary ascending sort so ties at the k
+    boundary resolve to a deterministic total order (required when the
+    result is compared value-for-value against another engine)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     q = query_vec if isinstance(query_vec, Column) else vector_lit(query_vec)
@@ -64,14 +67,18 @@ def knn(df: DataFrame, query_vec: Sequence[float] | Column, k: int = DEFAULT_K,
     # null distance (dimension mismatch, null embedding) above every
     # real match. The reference hard-errors on mismatch
     # (distance.go:56-58); we exclude — documented divergence.
-    return out.orderBy(F.col(dist_col).asc_nulls_last()).limit(k)
+    order = [F.col(dist_col).asc_nulls_last()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    return out.orderBy(*order).limit(k)
 
 
 def knn_arrow(df: DataFrame, query_vec: Sequence[float], k: int = DEFAULT_K,
               metric: str = "euclidean", vec_col: str = "embedding",
               id_cols: Sequence[str] | None = None,
               exclude_id=None, id_col: str | None = None,
-              dist_col: str = "distance") -> DataFrame:
+              dist_col: str = "distance",
+              tie_col: str | None = None) -> DataFrame:
     """Exact top-k via Arrow-batched NumPy scoring.
 
     The pure-Column ``knn`` keeps everything in the JVM, but Catalyst
@@ -82,7 +89,10 @@ def knn_arrow(df: DataFrame, query_vec: Sequence[float], k: int = DEFAULT_K,
     the executors return k rows per batch, never the scored corpus.
 
     Same null/mismatch semantics as ``knn``: rows whose vector length
-    differs from the query are excluded.
+    differs from the query are excluded. ``tie_col`` (must be in
+    ``id_cols``) makes the top-k a deterministic total order — applied
+    both inside each batch's local top-k and in the global merge, so a
+    tie at the k boundary resolves identically to a tie-broken oracle.
     """
     import numpy as np
     import pandas as pd
@@ -93,6 +103,8 @@ def knn_arrow(df: DataFrame, query_vec: Sequence[float], k: int = DEFAULT_K,
         raise ValueError(f"unsupported metric: {metric!r}")
     if id_cols is None:
         id_cols = [c for c in df.columns if c != vec_col]
+    if tie_col is not None and tie_col not in id_cols:
+        raise ValueError(f"tie_col {tie_col!r} must be in id_cols")
     q = np.asarray(list(query_vec), dtype=np.float64)
     src = df.select(*id_cols, vec_col)
     if exclude_id is not None:
@@ -129,11 +141,15 @@ def knn_arrow(df: DataFrame, query_vec: Sequence[float], k: int = DEFAULT_K,
                 d = np.where((nm == 0) | (nq == 0), 1.0, 1.0 - sim)
             res = pdf[list(id_cols)].copy()
             res[dist_col] = d
-            top = res.nsmallest(min(k, len(res)), dist_col)
+            sort_cols = [dist_col] + ([tie_col] if tie_col else [])
+            top = res.sort_values(sort_cols, kind="stable").head(k)
             yield pd.DataFrame(top)
 
     scored = src.mapInPandas(score, out_ddl)
-    return scored.orderBy(F.col(dist_col).asc_nulls_last()).limit(k)
+    order = [F.col(dist_col).asc_nulls_last()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    return scored.orderBy(*order).limit(k)
 
 
 def knn_join(queries: DataFrame, corpus: DataFrame, k: int = DEFAULT_K,

@@ -29,7 +29,12 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schema import VECTORS_SCHEMA
+from ..schema import DOCUMENTS_SCHEMA, VECTORS_SCHEMA
+
+# Per-collection document sidecar table (reference embeds write a full
+# Document JSON next to the vector, cmd_embed.go:100-112). Stored as a
+# second versioned-parquet table named <collection>__docs.
+DOCS_SUFFIX = "__docs"
 
 
 class CollectionCatalog:
@@ -69,15 +74,25 @@ class CollectionCatalog:
         if not os.path.exists(self.root):
             return []
         return sorted(n for n in os.listdir(self.root)
-                      if os.path.exists(self._pointer(n)))
+                      if os.path.exists(self._pointer(n))
+                      and not n.endswith(DOCS_SUFFIX))
 
     # -- read -------------------------------------------------------------
+
+    def _schema_for(self, name: str):
+        return DOCUMENTS_SCHEMA if name.endswith(DOCS_SUFFIX) else VECTORS_SCHEMA
 
     def read(self, name: str) -> DataFrame:
         if not self.exists(name):
             raise KeyError(f"collection not found: {name!r}")
-        return self.spark.read.schema(VECTORS_SCHEMA).parquet(
+        return self.spark.read.schema(self._schema_for(name)).parquet(
             self._data_path(name))
+
+    def read_docs(self, name: str) -> DataFrame:
+        """The document sidecar table of a collection (DOCUMENTS_SCHEMA:
+        doc_id, content, content_type, vector, metadata, created_at,
+        updated_at — reference pkg/embedding/document.go:18-26)."""
+        return self.read(name + DOCS_SUFFIX)
 
     def _register(self, name: str) -> None:
         self.read(name).createOrReplaceTempView(name)
@@ -211,4 +226,4 @@ class CollectionCatalog:
     def set_metadata(self, name: str, vec_id: str, key: str, value: str) -> int:
         """CLI set-metadata (reference main.go:252-282)."""
         return self.update(name, {"metadata": {key: value}},
-                           f"id = '{vec_id}'")
+                           "id = '{}'".format(vec_id.replace("'", "''")))

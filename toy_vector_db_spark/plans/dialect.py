@@ -242,7 +242,11 @@ class SqlEngine:
 
         dist = _dist_sql(metric, vec_sql)
         proj = self._projection(cols_raw, knn=True)
-        inner_where = [f"id <> '{exclude_id}'"] if exclude_id is not None else []
+        inner_where = []
+        if exclude_id is not None:
+            # re-escape when embedding back into SQL (ids may contain ')
+            esc = exclude_id.replace("'", "''")
+            inner_where.append(f"id <> '{esc}'")
         if where:
             inner_where.append(f"({where})")
         wsql = (" WHERE " + " AND ".join(inner_where)) if inner_where else ""

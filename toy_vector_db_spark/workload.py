@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .functions.distance import METRICS, distance
+from .functions.distance import METRICS
 from .operators.knn import knn, lookup_vector
 
 QUERY_VEC_ID = 0  # stored row used as the knn query (self excluded, K9)
@@ -112,15 +112,10 @@ def _make_knn(metric: str) -> WorkloadFn:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = _t(spark, sf_dir, "embeddings")
         qvec = lookup_vector(emb, "vec_id", QUERY_VEC_ID)
+        # tie_col matches the oracle's ORDER BY dist, vec_id total order
         res = knn(emb, qvec, k=KNN_K, metric=metric,
-                  exclude_id=QUERY_VEC_ID, id_col="vec_id")
-        # deterministic tiebreak on vec_id matches the oracle's ORDER BY
-        res = (emb.withColumn("distance", distance(metric, F.col("embedding"),
-                                                   F.lit(qvec).cast("array<double>")))
-               .filter(F.col("vec_id") != QUERY_VEC_ID)
-               .orderBy(F.col("distance").asc_nulls_last(),
-                        F.col("vec_id").asc())
-               .limit(KNN_K))
+                  exclude_id=QUERY_VEC_ID, id_col="vec_id",
+                  tie_col="vec_id")
         return res.select("vec_id", "label",
                           F.round("distance", 4).alias("distance"))
     return fn
@@ -141,11 +136,10 @@ def knn_arrow_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = lookup_vector(emb, "vec_id", QUERY_VEC_ID)
     res = knn_arrow(emb, qvec, k=KNN_K, metric="euclidean",
                     id_cols=["vec_id", "label"],
-                    exclude_id=QUERY_VEC_ID, id_col="vec_id")
-    return (res.orderBy(F.col("distance").asc_nulls_last(),
-                        F.col("vec_id").asc())
-            .select("vec_id", "label",
-                    F.round("distance", 4).alias("distance")))
+                    exclude_id=QUERY_VEC_ID, id_col="vec_id",
+                    tie_col="vec_id")
+    return res.select("vec_id", "label",
+                      F.round("distance", 4).alias("distance"))
 
 
 # ---------------------------------------------------------------------------
@@ -1035,7 +1029,10 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification, survivor anti-join): materialize it once instead of
     # recomputing the quality scan per branch — at scale this is the
     # "write the filtered corpus" checkpoint every cleaning pipeline has.
-    deduped = exact_dedup(kept).persist()
+    # localCheckpoint, not persist(): the blocks are released when the
+    # result DataFrame is dropped, so repeated workload queries in one
+    # session don't accumulate cached partitions.
+    deduped = exact_dedup(kept).localCheckpoint(eager=False)
     losers = minhash_lsh_pairs(deduped, num_perm=8, bands=4, shingle_k=3,
                                threshold=0.5) \
         .select(F.col("id_b").alias("doc_id")).distinct()
