@@ -51,6 +51,32 @@ def test_embed_and_search_text(run):
     assert "doc1" in out and "0.0" in out
 
 
+def test_embed_writes_document_sidecar(run, spark, tmp_path):
+    # embed persists the FULL document (content + vector + metadata +
+    # timestamps) alongside the vector row — reference cmd_embed.go:100-112
+    run("embed", "text", "docA", "hello sidecar world")
+    run("embed", "json", "docB", '{"title": "b", "body": "text"}')
+    from toy_vector_db_spark.plans.catalog import CollectionCatalog
+    cat = CollectionCatalog(spark, str(tmp_path / "colls"))
+    docs = {r["doc_id"]: r for r in cat.read_docs("vectors").collect()}
+    assert set(docs) == {"docA", "docB"}
+    a = docs["docA"]
+    assert a["content"] == "hello sidecar world"
+    assert a["content_type"] == "text"
+    assert len(a["vector"]) == 384
+    assert a["created_at"] is not None and a["updated_at"] is not None
+    assert docs["docB"]["content_type"] == "json"
+    # the sidecar vector IS the stored vector row
+    vec = cat.read("vectors").filter("id = 'docA'").first()["embedding"]
+    assert list(vec) == list(a["vector"])
+    # re-embedding the same id: the vector insert runs first and errors
+    # on the duplicate (reference INSERT semantics), sidecar untouched
+    with pytest.raises(ValueError, match="duplicate id"):
+        run("embed", "text", "docA", "changed")
+    assert cat.read_docs("vectors").filter(
+        "content = 'changed'").count() == 0
+
+
 def test_export_import(run, tmp_path):
     run("add", "x", "[1,2]")
     path = str(tmp_path / "dump")

@@ -166,16 +166,15 @@ def main(argv: list[str] | None = None) -> int:
         print(format_result(res.select("id", F.round("distance", 6).alias("distance"))), file=out)
     elif cmd == "embed":
         ensure()
-        from .functions.embedding import embed_one, process_json
-        content = args.content
-        if args.content_type == "json":
-            row = spark.range(1).select(
-                process_json(__import__("pyspark.sql.functions", fromlist=["lit"])
-                             .lit(content)).alias("t")).first()
-            content = row["t"]
-        vec = [float(x) for x in embed_one(content)]
-        catalog.insert(coll, [(args.id, vec, {"content_type": args.content_type})])
-        print(f"Embedded and stored {args.id} (dim {len(vec)})", file=out)
+        # writes BOTH the vector row and the full document sidecar
+        # (content + vector + metadata + timestamps), matching the
+        # reference's embed command (cmd_embed.go:100-112)
+        from .functions.embedding import EMBEDDING_DIM, ingest_documents
+        df = spark.createDataFrame([(args.id, args.content)],
+                                   "doc_id STRING, text STRING")
+        ingest_documents(catalog, coll, df,
+                         content_type=args.content_type)
+        print(f"Embedded and stored {args.id} (dim {EMBEDDING_DIM})", file=out)
     elif cmd == "import":
         ensure()
         try:

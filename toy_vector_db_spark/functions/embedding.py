@@ -143,6 +143,43 @@ def embed_documents(docs: DataFrame, content_col: str = "text",
     return ensure_parallelism(docs).withColumn(out_col, embedding_expr(processed))
 
 
+def ingest_documents(catalog, collection: str, docs: DataFrame,
+                     id_col: str = "doc_id", content_col: str = "text",
+                     content_type: str = "text",
+                     now=None) -> int:
+    """Embed-and-store (D7): one codegen'd pass computes the embedding,
+    then BOTH tables are written — the vector row (id, embedding,
+    metadata={'content_type': ...}) and the full document sidecar
+    (content + vector + metadata + timestamps), matching the reference,
+    which persists the whole Document next to the vector
+    (cmd_embed.go:100-112; Document shape document.go:18-26).
+
+    ``now`` pins created_at/updated_at for reproducible ingests; default
+    is the cluster clock. The embedded frame is localCheckpoint'ed
+    (eager — ingest is an action anyway) so the vector write and the
+    sidecar write share ONE embedding computation. Returns row count.
+    """
+    embedded = embed_documents(
+        docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                    F.col(content_col).cast("string").alias("content")),
+        content_col="content", content_type=content_type,
+        out_col="vector").localCheckpoint()
+    ts = F.lit(now).cast("timestamp") if now is not None \
+        else F.current_timestamp()
+    n = catalog.insert_df(collection, embedded.select(
+        F.col("doc_id").alias("id"),
+        F.col("vector").cast("array<float>").alias("embedding"),
+        F.create_map(F.lit("content_type"), F.lit(content_type))
+        .alias("metadata")))
+    catalog.upsert_docs(collection, embedded.select(
+        "doc_id", "content", F.lit(content_type).alias("content_type"),
+        F.col("vector").cast("array<float>").alias("vector"),
+        F.create_map(F.lit("content_type"), F.lit(content_type))
+        .alias("metadata"),
+        ts.alias("created_at"), ts.alias("updated_at")))
+    return n
+
+
 def search_text(corpus: DataFrame, text: str, k: int = 10,
                 metric: str = "cosine", vec_col: str = "vector",
                 content_type: str = "text"):

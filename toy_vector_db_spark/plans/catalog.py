@@ -137,10 +137,12 @@ class CollectionCatalog:
 
     def drop(self, name: str) -> int:
         """DROP COLLECTION -> count of removed vectors (the reference
-        deletes every vector from its single store, executor.go:616-652)."""
+        deletes every vector from its single store, executor.go:616-652).
+        The document sidecar, if any, goes with it."""
         n = self.read(name).count() if self.exists(name) else 0
         self.spark.catalog.dropTempView(name)
         shutil.rmtree(self._dir(name), ignore_errors=True)
+        shutil.rmtree(self._dir(name + DOCS_SUFFIX), ignore_errors=True)
         return n
 
     # -- DML ---------------------------------------------------------------
@@ -184,6 +186,30 @@ class CollectionCatalog:
             raise ValueError(f"duplicate id: {hit[0]!r}")
         n = new.count()
         self._commit(name, cur.unionByName(new))
+        return n
+
+    def upsert_docs(self, name: str, docs: DataFrame) -> int:
+        """Write-through the document sidecar (embed persists the FULL
+        Document — content + vector + metadata + timestamps — next to
+        the vector row, reference cmd_embed.go:100-112). Upsert by
+        doc_id: the reference overwrites the per-doc JSON file; here the
+        matching rows are replaced. Missing DOCUMENTS_SCHEMA columns
+        are filled with NULL."""
+        dname = name + DOCS_SUFFIX
+        cols = set(docs.columns)
+        new = docs.select(*[
+            (F.col(f.name) if f.name in cols else F.lit(None))
+            .cast(f.dataType).alias(f.name)
+            for f in DOCUMENTS_SCHEMA.fields])
+        n = new.count()
+        if self.exists(dname):
+            cur = self.read(dname)
+            out = cur.join(new.select("doc_id"), "doc_id", "left_anti") \
+                .unionByName(new)
+        else:
+            os.makedirs(self._dir(dname), exist_ok=True)
+            out = new
+        self._commit(dname, out)
         return n
 
     def delete(self, name: str, condition: str) -> int:

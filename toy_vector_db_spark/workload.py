@@ -526,6 +526,50 @@ def embed_documents_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.aggregate(v, F.lit(0.0), lambda s, x: s + x), 4).alias("vsum"))
 
 
+# Ingest roundtrip (S6/D7): run the full embed-and-store pipeline into
+# a scratch catalog — vector rows AND the document sidecar — then read
+# the sidecar back and value-check it. The oracle replays the identical
+# hash-chain embedding, then round-trips through FLOAT32 exactly like
+# the stored ARRAY<FLOAT> columns, so d0/vsum match bit-for-bit.
+@q("embed_ingest_roundtrip", f"""
+WITH {_DD_EMBED},
+  embf AS (
+    SELECT doc_id,
+           CAST(CAST(vec AS FLOAT[]) AS DOUBLE[]) AS vec
+    FROM emb)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'text' AS content_type,
+       CAST(384 AS BIGINT) AS dim,
+       ROUND(vec[1], 4) AS d0,
+       ROUND(list_sum(vec), 4) AS vsum,
+       TRUE AS vector_row_matches
+FROM embf
+""")
+def embed_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .functions.embedding import ingest_documents
+    from .plans.catalog import CollectionCatalog
+
+    cat = CollectionCatalog(spark, tempfile.mkdtemp(prefix="vectodb_ingest_"))
+    docs = _tp(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    from datetime import datetime
+    ingest_documents(cat, "corpus", docs, now=datetime(2026, 1, 1))
+    stored = cat.read_docs("corpus")
+    vecs = cat.read("corpus").select(F.col("id").alias("doc_id"),
+                                     F.col("embedding").alias("__v2"))
+    v = F.col("vector").cast("array<double>")
+    return (stored.join(vecs, "doc_id")
+            .select("doc_id", "content_type",
+                    F.size("vector").cast("bigint").alias("dim"),
+                    F.round(F.element_at(v, 1), 4).alias("d0"),
+                    F.round(F.aggregate(v, F.lit(0.0), lambda s, x: s + x), 4)
+                    .alias("vsum"),
+                    (F.col("vector") == F.col("__v2"))
+                    .alias("vector_row_matches")))
+
+
 _SEARCH_TEXT_QUERY = "distributed query engine"
 
 
