@@ -80,6 +80,40 @@ def test_count_star(engine):
     assert engine.sql("SELECT COUNT(*) FROM vectors").first()[0] == 5
 
 
+def test_explain_nearest_is_topk_not_sort(engine):
+    # reference -verbose shows a VECTOR_SEARCH plan node
+    # (planner.go:256-319); here the displayed plan is the executed one
+    plan = engine.explain(
+        "SELECT id, distance FROM vectors NEAREST TO [1.0,0.0,0.0] LIMIT 3")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_explain_id_lookup_shows_filter(engine):
+    # ID_LOOKUP plan detection (planner.go:148-167): the predicate must
+    # appear as a Filter in the physical plan
+    plan = engine.explain("SELECT id FROM vectors WHERE id = 'vec1'")
+    assert "Filter" in plan and "vec1" in plan
+
+
+def test_explain_dml_describes_write_path(engine):
+    out = engine.explain("INSERT INTO c (id, vector) VALUES ('x', [1.0])")
+    assert out.startswith("== INSERT ==")
+    out = engine.explain("DROP COLLECTION c")
+    assert "catalog DDL" in out
+
+
+def test_cli_verbose_prints_plan(spark, tmp_path, capsys):
+    from toy_vector_db_spark.cli import main
+    data_dir = str(tmp_path / "vcli")
+    main(["--data-dir", data_dir, "add", "v1", "[1,0,0]"])
+    capsys.readouterr()
+    main(["--data-dir", data_dir, "--verbose", "sql",
+          "SELECT id FROM vectors"])
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "row(s)" in out
+
+
 def test_nearest_by_quoted_id_escapes(engine):
     # an id containing a single quote must round-trip through the
     # NEAREST TO rewrite (the self-exclusion predicate re-escapes it)

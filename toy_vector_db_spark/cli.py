@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--collection", default="vectors")
     p.add_argument("--metric", default="euclidean")
     p.add_argument("--master", default=None)
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="print the query plan before results "
+                        "(reference -verbose, service.go:69-78)")
     sub = p.add_subparsers(dest="command", required=True)
 
     sub.add_parser("sql").add_argument("query")
@@ -110,6 +113,8 @@ def main(argv: list[str] | None = None) -> int:
 
     cmd = args.command
     if cmd == "sql":
+        if args.verbose:
+            print(engine.explain(args.query), file=out)
         res = engine.execute(args.query)
         print(format_result(res.df) if res.df is not None else res.message,
               file=out)

@@ -158,6 +158,30 @@ class SqlEngine:
             raise ValueError(f"statement returns no rows: {query!r}")
         return res.df
 
+    def explain(self, query: str, mode: str = "formatted") -> str:
+        """Query-plan display — the reference's -verbose surface
+        (service.go:69-78 prints the planner tree built by
+        planner.go:256-319, which the Go executor then ignores; here
+        the displayed plan IS the plan Catalyst executes). SELECT-like
+        statements return the Spark plan in the given explain mode
+        (``simple``/``extended``/``formatted``/``cost``/``codegen``);
+        DML/DDL return a one-line description — they execute against
+        the collection catalog, not through a Catalyst plan."""
+        stmt = query.strip().rstrip(";")
+        head = stmt.split(None, 1)[0].upper() if stmt else ""
+        dml = {"INSERT": "append row(s) to collection",
+               "DELETE": "filter + rewrite collection",
+               "UPDATE": "conditional column rewrite of collection"}
+        if head in dml:
+            return f"== {head} ==\n{dml[head]} (catalog write path)"
+        if (head == "CREATE" and _CREATE_RE.match(stmt)) or \
+                (head == "DROP" and _DROP_RE.match(stmt)):
+            return f"== {head} COLLECTION ==\ncatalog DDL (no Catalyst plan)"
+        df = self._select(stmt).df if head == "SELECT" else self.spark.sql(stmt)
+        jvm = df.sparkSession._jvm
+        return df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
     # -- SELECT / NEAREST TO ---------------------------------------------
 
     # A "simple" dialect SELECT: only pseudo-columns / metadata.K /
