@@ -76,11 +76,42 @@ class PqCodec:
                           for j in range(m)])            # (m, ks, dsub)
         return cls(books)
 
-    def encode_expr(self, vec_col: str):
+    @classmethod
+    def fit_kmeans(cls, df: DataFrame, m: int = 4, ks: int = 8,
+                   vec_col: str = "embedding", seed: int = 42,
+                   train_rows: int = 20_000, iters: int = 10,
+                   sample: np.ndarray | None = None) -> "PqCodec":
+        """Lloyd-trained per-subspace codebooks — the standard PQ fit
+        (Jegou et al., TPAMI 2011 train on a sample; faiss does the
+        same). Training happens driver-side in NumPy over a bounded
+        sample (codebook quality saturates at ~1k points/centroid, so
+        the collect is a fixed-size sample, never a data move — the
+        same scaling argument as IvfIndex.build). Not value-oracle-
+        checkable like fit_deterministic; validated by recall gates.
+        ``sample`` short-circuits the scan when the caller already has
+        training vectors in hand (e.g. residual training)."""
+        if sample is None:
+            n = df.count()
+            sdf = df if n <= train_rows else \
+                df.sample(fraction=min(1.0, train_rows / n), seed=seed)
+            sample = np.array([list(r[0]) for r in
+                               sdf.select(F.col(vec_col)
+                                          .cast("array<double>")).collect()])
+        dim = sample.shape[1]
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        dsub = dim // m
+        rng = np.random.default_rng(seed)
+        books = [_lloyd(sample[:, j * dsub:(j + 1) * dsub], ks, iters, rng)
+                 for j in range(m)]
+        return cls(np.stack(books))
+
+    def encode_expr(self, vec):
         """``array<int>`` of length m: per-subspace argmin code (ties ->
         lowest code, matching SQL list_position-of-min). Pure Column
-        expression; runs in codegen."""
-        v = F.col(vec_col).cast("array<double>")
+        expression; runs in codegen. ``vec`` is a column name or any
+        array Column (e.g. a residual expression)."""
+        v = (F.col(vec) if isinstance(vec, str) else vec).cast("array<double>")
         codes = []
         for j in range(self.m):
             sub = F.slice(v, j * self.dsub + 1, self.dsub)
@@ -108,16 +139,39 @@ class PqCodec:
         qs = q.reshape(self.m, self.dsub)
         return ((self.codebooks - qs[:, None, :]) ** 2).sum(axis=2)
 
-    def adc_expr(self, qvec: Sequence[float], code_col: str = "__code"):
-        """Approximate euclidean distance from the stored codes alone:
+    def adc_from_lut(self, lut: np.ndarray, code_col: str = "__code"):
+        """ADC distance from a precomputed (m, ks) lookup table:
         ``sqrt(sum_j lut[j][code_j])``. m array lookups per row."""
-        lut = self.lut(qvec)
         total = F.lit(0.0)
         for j in range(self.m):
             lut_j = F.lit([float(x) for x in lut[j]])
             total = total + F.element_at(
                 lut_j, F.element_at(F.col(code_col), j + 1) + 1)
         return F.sqrt(total)
+
+    def adc_expr(self, qvec: Sequence[float], code_col: str = "__code"):
+        """Approximate euclidean distance from the stored codes alone."""
+        return self.adc_from_lut(self.lut(qvec), code_col)
+
+
+def _lloyd(S: np.ndarray, ks: int, iters: int, rng) -> np.ndarray:
+    """Plain Lloyd iterations, BLAS-shaped (||s||^2 + ||c||^2 - 2 s.c —
+    no (n, ks, dsub) intermediate). Empty clusters re-seed to the point
+    farthest from its assigned centroid."""
+    if len(S) < ks:
+        raise ValueError(f"need >= {ks} training rows, got {len(S)}")
+    C = S[rng.choice(len(S), size=ks, replace=False)].copy()
+    for _ in range(iters):
+        d = ((S ** 2).sum(1)[:, None] + (C ** 2).sum(1)[None]
+             - 2.0 * (S @ C.T))
+        a = d.argmin(1)
+        for c in range(ks):
+            pts = S[a == c]
+            if len(pts):
+                C[c] = pts.mean(0)
+            else:
+                C[c] = S[d.min(1).argmax()]
+    return C
 
 
 class PqIndex(_MaintainableIndex):
@@ -205,24 +259,37 @@ class IvfPqIndex(_MaintainableIndex):
     ``nprobe/n_centroids`` of the partitions and m bytes per surviving
     row; raw vectors only appear in the optional k-row re-rank.
 
-    Codes quantize the RAW vectors (not residuals v - centroid): the
-    codes stay cluster-independent, so one codec serves all clusters,
-    ``add`` needs no per-cluster state, and the DuckDB value oracle
-    (workload.ann_ivfpq_topk) stays an exact composition of the IVF
-    and PQ oracles. Residual encoding buys accuracy at equal code size
-    — swap the encode/LUT to ``v - centroid[cluster]`` if needed.
+    Two encodings, same layout and code size:
+
+    - ``build_deterministic`` quantizes the RAW vectors: one codec
+      serves all clusters and the DuckDB value oracle
+      (workload.ann_ivfpq_topk) stays an exact composition of the IVF
+      and PQ oracles.
+    - ``build_residual`` quantizes ``v - centroid[cluster]`` (the
+      faiss IVF-PQ default, Jegou et al. TPAMI 2011 §IV): residuals
+      are smaller than raw vectors, so the same m x ks codebook grid
+      spends its resolution on the part that distinguishes neighbors
+      within a probed cluster — higher recall at equal bytes. The ADC
+      lookup table becomes per-probed-cluster (built from
+      ``q - centroid_c``, still driver-side); with nprobe clusters the
+      distance expression is an nprobe-way CASE on ``__cluster``.
+      KMeans codebooks (fit_kmeans) pair naturally with this mode;
+      validated by the recall gate (tests/test_ann_recall.py), not a
+      value oracle.
     """
 
     TABLE_DIR = "clusters"
     PARTITION_COL = "__cluster"
 
     def __init__(self, centroids: np.ndarray, codec: PqCodec,
-                 table: DataFrame, id_col: str, vec_col: str):
+                 table: DataFrame, id_col: str, vec_col: str,
+                 residual: bool = False):
         self.centroids = centroids
         self.codec = codec
         self.table = table  # base columns + __cluster + __code
         self.id_col = id_col
         self.vec_col = vec_col
+        self.residual = residual
         self._deleted = None
 
     @classmethod
@@ -236,24 +303,80 @@ class IvfPqIndex(_MaintainableIndex):
         return cls(ivf.centroids, codec, codec.encode(ivf.table, vec_col),
                    id_col, vec_col)
 
+    @classmethod
+    def build_residual(cls, df: DataFrame, n_centroids: int = 8,
+                       m: int = 4, ks: int = 8,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       seed: int = 42, train_rows: int = 20_000,
+                       trained_centroids: bool = False) -> "IvfPqIndex":
+        """Residual IVF-PQ with Lloyd-trained per-subspace codebooks.
+        ``trained_centroids=True`` uses MLlib-KMeans coarse centroids
+        (IvfIndex.build); default is the deterministic md5 sample so
+        cluster assignment stays engine-reproducible."""
+        ivf = (IvfIndex.build(df, n_centroids, seed, id_col, vec_col)
+               if trained_centroids else
+               IvfIndex.build_deterministic(df, n_centroids, id_col, vec_col))
+        # train codebooks on RESIDUALS of a bounded sample
+        n = df.count()
+        sdf = ivf.table if n <= train_rows else \
+            ivf.table.sample(fraction=min(1.0, train_rows / n), seed=seed)
+        rows = sdf.select(F.col(vec_col).cast("array<double>"),
+                          "__cluster").collect()
+        resid = np.array([np.asarray(list(r[0])) - ivf.centroids[r[1]]
+                          for r in rows])
+        codec = PqCodec.fit_kmeans(df, m, ks, vec_col, seed, sample=resid)
+        out = cls(ivf.centroids, codec, None, id_col, vec_col, residual=True)
+        out.table = out._index_rows(df)
+        return out
+
+    def _residual_expr(self, vec_col: str):
+        """v - centroid[cluster] as a pure Column expression (the
+        centroid matrix is broadcast-sized by construction)."""
+        cents = F.array(*[F.lit([float(x) for x in c]).cast("array<double>")
+                          for c in self.centroids])
+        cent = F.element_at(cents, F.col("__cluster") + 1)
+        return F.zip_with(F.col(vec_col).cast("array<double>"), cent,
+                          lambda x, y: x - y)
+
     def _index_rows(self, df: DataFrame) -> DataFrame:
         assigned = df.withColumn(
             "__cluster", IvfIndex._assign_expr(self.centroids, self.vec_col))
-        return self.codec.encode(assigned, self.vec_col)
+        vec = self._residual_expr(self.vec_col) if self.residual \
+            else self.vec_col
+        return assigned.withColumn("__code", self.codec.encode_expr(vec))
 
-    def candidates(self, qvec: Sequence[float], nprobe: int = 3) -> DataFrame:
+    def _probe(self, qvec: Sequence[float], nprobe: int) -> list[int]:
         q = np.asarray(list(qvec), dtype=np.float64)
         dists = np.linalg.norm(self.centroids - q, axis=1)
-        probe = [int(c) for c in np.argsort(dists, kind="stable")[:nprobe]]
+        return [int(c) for c in np.argsort(dists, kind="stable")[:nprobe]]
+
+    def candidates(self, qvec: Sequence[float], nprobe: int = 3) -> DataFrame:
+        probe = self._probe(qvec, nprobe)
         return self._live(self.table.filter(F.col("__cluster").isin(probe)))
+
+    def _adc(self, qvec: Sequence[float], probe: list[int]):
+        """ADC distance column. Raw mode: one global LUT. Residual
+        mode: per-probed-cluster LUTs from q - centroid_c, fused into
+        an nprobe-way CASE on __cluster."""
+        if not self.residual:
+            return self.codec.adc_expr(qvec)
+        q = np.asarray(list(qvec), dtype=np.float64)
+        expr = None
+        for c in probe:
+            adc_c = self.codec.adc_from_lut(self.codec.lut(q - self.centroids[c]))
+            cond = F.col("__cluster") == c
+            expr = F.when(cond, adc_c) if expr is None else expr.when(cond, adc_c)
+        return expr
 
     def search(self, qvec: Sequence[float], k: int = DEFAULT_K,
                nprobe: int = 3, rerank: int = 0,
                dist_col: str = "distance") -> DataFrame:
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
-        scored = self.candidates(qvec, nprobe).withColumn(
-            dist_col, self.codec.adc_expr(qvec))
+        probe = self._probe(qvec, nprobe)
+        scored = self._live(
+            self.table.filter(F.col("__cluster").isin(probe))
+        ).withColumn(dist_col, self._adc(qvec, probe))
         top = (scored.orderBy(F.col(dist_col).asc_nulls_last(),
                               F.col(self.id_col).asc())
                .limit(rerank * k if rerank else k))
@@ -276,7 +399,8 @@ class IvfPqIndex(_MaintainableIndex):
             .parquet(os.path.join(path, "clusters"))
         meta = {"centroids": self.centroids.tolist(),
                 "codebooks": self.codec.codebooks.tolist(),
-                "id_col": self.id_col, "vec_col": self.vec_col}
+                "id_col": self.id_col, "vec_col": self.vec_col,
+                "residual": self.residual}
         with open(os.path.join(path, "ivfpq_meta.json"), "w") as f:
             json.dump(meta, f)
 
@@ -287,4 +411,5 @@ class IvfPqIndex(_MaintainableIndex):
         table = spark.read.parquet(os.path.join(path, "clusters"))
         return cls(np.asarray(meta["centroids"]),
                    PqCodec(np.asarray(meta["codebooks"])), table,
-                   meta["id_col"], meta["vec_col"])
+                   meta["id_col"], meta["vec_col"],
+                   residual=meta.get("residual", False))
