@@ -62,7 +62,10 @@ def _parse_metadata(text: str | None) -> dict[str, str] | None:
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="toy_vector_db_spark",
                                 description=__doc__.splitlines()[0])
-    p.add_argument("--data-dir", default="./vectodb_data")
+    p.add_argument("--config", default=None,
+                   help="YAML config (reference config.yaml surface; "
+                        "missing file -> defaults). Flags override it.")
+    p.add_argument("--data-dir", default=None)
     p.add_argument("--collection", default="vectors")
     p.add_argument("--metric", default="euclidean")
     p.add_argument("--master", default=None)
@@ -80,11 +83,16 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("count")
     sub.add_parser("delete").add_argument("id")
     r = sub.add_parser("random")
-    r.add_argument("id"); r.add_argument("dim", type=int)
+    r.add_argument("id")
+    r.add_argument("dim", type=int, nargs="?", default=None,
+                   help="defaults to vector.default_dimension from --config")
     m = sub.add_parser("set-metadata")
     m.add_argument("id"); m.add_argument("key"); m.add_argument("value")
     s = sub.add_parser("search")
-    s.add_argument("index", choices=["flat", "lsh", "ivf"])
+    s.add_argument("index", nargs="?", default=None,
+                   choices=["flat", "lsh", "ivf", "pq", "ivfpq"],
+                   help="defaults to indexing.type from --config "
+                        "(hnsw maps to ivf, config.resolve_index_type)")
     s.add_argument("id"); s.add_argument("k", type=int)
     st = sub.add_parser("search-text")
     st.add_argument("text"); st.add_argument("--k", type=int, default=10)
@@ -98,12 +106,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    from .config import load_config
     from .plans.catalog import CollectionCatalog
     from .plans.dialect import SqlEngine
     from .session import get_spark
 
+    cfg = load_config(args.config)
+    data_dir = args.data_dir if args.data_dir is not None \
+        else (cfg.storage.data_dir if args.config else "./vectodb_data")
     spark = get_spark("vectodb-cli", master=args.master)
-    catalog = CollectionCatalog(spark, args.data_dir)
+    catalog = CollectionCatalog(spark, data_dir)
     engine = SqlEngine(spark, catalog, default_metric=args.metric)
     coll = args.collection
     out = sys.stdout
@@ -125,7 +137,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Added vector {args.id}", file=out)
     elif cmd == "get":
         ensure()
-        df = catalog.read(coll).filter(f"id = '{args.id}'")
+        df = catalog.read(coll).filter(F.col("id") == args.id)
         print(format_result(df), file=out)
     elif cmd == "list":
         ensure()
@@ -136,14 +148,15 @@ def main(argv: list[str] | None = None) -> int:
         print(catalog.read(coll).count(), file=out)
     elif cmd == "delete":
         ensure()
-        n = catalog.delete(coll, f"id = '{args.id}'")
+        n = catalog.delete(coll, "id = '{}'".format(args.id.replace("'", "''")))
         print(f"Deleted {n} row(s)", file=out)
     elif cmd == "random":
         import random as _random
         ensure()
-        vec = [_random.random() for _ in range(args.dim)]
+        dim = args.dim if args.dim is not None else cfg.vector.default_dimension
+        vec = [_random.random() for _ in range(dim)]
         catalog.insert(coll, [(args.id, vec, None)])
-        print(f"Added random vector {args.id} (dim {args.dim})", file=out)
+        print(f"Added random vector {args.id} (dim {dim})", file=out)
     elif cmd == "set-metadata":
         ensure()
         n = catalog.set_metadata(coll, args.id, args.key, args.value)
@@ -153,15 +166,33 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.knn import knn, lookup_vector
         df = catalog.read(coll)
         qvec = lookup_vector(df.withColumnRenamed("id", "__id"), "__id", args.id)
-        if args.index == "flat":
+        index_type = args.index or cfg.resolve_index_type()
+        if index_type == "flat":
             res = knn(df, qvec, k=args.k + 1, metric=args.metric,
                       exclude_id=args.id, id_col="id").limit(args.k)
-        else:
+        elif index_type in ("lsh", "ivf"):
             from .operators.ann import IvfIndex, LshIndex
-            cls = LshIndex if args.index == "lsh" else IvfIndex
-            idx = cls.build(df, id_col="id", vec_col="embedding")
-            res = idx.search(qvec, k=args.k + 1, metric=args.metric) \
-                .filter(f"id <> '{args.id}'").limit(args.k)
+            params = cfg.spark_index_params()
+            if index_type == "lsh":
+                idx = LshIndex.build(df, id_col="id", vec_col="embedding")
+                res = idx.search(qvec, k=args.k + 1, metric=args.metric)
+            else:
+                # nlist from config, bounded by corpus size (KMeans
+                # needs k <= points; toy collections are tiny)
+                nlist = min(params["nlist"], max(1, df.count()))
+                idx = IvfIndex.build(df, n_centroids=nlist,
+                                     id_col="id", vec_col="embedding")
+                res = idx.search(qvec, k=args.k + 1, metric=args.metric,
+                                 nprobe=min(params["nprobe"], nlist))
+            res = res.filter(F.col("id") != args.id).limit(args.k)
+        else:  # pq / ivfpq: ADC is euclidean-only, rerank exact
+            from .operators.pq import IvfPqIndex, PqIndex
+            idx = (PqIndex.build(df, id_col="id", vec_col="embedding")
+                   if index_type == "pq" else
+                   IvfPqIndex.build_deterministic(df, id_col="id",
+                                                  vec_col="embedding"))
+            res = idx.search(qvec, k=args.k + 1, rerank=4) \
+                .filter(F.col("id") != args.id).limit(args.k)
         print(format_result(res.select("id", F.round("distance", 6).alias("distance"))), file=out)
     elif cmd == "search-text":
         ensure()
