@@ -81,6 +81,52 @@ def test_knn_join_two_phase_equals_window(spark):
     assert norm(a) == norm(b)
 
 
+def test_knn_join_ivf_full_probe_equals_exact(spark):
+    # probing every cluster makes the IVF join exhaustive, so it must
+    # reproduce the exact knn_join answer bit-for-bit
+    from toy_vector_db_spark.operators.ann import IvfIndex
+    from toy_vector_db_spark.operators.knn import knn_join_ivf
+    df = five_vectors(spark)
+    corpus = df.select(F.col("id").alias("vec_id"), "embedding")
+    queries = df.select(F.col("id").alias("query_id"),
+                        F.col("embedding").alias("query_vec"))
+    idx = IvfIndex.build_deterministic(corpus, n_centroids=3,
+                                       id_col="vec_id")
+    exact = knn_join(queries, corpus, k=2, metric="euclidean")
+    approx = knn_join_ivf(queries, idx, k=2, nprobe=3, metric="euclidean")
+    norm = lambda d: sorted((r["query_id"], r["vec_id"], round(r["distance"], 9))
+                            for r in d.collect())
+    assert norm(approx) == norm(exact)
+
+
+def test_knn_join_ivf_respects_tombstones(spark):
+    from toy_vector_db_spark.operators.ann import IvfIndex
+    from toy_vector_db_spark.operators.knn import knn_join_ivf
+    df = five_vectors(spark)
+    corpus = df.select(F.col("id").alias("vec_id"), "embedding")
+    queries = df.limit(2).select(F.col("id").alias("query_id"),
+                                 F.col("embedding").alias("query_vec"))
+    idx = IvfIndex.build_deterministic(corpus, n_centroids=2,
+                                       id_col="vec_id").delete(["vec1"])
+    res = knn_join_ivf(queries, idx, k=5, nprobe=2).collect()
+    assert res and all(r["vec_id"] != "vec1" for r in res)
+
+
+def test_knn_join_ivf_validates_params(spark):
+    from toy_vector_db_spark.operators.ann import IvfIndex
+    from toy_vector_db_spark.operators.knn import knn_join_ivf
+    df = five_vectors(spark)
+    corpus = df.select(F.col("id").alias("vec_id"), "embedding")
+    queries = df.limit(1).select(F.col("id").alias("query_id"),
+                                 F.col("embedding").alias("query_vec"))
+    idx = IvfIndex.build_deterministic(corpus, n_centroids=2,
+                                       id_col="vec_id")
+    with pytest.raises(ValueError):
+        knn_join_ivf(queries, idx, k=0)
+    with pytest.raises(ValueError):
+        knn_join_ivf(queries, idx, nprobe=0)
+
+
 def test_dim_mismatch_yields_null_distance_sorted_last(spark):
     """Reference errors on dimension mismatch (distance.go:56-58); the
     Spark engine scores mismatched rows as NULL distance, which sorts

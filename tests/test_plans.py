@@ -72,6 +72,16 @@ def test_knn_join_broadcasts_queries(spark):
     assert "Window" not in plan
 
 
+def test_knn_join_ivf_is_hash_equi_join(spark):
+    # the IVF-accelerated join must plan as a broadcast hash EQUI-join
+    # on the cluster id — never the nested-loop of the exact knn_join
+    plan = plan_of(spark, "knn_join_ivf_batch")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # reduction stays two-phase top-k
+
+
 def test_asof_join_is_single_shuffle_window(spark):
     plan = plan_of(spark, "asof_join_events")
     # union+window implementation: no nested-loop inequality join

@@ -179,13 +179,44 @@ def knn_auto(df: DataFrame, query_vec: Sequence[float], k: int = DEFAULT_K,
                exclude_id, id_col, dist_col, tie_col)
 
 
+def _per_query_topk(pairs: DataFrame, k: int, dist_col: str,
+                    two_phase: bool = True) -> DataFrame:
+    """Reduce scored (__qid, __cid, dist) pairs to the k best per query.
+
+    Two-phase: per-(query, partition) top-k first — a partition-local
+    aggregation, no shuffle — then the global merge shuffles at most
+    |queries| x num_partitions x k rows instead of |queries| x N.
+    struct(dist, id) sorts lexicographically, so ties at the k boundary
+    break on ascending corpus id — a deterministic total order.
+    """
+    def local_topk(df: DataFrame, keys: list[str]) -> DataFrame:
+        agg = df.groupBy(*keys).agg(
+            F.slice(F.sort_array(F.collect_list(F.struct(dist_col, "__cid"))),
+                    1, k).alias("__top"))
+        return agg.select(*[c for c in keys if c == "__qid"],
+                          F.explode("__top").alias("__t")).select(
+            "__qid", F.col(f"__t.__cid").alias("__cid"),
+            F.col(f"__t.{dist_col}").alias(dist_col))
+
+    if two_phase:
+        phase1 = local_topk(
+            pairs.withColumn("__pid", F.spark_partition_id()),
+            ["__qid", "__pid"])
+        return local_topk(phase1, ["__qid"])
+    from pyspark.sql import Window
+    w = Window.partitionBy("__qid").orderBy(F.col(dist_col).asc(),
+                                            F.col("__cid").asc())
+    return pairs.withColumn("__rn", F.row_number().over(w)) \
+        .filter(F.col("__rn") <= k).drop("__rn")
+
+
 def knn_join(queries: DataFrame, corpus: DataFrame, k: int = DEFAULT_K,
              metric: str = "euclidean",
              query_id_col: str = "query_id", query_vec_col: str = "query_vec",
              corpus_id_col: str = "vec_id", corpus_vec_col: str = "embedding",
              dist_col: str = "distance",
              two_phase: bool = True) -> DataFrame:
-    """For every query row, its k nearest corpus rows.
+    """For every query row, its k nearest corpus rows (exact).
 
     Output: (query_id, vec_id, distance). The query side is broadcast
     (it is the small side by construction); each corpus partition emits
@@ -201,29 +232,72 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = DEFAULT_K,
         "__qid", "__cid",
         distance(metric, F.col("__cvec"), F.col("__qvec")).alias(dist_col)
     ).filter(F.col(dist_col).isNotNull())  # drop dim-mismatch scores
-
-    def local_topk(df: DataFrame, keys: list[str]) -> DataFrame:
-        # slice(sort_array(collect_list(struct(dist,id)))) keeps only k
-        # rows per group; grouping by (query, partition) makes phase 1 a
-        # partition-local aggregation.
-        agg = df.groupBy(*keys).agg(
-            F.slice(F.sort_array(F.collect_list(F.struct(dist_col, "__cid"))),
-                    1, k).alias("__top"))
-        return agg.select(*[c for c in keys if c == "__qid"],
-                          F.explode("__top").alias("__t")).select(
-            "__qid", F.col(f"__t.__cid").alias("__cid"),
-            F.col(f"__t.{dist_col}").alias(dist_col))
-
-    if two_phase:
-        phase1 = local_topk(
-            pairs.withColumn("__pid", F.spark_partition_id()),
-            ["__qid", "__pid"])
-        topk = local_topk(phase1, ["__qid"])
-    else:
-        from pyspark.sql import Window
-        w = Window.partitionBy("__qid").orderBy(F.col(dist_col).asc())
-        topk = pairs.withColumn("__rn", F.row_number().over(w)) \
-            .filter(F.col("__rn") <= k).drop("__rn")
+    topk = _per_query_topk(pairs, k, dist_col, two_phase)
     return topk.select(F.col("__qid").alias(query_id_col),
                        F.col("__cid").alias(corpus_id_col),
+                       F.col(dist_col))
+
+
+def knn_join_ivf(queries: DataFrame, index, k: int = DEFAULT_K,
+                 nprobe: int = 3, metric: str = "euclidean",
+                 query_id_col: str = "query_id",
+                 query_vec_col: str = "query_vec",
+                 dist_col: str = "distance",
+                 two_phase: bool = True) -> DataFrame:
+    """IVF-accelerated similarity join: each query scores only the rows
+    of its ``nprobe`` nearest clusters.
+
+    ``knn_join`` is exact but every corpus row meets every query (a
+    broadcast nested-loop by construction). At 100 TB that is the
+    bottleneck: |corpus| x |queries| distance evaluations. This variant
+    turns the crossJoin into a broadcast hash EQUI-join on the cluster
+    id: queries explode to (query, probe_cluster) rows driver-free (the
+    centroid table is broadcast-sized, probe selection is a pure Column
+    expression), the corpus side keeps its IVF assignment from the
+    index, and the join prunes the candidate set to ~nprobe/n_centroids
+    of the corpus per query before any distance is computed. With the
+    index table saved partitioned by cluster, the probe filter is real
+    partition pruning at the source.
+
+    ``index`` is an :class:`~..operators.ann.IvfIndex` (tombstones are
+    respected). Probe selection orders by (centroid distance, centroid
+    index) — the same total order as the deterministic-IVF oracle, so
+    the whole join is value-checkable when the index was built with
+    ``IvfIndex.build_deterministic``.
+
+    Reference: generalizes NEAREST TO (executor.go:251-388) to batch
+    queries, accelerated the way faiss IVF batch search prunes, but as
+    a join the optimizer can reorder.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    centroids = index.centroids
+    qv = F.col(query_vec_col).cast("array<double>")
+    cdist = F.array(*[
+        F.struct(
+            F.sqrt(F.aggregate(
+                F.zip_with(qv, F.lit([float(x) for x in c]),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda s, x: s + x)).alias("d"),
+            F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)])
+    probes = F.transform(F.slice(F.sort_array(cdist), 1, nprobe),
+                         lambda s: s["i"])
+    q = F.broadcast(queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_vec_col).alias("__qvec"),
+        F.explode(probes).alias(index.PARTITION_COL)))
+    corpus = index._live(index.table)
+    pairs = corpus.select(
+        F.col(index.id_col).alias("__cid"),
+        F.col(index.vec_col).alias("__cvec"), index.PARTITION_COL
+    ).join(q, index.PARTITION_COL).select(
+        "__qid", "__cid",
+        distance(metric, F.col("__cvec"), F.col("__qvec")).alias(dist_col)
+    ).filter(F.col(dist_col).isNotNull())
+    topk = _per_query_topk(pairs, k, dist_col, two_phase)
+    return topk.select(F.col("__qid").alias(query_id_col),
+                       F.col("__cid").alias(index.id_col),
                        F.col(dist_col))

@@ -1238,6 +1238,59 @@ def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id", F.round("distance", 4).alias("distance"))
 
 
+# IVF-accelerated batch similarity join with a FULL value oracle:
+# deterministic centroids (smallest md5(vec_id)) let DuckDB replay the
+# corpus cluster assignment, each query's nprobe probe selection, the
+# cluster equi-join, and the per-query ranked top-k. The Spark plan is
+# a broadcast hash EQUI-join on the cluster id (plan-asserted) — the
+# scale path that replaces knn_join's nested-loop at 100 TB.
+def _knn_join_ivf_oracle(n_centroids: int = 8, nprobe: int = 3,
+                         k: int = 5) -> str:
+    eu = ("sqrt(list_sum(list_transform(list_zip({x}, c), "
+          "pr -> (pr[1]-pr[2])*(pr[1]-pr[2]))))")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
+         FROM e ORDER BY h, vec_id LIMIT {n_centroids}),
+cents AS (SELECT list(v ORDER BY h, vec_id) AS cs FROM cent),
+assigned AS (
+  SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cluster
+  FROM (SELECT vec_id, v,
+          list_transform((SELECT cs FROM cents), c -> {eu.format(x='v')}) AS ds
+        FROM e)),
+qs AS (SELECT vec_id AS query_id, v AS qv,
+              list_transform((SELECT cs FROM cents),
+                             c -> {eu.format(x='v')}) AS ds
+       FROM e WHERE vec_id IN (1, 2, 3, 4, 5)),
+probes AS (
+  SELECT query_id, qv, i - 1 AS cluster
+  FROM (SELECT query_id, qv, unnest(ds) AS d,
+               generate_subscripts(ds, 1) AS i FROM qs)
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, i) <= {nprobe}),
+cand AS (
+  SELECT p.query_id, a.vec_id,
+         sqrt(list_sum(list_transform(list_zip(a.v, p.qv),
+              pr -> (pr[1]-pr[2])*(pr[1]-pr[2])))) AS dist
+  FROM assigned a JOIN probes p USING (cluster))
+SELECT query_id, vec_id, ROUND(dist, 4) AS distance
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= {k}
+"""
+
+
+@q("knn_join_ivf_batch", _knn_join_ivf_oracle())
+def knn_join_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import IvfIndex
+    from .operators.knn import knn_join_ivf
+    e = _t(spark, sf_dir, "embeddings")
+    idx = IvfIndex.build_deterministic(e, n_centroids=8)
+    queries = e.filter(F.col("vec_id").isin(1, 2, 3, 4, 5)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    return knn_join_ivf(queries, idx, k=5, nprobe=3,
+                        metric="euclidean").select(
+        "query_id", "vec_id", F.round("distance", 4).alias("distance"))
+
+
 # LSH ANN with a FULL value oracle: hyperplane coefficients derive
 # from md5 (ann.hyperplanes), so DuckDB recomputes the identical
 # signatures, the identical multiprobe candidate set (Hamming ball via
