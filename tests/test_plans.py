@@ -82,6 +82,19 @@ def test_knn_join_ivf_is_hash_equi_join(spark):
     assert "Window" not in plan  # reduction stays two-phase top-k
 
 
+def test_knn_join_ivfpq_is_hash_equi_join_on_codes(spark):
+    # compressed-domain batch join: hash equi-join on the cluster id,
+    # no nested-loop/cartesian, reduction stays two-phase top-k, and
+    # the scored side reads codes — no raw-vector distance fold appears
+    # in the join (aggregate over zip_with only in the broadcast-side
+    # LUT projection)
+    plan = plan_of(spark, "knn_join_ivfpq_batch")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
 def test_asof_join_is_single_shuffle_window(spark):
     plan = plan_of(spark, "asof_join_events")
     # union+window implementation: no nested-loop inequality join

@@ -189,3 +189,71 @@ def test_ivfpq_maintenance(spark, emb, ivfpq, qvec):
     idx3 = idx2.delete([910007])
     assert 910007 not in {r["vec_id"]
                           for r in idx3.search(qvec, k=5, nprobe=3).collect()}
+
+
+# ---------------------------------------------------------------------------
+# Compressed-domain batch join (knn_join_ivfpq)
+# ---------------------------------------------------------------------------
+
+
+def _batch_queries(emb, ids):
+    return emb.filter(F.col("vec_id").isin(*ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+
+
+def test_join_ivfpq_matches_single_query_search(emb, ivfpq):
+    # the batch join must reproduce the single-query ADC search
+    # per query, distances included
+    from toy_vector_db_spark.operators.pq import knn_join_ivfpq
+    queries = _batch_queries(emb, [7, 11])
+    joined = knn_join_ivfpq(queries, ivfpq, k=5, nprobe=3).collect()
+    for qid in (7, 11):
+        qvec = lookup_vector(emb, "vec_id", qid)
+        single = [(r["vec_id"], round(r["distance"], 6))
+                  for r in ivfpq.search(qvec, k=5, nprobe=3).collect()]
+        batch = sorted(((r["vec_id"], round(r["distance"], 6))
+                        for r in joined if r["query_id"] == qid),
+                       key=lambda t: (t[1], t[0]))
+        assert batch == single
+
+
+def test_join_ivfpq_residual_mode_matches_single(emb):
+    # residual mode: per-(query, cluster) LUTs via the equi-join must
+    # equal the single-query nprobe-way CASE scoring
+    from toy_vector_db_spark.operators.pq import IvfPqIndex, knn_join_ivfpq
+    idx = IvfPqIndex.build_residual(emb, n_centroids=8, m=4, ks=8)
+    queries = _batch_queries(emb, [7, 11])
+    joined = knn_join_ivfpq(queries, idx, k=5, nprobe=3).collect()
+    for qid in (7, 11):
+        qvec = lookup_vector(emb, "vec_id", qid)
+        single = [(r["vec_id"], round(r["distance"], 6))
+                  for r in idx.search(qvec, k=5, nprobe=3).collect()]
+        batch = sorted(((r["vec_id"], round(r["distance"], 6))
+                        for r in joined if r["query_id"] == qid),
+                       key=lambda t: (t[1], t[0]))
+        assert batch == single
+
+
+def test_join_ivfpq_rerank_distances_are_exact(emb, ivfpq):
+    # reranked distances must equal true euclidean distances
+    from toy_vector_db_spark.functions.distance import distance
+    from toy_vector_db_spark.operators.pq import knn_join_ivfpq
+    queries = _batch_queries(emb, [7])
+    res = knn_join_ivfpq(queries, ivfpq, k=5, nprobe=8, rerank=4).collect()
+    qvec = lookup_vector(emb, "vec_id", 7)
+    truth = {r["vec_id"]: r["distance"] for r in emb.withColumn(
+        "distance", distance("euclidean", F.col("embedding"),
+                             F.lit(qvec).cast("array<double>"))).collect()}
+    assert len(res) == 5
+    for r in res:
+        assert abs(r["distance"] - truth[r["vec_id"]]) < 1e-9
+
+
+def test_join_ivfpq_validates_params(emb, ivfpq):
+    from toy_vector_db_spark.operators.pq import knn_join_ivfpq
+    queries = _batch_queries(emb, [7])
+    with pytest.raises(ValueError):
+        knn_join_ivfpq(queries, ivfpq, k=0)
+    with pytest.raises(ValueError):
+        knn_join_ivfpq(queries, ivfpq, nprobe=0)

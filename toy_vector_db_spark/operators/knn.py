@@ -238,6 +238,26 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = DEFAULT_K,
                        F.col(dist_col))
 
 
+def probe_clusters_expr(centroids, qvec_col: Column, nprobe: int) -> Column:
+    """Each row's ``nprobe`` nearest centroid indexes as an
+    ``array<int>`` Column — the distributed analogue of
+    ``IvfIndex.probe_clusters``. Orders by (centroid distance,
+    centroid index): struct sort gives the same total order as the
+    deterministic-IVF oracle's ``ORDER BY d, i``. The centroid matrix
+    is broadcast-sized by construction, inlined as literals."""
+    qv = qvec_col.cast("array<double>")
+    cdist = F.array(*[
+        F.struct(
+            F.sqrt(F.aggregate(
+                F.zip_with(qv, F.lit([float(x) for x in c]),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda s, x: s + x)).alias("d"),
+            F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)])
+    return F.transform(F.slice(F.sort_array(cdist), 1, nprobe),
+                       lambda s: s["i"])
+
+
 def knn_join_ivf(queries: DataFrame, index, k: int = DEFAULT_K,
                  nprobe: int = 3, metric: str = "euclidean",
                  query_id_col: str = "query_id",
@@ -273,18 +293,8 @@ def knn_join_ivf(queries: DataFrame, index, k: int = DEFAULT_K,
         raise ValueError(f"k must be >= 1, got {k}")
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
-    centroids = index.centroids
-    qv = F.col(query_vec_col).cast("array<double>")
-    cdist = F.array(*[
-        F.struct(
-            F.sqrt(F.aggregate(
-                F.zip_with(qv, F.lit([float(x) for x in c]),
-                           lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda s, x: s + x)).alias("d"),
-            F.lit(i).alias("i"))
-        for i, c in enumerate(centroids)])
-    probes = F.transform(F.slice(F.sort_array(cdist), 1, nprobe),
-                         lambda s: s["i"])
+    probes = probe_clusters_expr(index.centroids,
+                                 F.col(query_vec_col), nprobe)
     q = F.broadcast(queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(query_vec_col).alias("__qvec"),

@@ -153,6 +153,36 @@ class PqCodec:
         """Approximate euclidean distance from the stored codes alone."""
         return self.adc_from_lut(self.lut(qvec), code_col)
 
+    def lut_expr(self, qvec_col):
+        """The ADC lookup table as an ``array<array<double>>`` Column
+        (shape m x ks) computed from a query-vector COLUMN — the
+        distributed analogue of :meth:`lut` for batch joins, where each
+        query row (or each (query, probed-cluster) row in residual
+        mode) needs its own table. m*ks short folds per row, evaluated
+        once per query — queries are the small side by construction."""
+        qv = qvec_col.cast("array<double>")
+        rows = []
+        for j in range(self.m):
+            sub = F.slice(qv, j * self.dsub + 1, self.dsub)
+            rows.append(F.array(*[
+                F.aggregate(
+                    F.zip_with(sub, F.lit([float(x) for x in c]),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda s, x: s + x)
+                for c in self.codebooks[j]]))
+        return F.array(*rows)
+
+    def adc_from_lut_col(self, lut_col, code_col: str = "__code"):
+        """ADC distance when the lookup table is a COLUMN (batch
+        joins): ``sqrt(sum_j lut[j][code_j])`` — m nested array
+        lookups per scored pair, never a dim-length fold."""
+        total = F.lit(0.0)
+        for j in range(self.m):
+            total = total + F.element_at(
+                F.element_at(lut_col, j + 1),
+                F.element_at(F.col(code_col), j + 1) + 1)
+        return F.sqrt(total)
+
 
 def _lloyd(S: np.ndarray, ks: int, iters: int, rng) -> np.ndarray:
     """Plain Lloyd iterations, BLAS-shaped (||s||^2 + ||c||^2 - 2 s.c —
@@ -413,3 +443,79 @@ class IvfPqIndex(_MaintainableIndex):
                    PqCodec(np.asarray(meta["codebooks"])), table,
                    meta["id_col"], meta["vec_col"],
                    residual=meta.get("residual", False))
+
+
+def knn_join_ivfpq(queries: DataFrame, index: IvfPqIndex,
+                   k: int = DEFAULT_K, nprobe: int = 3, rerank: int = 0,
+                   query_id_col: str = "query_id",
+                   query_vec_col: str = "query_vec",
+                   dist_col: str = "distance",
+                   two_phase: bool = True) -> DataFrame:
+    """Batch similarity join over the compressed index: IVF cluster
+    pruning + per-query ADC scoring — the billion-scale batch-search
+    layout (faiss IVFx,PQy batch mode) as a DataFrame join.
+
+    Each query row explodes to its ``nprobe`` nearest clusters and
+    carries its own ADC lookup table, computed as a Column expression
+    (``PqCodec.lut_expr``) — in residual mode from ``q - centroid_c``
+    per exploded row, so the cluster equi-join automatically pairs
+    every corpus row with the right table. The join side scans only
+    the m code bytes per row; scoring is m array lookups per pair
+    (``adc_from_lut_col``), never a dim-length fold. Reduction is the
+    shared two-phase top-k.
+
+    ``rerank > 0`` re-scores the top ``rerank * k`` ADC candidates per
+    query with TRUE euclidean distances — only the short-list (a
+    broadcast-sized set) ever touches raw vectors, so the index table
+    may be saved with ``drop_vectors=True`` as long as ``index.table``
+    retains the vector column locally (re-rank joins back to it).
+    """
+    from .knn import _per_query_topk, probe_clusters_expr
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    probes = probe_clusters_expr(index.centroids,
+                                 F.col(query_vec_col), nprobe)
+    q = queries.select(F.col(query_id_col).alias("__qid"),
+                       F.col(query_vec_col).alias("__qvec"),
+                       F.explode(probes).alias("__cluster"))
+    if index.residual:
+        cents = F.array(*[F.lit([float(x) for x in c]).cast("array<double>")
+                          for c in index.centroids])
+        qeff = F.zip_with(F.col("__qvec").cast("array<double>"),
+                          F.element_at(cents, F.col("__cluster") + 1),
+                          lambda x, y: x - y)
+    else:
+        qeff = F.col("__qvec")
+    q = F.broadcast(q.withColumn("__lut", index.codec.lut_expr(qeff))
+                    .drop("__qvec"))
+    corpus = index._live(index.table)
+    pairs = corpus.select(
+        F.col(index.id_col).alias("__cid"), "__cluster", "__code"
+    ).join(q, "__cluster").select(
+        "__qid", "__cid",
+        index.codec.adc_from_lut_col(F.col("__lut")).alias(dist_col)
+    ).filter(F.col(dist_col).isNotNull())
+    topk = _per_query_topk(pairs, rerank * k if rerank else k,
+                           dist_col, two_phase)
+    out = topk.select(F.col("__qid").alias(query_id_col),
+                      F.col("__cid").alias(index.id_col), F.col(dist_col))
+    if not rerank:
+        return out
+    from ..functions.distance import distance as dist_fn
+    qv = queries.select(query_id_col, query_vec_col)
+    # short-list (|queries| x rerank*k rows) + query vectors: broadcast
+    # it against the base table — raw vectors never shuffle
+    short = out.drop(dist_col).join(F.broadcast(qv), query_id_col)
+    base = index._live(index.table).select(index.id_col, index.vec_col)
+    exact = base.join(F.broadcast(short), index.id_col).select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(index.id_col).alias("__cid"),
+        dist_fn("euclidean", F.col(index.vec_col),
+                F.col(query_vec_col)).alias(dist_col))
+    final = _per_query_topk(exact, k, dist_col, two_phase=False)
+    return final.select(F.col("__qid").alias(query_id_col),
+                        F.col("__cid").alias(index.id_col),
+                        F.col(dist_col))

@@ -1493,6 +1493,84 @@ ORDER BY sqrt({adc}) ASC, a.vec_id ASC LIMIT {KNN_K}
 """
 
 
+# Compressed-domain batch join: the IVF-join oracle's per-query probe
+# selection composed with the PQ oracle's codebooks/codes/ADC — DuckDB
+# replays the entire batch pipeline (assign -> probe -> equi-join ->
+# per-query LUT -> ADC ranking) for every query at once.
+def _knn_join_ivfpq_oracle(n_centroids: int = 8, nprobe: int = 3,
+                           m: int = 4, ks: int = 8, k: int = 5) -> str:
+    eu = ("sqrt(list_sum(list_transform(list_zip({x}, c), "
+          "pr -> (pr[1]-pr[2])*(pr[1]-pr[2]))))")
+
+    def subd(x: str, j: int) -> str:
+        off = f"{j} * (len({x}) // {m})"
+        return (f"list_sum(list_transform(range(1, len({x}) // {m} + 1), "
+                f"i -> ({x}[{off} + i] - c[{off} + i]) * "
+                f"({x}[{off} + i] - c[{off} + i])))")
+
+    code_cols = ",\n    ".join(
+        f"list_position(ds{j}, list_min(ds{j})) - 1 AS code{j}"
+        for j in range(m))
+    ds_cols = ",\n    ".join(
+        f"list_transform((SELECT bs FROM books), c -> {subd('v', j)}) AS ds{j}"
+        for j in range(m))
+    qlut_cols = ",\n    ".join(
+        f"list_transform((SELECT bs FROM books), c -> {subd('q', j)}) AS lut{j}"
+        for j in range(m))
+    adc = " + ".join(f"lut{j}[code{j} + 1]" for j in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
+         FROM e ORDER BY h, vec_id LIMIT {n_centroids}),
+cents AS (SELECT list(v ORDER BY h, vec_id) AS cs FROM cent),
+assigned AS (
+  SELECT vec_id, list_position(ds, list_min(ds)) - 1 AS cluster
+  FROM (SELECT vec_id,
+          list_transform((SELECT cs FROM cents), c -> {eu.format(x='v')}) AS ds
+        FROM e)),
+qs AS (SELECT vec_id AS query_id, v AS q,
+              list_transform((SELECT cs FROM cents),
+                             c -> {eu.format(x='v')}) AS ds
+       FROM e WHERE vec_id IN (1, 2, 3, 4, 5)),
+probes AS (
+  SELECT query_id, i - 1 AS cluster
+  FROM (SELECT query_id, unnest(ds) AS d,
+               generate_subscripts(ds, 1) AS i FROM qs)
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, i) <= {nprobe}),
+cb AS (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
+       FROM e ORDER BY h, vec_id LIMIT {ks}),
+books AS (SELECT list(v ORDER BY h, vec_id) AS bs FROM cb),
+coded AS (
+  SELECT vec_id,
+    {code_cols}
+  FROM (SELECT vec_id,
+    {ds_cols}
+        FROM e)),
+qlut AS (
+  SELECT query_id,
+    {qlut_cols}
+  FROM qs),
+cand AS (
+  SELECT p.query_id, a.vec_id, sqrt({adc}) AS dist
+  FROM assigned a JOIN probes p USING (cluster)
+       JOIN coded USING (vec_id) JOIN qlut USING (query_id))
+SELECT query_id, vec_id, ROUND(dist, 4) AS distance
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= {k}
+"""
+
+
+@q("knn_join_ivfpq_batch", _knn_join_ivfpq_oracle())
+def knn_join_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pq import IvfPqIndex, knn_join_ivfpq
+    e = _t(spark, sf_dir, "embeddings")
+    idx = IvfPqIndex.build_deterministic(e, n_centroids=8, m=4, ks=8)
+    queries = e.filter(F.col("vec_id").isin(1, 2, 3, 4, 5)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    return knn_join_ivfpq(queries, idx, k=5, nprobe=3).select(
+        "query_id", "vec_id", F.round("distance", 4).alias("distance"))
+
+
 @q("ann_ivfpq_topk", _ann_ivfpq_oracle())
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.knn import lookup_vector
