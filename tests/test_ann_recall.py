@@ -92,6 +92,45 @@ def test_ivfpq_residual_recall_gate(spark, clustered):
     assert fraction <= 0.1, f"IVF-PQ candidate fraction {fraction:.3f} > 0.1"
 
 
+def test_knn_join_ivf_batch_recall_gate(spark, clustered):
+    """The batch join must hit the same quality bar as the per-query
+    search path: >=90% of true neighbors per query at nprobe=2 over a
+    32-cluster index — one equi-join for all queries at once."""
+    from toy_vector_db_spark.operators.knn import knn_join_ivf
+    df, queries, exact = clustered
+    idx = IvfIndex.build(df, n_centroids=32, train_rows=N)
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(queries)],
+        "query_id BIGINT, query_vec ARRAY<DOUBLE>")
+    rows = knn_join_ivf(qdf, idx, k=K, nprobe=2,
+                        metric="euclidean").collect()
+    recalls = []
+    for i, truth in enumerate(exact):
+        got = {r["vec_id"] for r in rows if r["query_id"] == i}
+        recalls.append(len(got & truth) / len(truth))
+    recall = float(np.mean(recalls))
+    assert recall >= 0.9, f"batch IVF join recall {recall:.3f} < 0.9"
+
+
+def test_knn_join_ivfpq_batch_recall_gate(spark, clustered):
+    """Compressed-domain batch join with residual codes + exact rerank
+    reaches the same gate while the join scans only code bytes."""
+    from toy_vector_db_spark.operators.pq import knn_join_ivfpq
+    df, queries, exact = clustered
+    idx = IvfPqIndex.build_residual(df, n_centroids=32, m=8, ks=16,
+                                    trained_centroids=True, train_rows=N)
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(queries)],
+        "query_id BIGINT, query_vec ARRAY<DOUBLE>")
+    rows = knn_join_ivfpq(qdf, idx, k=K, nprobe=2, rerank=10).collect()
+    recalls = []
+    for i, truth in enumerate(exact):
+        got = {r["vec_id"] for r in rows if r["query_id"] == i}
+        recalls.append(len(got & truth) / len(truth))
+    recall = float(np.mean(recalls))
+    assert recall >= 0.9, f"batch IVF-PQ join recall {recall:.3f} < 0.9"
+
+
 def test_residual_beats_raw_at_equal_code_size(spark, clustered):
     """The residual claim (pq.py IvfPqIndex docstring): at identical
     (n_centroids, m, ks) — same bytes per row — residual codes must
