@@ -64,3 +64,31 @@ def test_saved_lsh_index_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "__sig" in plan.split("PartitionFilters")[1][:200]
     assert len(res.collect()) == 5
+
+
+def test_batch_join_dynamic_partition_pruning(spark, tmp_path):
+    """knn_join_ivf over a LOADED partitioned index: the probed-cluster
+    set lives on the broadcast query side, not in a static filter, so
+    source-level pruning must come from DYNAMIC partition pruning —
+    Spark plants a dynamicpruning subquery on the partitioned scan.
+    This is the 100 TB property: a batch of queries reads only the
+    cluster directories their probes name, however big the corpus."""
+    from pyspark.sql import functions as F
+    from toy_vector_db_spark.operators.ann import IvfIndex
+    from toy_vector_db_spark.operators.knn import knn_join_ivf
+    from toy_vector_db_spark.workload import _t
+
+    e = _t(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = IvfIndex.build_deterministic(e, n_centroids=8)
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    loaded = IvfIndex.load(spark, path)
+    queries = e.filter(F.col("vec_id").isin(1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    res = knn_join_ivf(queries, loaded, k=5, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert "PartitionFilters" in plan
+    rows = res.collect()
+    assert len(rows) == 10  # 2 queries x k=5
