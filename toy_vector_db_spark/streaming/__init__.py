@@ -5,3 +5,6 @@ from .events import (  # noqa: F401
 from .index_ingest import (  # noqa: F401
     encode_index_stream, load_fresh, start_index_ingest,
 )
+from .search import (  # noqa: F401
+    read_search_results, score_query_stream, start_streaming_search,
+)

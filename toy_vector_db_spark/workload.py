@@ -1766,6 +1766,42 @@ def events_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("events_rollup_streaming")
 
 
+# Streaming similarity search with a FULL value oracle: the query feed
+# is drained with Trigger.AvailableNow through the stream-static
+# cluster equi-join + foreachBatch top-k (streaming/search.py), so the
+# sink must equal the batch knn_join_ivf answer — same oracle SQL as
+# knn_join_ivf_batch.
+@q("knn_search_streaming", _knn_join_ivf_oracle())
+def knn_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .operators.ann import IvfIndex
+    from .streaming.search import read_search_results, start_streaming_search
+    e = _t(spark, sf_dir, "embeddings")
+    idx = IvfIndex.build_deterministic(e, n_centroids=8)
+    stream = (spark.readStream
+              .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+              .parquet(os.path.join(sf_dir, "embeddings.parque[t]"))
+              .filter(F.col("vec_id").isin(1, 2, 3, 4, 5))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("query_vec")))
+    tmp = tempfile.mkdtemp(prefix="knn_search_streaming_")
+    out, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+    try:
+        q_ = start_streaming_search(idx, stream, out, ckpt, k=5, nprobe=3,
+                                    available_now=True)
+        q_.awaitTermination(300)
+        res = read_search_results(spark, out).select(
+            "query_id", "vec_id",
+            F.round("distance", 4).alias("distance"))
+        # the sink dir is removed on exit; materialize before cleanup
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Range (interval) join: band events by value against an irregular
 # band dimension (operators/rangejoin.py). Dimension-sized bands =>
