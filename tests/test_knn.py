@@ -187,3 +187,32 @@ def test_knn_auto_tier_selection(spark):
     forced = knn_auto(e, [0.1] * dim, k=3, arrow_min_dim=dim + 1)
     forced_plan = forced._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in forced_plan
+
+
+def test_knn_join_ivf_shuffle_path_equals_broadcast(spark):
+    # broadcast_queries=False (the both-sides-large tier) must return
+    # the identical answer via a shuffle equi-join on the cluster id
+    from toy_vector_db_spark.operators.ann import IvfIndex
+    from toy_vector_db_spark.operators.knn import knn_join_ivf
+    df = five_vectors(spark)
+    corpus = df.select(F.col("id").alias("vec_id"), "embedding")
+    queries = df.select(F.col("id").alias("query_id"),
+                        F.col("embedding").alias("query_vec"))
+    idx = IvfIndex.build_deterministic(corpus, n_centroids=3,
+                                       id_col="vec_id")
+    a = knn_join_ivf(queries, idx, k=2, nprobe=2)
+    b = knn_join_ivf(queries, idx, k=2, nprobe=2, broadcast_queries=False)
+    norm = lambda d: sorted((r["query_id"], r["vec_id"], round(r["distance"], 9))
+                            for r in d.collect())
+    assert norm(a) == norm(b)
+    # and it must not plan as a broadcast of the query side
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = knn_join_ivf(queries, idx, k=2, nprobe=2,
+                            broadcast_queries=False)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

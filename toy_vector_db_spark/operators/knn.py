@@ -263,7 +263,8 @@ def knn_join_ivf(queries: DataFrame, index, k: int = DEFAULT_K,
                  query_id_col: str = "query_id",
                  query_vec_col: str = "query_vec",
                  dist_col: str = "distance",
-                 two_phase: bool = True) -> DataFrame:
+                 two_phase: bool = True,
+                 broadcast_queries: bool = True) -> DataFrame:
     """IVF-accelerated similarity join: each query scores only the rows
     of its ``nprobe`` nearest clusters.
 
@@ -295,10 +296,16 @@ def knn_join_ivf(queries: DataFrame, index, k: int = DEFAULT_K,
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     probes = probe_clusters_expr(index.centroids,
                                  F.col(query_vec_col), nprobe)
-    q = F.broadcast(queries.select(
+    q = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(query_vec_col).alias("__qvec"),
-        F.explode(probes).alias(index.PARTITION_COL)))
+        F.explode(probes).alias(index.PARTITION_COL))
+    # small query batches broadcast (and get dynamic partition pruning
+    # on a saved layout); a query side too big to broadcast — e.g.
+    # all-pairs near-neighbor where queries ARE a corpus — shuffles
+    # both sides by cluster id instead, so each cluster's candidates
+    # co-locate and the pairwise work stays bounded per cluster
+    q = F.broadcast(q) if broadcast_queries else q
     corpus = index._live(index.table)
     pairs = corpus.select(
         F.col(index.id_col).alias("__cid"),
