@@ -278,6 +278,22 @@ class LshIndex(_MaintainableIndex):
 # ---------------------------------------------------------------------------
 
 
+def det_sample(df: DataFrame, n: int, id_col: str,
+               vec_col: str) -> np.ndarray:
+    """The ``n`` corpus vectors with smallest (md5(id), id) as a
+    matrix — the deterministic pseudo-random sample behind every
+    engine-reproducible fit (det-IVF centroids, PQ codebooks). One
+    TakeOrdered job; callers needing both centroids AND codebooks
+    collect once with max(n_centroids, ks) and slice."""
+    rows = (df.select(F.col(vec_col).cast("array<double>").alias("v"),
+                      F.col(id_col).alias("i"))
+            .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+            .limit(n).collect())
+    if not rows:
+        raise ValueError("cannot build index over an empty corpus")
+    return np.array([list(r["v"]) for r in rows])
+
+
 class IvfIndex(_MaintainableIndex):
     """Centroid-partitioned ANN index. Build: MLlib KMeans (public
     Spark API) over a sample; assign every row to its nearest centroid.
@@ -332,21 +348,20 @@ class IvfIndex(_MaintainableIndex):
     @classmethod
     def build_deterministic(cls, df: DataFrame, n_centroids: int = 8,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> "IvfIndex":
+                            vec_col: str = "embedding",
+                            sample: np.ndarray | None = None) -> "IvfIndex":
         """Init-only IVF: centroids are the ``n_centroids`` corpus
         vectors with the smallest md5(id) — a deterministic pseudo-random
         sample that any SQL engine reproduces, so cluster assignment,
         probe selection, and the pruned search are all value-checkable
         by the DuckDB oracle (workload.ann_ivf_det_topk). Recall behaves
         like sampled-centroid IVF; use ``build`` for Lloyd-trained
-        centroids when bit-reproducibility isn't needed."""
-        rows = (df.select(F.col(vec_col).cast("array<double>").alias("v"),
-                          F.col(id_col).alias("i"))
-                .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
-                .limit(n_centroids).collect())
-        if not rows:
-            raise ValueError("cannot build index over an empty corpus")
-        centroids = np.array([list(r["v"]) for r in rows])
+        centroids when bit-reproducibility isn't needed. ``sample``
+        short-circuits the collect when the caller already holds the
+        det_sample matrix (first ``n_centroids`` rows are used)."""
+        if sample is None:
+            sample = det_sample(df, n_centroids, id_col, vec_col)
+        centroids = np.asarray(sample)[:n_centroids]
         table = df.withColumn("__cluster", cls._assign_expr(centroids, vec_col))
         return cls(centroids, table, id_col, vec_col)
 

@@ -56,22 +56,25 @@ class PqCodec:
     @classmethod
     def fit_deterministic(cls, df: DataFrame, m: int = 4, ks: int = 8,
                           id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> "PqCodec":
+                          vec_col: str = "embedding",
+                          sample: np.ndarray | None = None) -> "PqCodec":
         """Codebook entries = subvector slices of the ``ks`` corpus
         vectors with smallest (md5(id), id) — a deterministic
         pseudo-random sample any engine reproduces. Real deployments
-        swap in KMeans-per-subspace; the fit API is the same."""
-        rows = (df.select(F.col(vec_col).cast("array<double>").alias("v"),
-                          F.col(id_col).alias("i"))
-                .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
-                .limit(ks).collect())
-        if len(rows) < ks:
+        swap in KMeans-per-subspace; the fit API is the same.
+        ``sample`` short-circuits the collect when the caller already
+        holds the det_sample matrix (first ``ks`` rows are used)."""
+        from .ann import det_sample
+
+        if sample is None:
+            sample = det_sample(df, ks, id_col, vec_col)
+        sample = np.asarray(sample)[:ks]
+        if len(sample) < ks:
             raise ValueError(f"need >= {ks} rows to fit {ks} codes")
-        dim = len(rows[0]["v"])
+        dim = sample.shape[1]
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m}")
         dsub = dim // m
-        sample = np.array([list(r["v"]) for r in rows])  # (ks, dim)
         books = np.stack([sample[:, j * dsub:(j + 1) * dsub]
                           for j in range(m)])            # (m, ks, dsub)
         return cls(books)
@@ -327,9 +330,16 @@ class IvfPqIndex(_MaintainableIndex):
                             m: int = 4, ks: int = 8,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> "IvfPqIndex":
-        """One map-only pass adds both the cluster id and the code."""
-        ivf = IvfIndex.build_deterministic(df, n_centroids, id_col, vec_col)
-        codec = PqCodec.fit_deterministic(df, m, ks, id_col, vec_col)
+        """One map-only pass adds both the cluster id and the code.
+        Centroids and codebooks slice the SAME det_sample collect —
+        one driver job instead of two identical ones."""
+        from .ann import det_sample
+
+        sample = det_sample(df, max(n_centroids, ks), id_col, vec_col)
+        ivf = IvfIndex.build_deterministic(df, n_centroids, id_col,
+                                           vec_col, sample=sample)
+        codec = PqCodec.fit_deterministic(df, m, ks, id_col, vec_col,
+                                          sample=sample)
         return cls(ivf.centroids, codec, codec.encode(ivf.table, vec_col),
                    id_col, vec_col)
 
