@@ -69,3 +69,26 @@ def test_word_shingles(spark):
 def test_quality_score_null_safe_empty(spark):
     got = _vals(spark, [""], quality_score)
     assert got[0] == pytest.approx(0.1)  # only the 0.5 tok-len term * 0.2
+
+
+def test_repetition_struct_signals(spark):
+    from toy_vector_db_spark.functions.text import repetition_struct
+    rows = _vals(spark, [
+        "a a a a a a a a a a",            # 1 distinct / 10 tokens
+        "one two three four five six",    # all distinct
+        "x",                              # single token: no bigrams
+        "#### @@@@ //// {}{}",            # symbol soup
+    ], repetition_struct)
+    dup = rows[0]
+    assert dup["dup_word_frac"] == pytest.approx(0.9)
+    assert dup["top_bigram_frac"] == pytest.approx(1.0)  # "a a" is every bigram
+    assert not dup["keep"]
+    clean = rows[1]
+    assert clean["dup_word_frac"] == pytest.approx(0.0)
+    assert clean["top_bigram_frac"] == 0.0   # no bigram repeats
+    assert clean["keep"]
+    single = rows[2]
+    assert single["top_bigram_frac"] == 0.0
+    sym = rows[3]
+    assert sym["symbol_ratio"] > 0.5
+    assert not sym["keep"]

@@ -150,6 +150,73 @@ def text_stats_struct(text: Column) -> Column:
     return bind_once(tokens(text), lambda tk: bind_once(stats_from_tokens(tk), build))
 
 
+# Gopher-style repetition/symbol gates (Rae et al. 2021,
+# arXiv:2112.11446 §A.1.1). Thresholds are module constants so the
+# oracle SQL and any pipeline config stay in lockstep.
+GOPHER_MAX_DUP_WORD_FRAC = 0.6
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.1
+GOPHER_MAX_SYMBOL_RATIO = 0.05
+SYMBOL_CLASS = r"[#@*/\\{}<>|~^]"
+
+
+def repetition_struct(text: Column) -> Column:
+    """Gopher-style repetition/symbol quality signals as ONE struct:
+
+    - ``dup_word_frac``: 1 − |distinct tokens| / |tokens| — the mass of
+      the document that is repeated words;
+    - ``top_bigram_frac``: occurrences of the modal bigram / |bigrams|;
+    - ``symbol_ratio``: symbol characters (SYMBOL_CLASS) / characters;
+    - ``keep``: all three under their GOPHER_MAX_* thresholds.
+
+    Pure Column expressions (whole-stage codegen, map-only — the 100 TB
+    shape for corpus filtering). The modal-bigram count is
+    O(distinct · n) per row, bounded by document length, never a
+    shuffle. Beyond-parity extension: the reference has no corpus
+    filters (its only text handling is pipeline/processor.go:21-40)."""
+    from .util import bind_once
+
+    n_chars = F.length(text).cast("double")
+    sym = (F.length(text)
+           - F.length(F.regexp_replace(text, SYMBOL_CLASS, ""))).cast("double")
+    symbol_ratio = F.when(n_chars > 0, sym / n_chars).otherwise(F.lit(0.0))
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        dup = F.when(n > 0,
+                     1.0 - F.size(F.array_distinct(toks)).cast("double") / n) \
+               .otherwise(F.lit(0.0))
+        bigrams = F.when(n >= 2, F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                               F.element_at(toks, i + 1)))) \
+            .otherwise(F.array().cast("array<string>"))
+
+        def top_frac(bg: Column) -> Column:
+            # Only REPEATED bigram mass counts (Gopher's measures are
+            # over duplicated n-grams): a modal count of 1 is no
+            # repetition, not 1/nb of it.
+            nb = F.size(bg)
+            mode = F.array_max(F.transform(
+                F.array_distinct(bg),
+                lambda d: F.size(F.filter(bg, lambda x: x == d))))
+            return F.when((nb > 0) & (mode >= 2),
+                          mode.cast("double") / nb).otherwise(F.lit(0.0))
+
+        def assemble(dup_c: Column, top_c: Column) -> Column:
+            keep = ((dup_c <= GOPHER_MAX_DUP_WORD_FRAC)
+                    & (top_c <= GOPHER_MAX_TOP_BIGRAM_FRAC)
+                    & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO))
+            return F.struct(dup_c.alias("dup_word_frac"),
+                            top_c.alias("top_bigram_frac"),
+                            symbol_ratio.alias("symbol_ratio"),
+                            keep.alias("keep"))
+
+        return bind_once(F.array(dup, bind_once(bigrams, top_frac)),
+                         lambda s: assemble(s[0], s[1]))
+
+    return bind_once(tokens(text), build)
+
+
 def normalize_for_fingerprint(text: Column) -> Column:
     """Canonical form for exact-dup detection: lowercase, strip
     punctuation, collapse whitespace."""

@@ -971,6 +971,55 @@ def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                     bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"))
 
 
+# Gopher-style repetition/symbol gates (text.repetition_struct): the
+# keep flag is computed on UNROUNDED doubles in both engines — the
+# arithmetic (1 − distinct/n, mode/nb) is identical binary64 on both
+# sides, so the boolean is deterministic.
+@q("quality_repetition", f"""
+WITH t AS (
+  SELECT doc_id, text, {_DD_TOKS} AS toks FROM documents
+), b AS (
+  SELECT doc_id, text, toks, len(toks) AS n,
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+    ELSE [] END AS bg
+  FROM t
+), s AS (
+  SELECT doc_id,
+    CASE WHEN n > 0
+      THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n
+      ELSE 0.0 END AS dup,
+    CASE WHEN len(bg) > 0 AND list_max(list_transform(list_distinct(bg),
+             d -> len(list_filter(bg, x -> x = d)))) >= 2
+      THEN CAST(list_max(list_transform(list_distinct(bg),
+             d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg)
+      ELSE 0.0 END AS topb,
+    CASE WHEN length(text) > 0
+      THEN CAST(length(text)
+             - length(regexp_replace(text, '[#@*/\\\\{{}}<>|~^]', '', 'g'))
+           AS DOUBLE) / length(text)
+      ELSE 0.0 END AS symr
+  FROM b
+)
+SELECT doc_id,
+       ROUND(dup, 4) AS dup_word_frac,
+       ROUND(topb, 4) AS top_bigram_frac,
+       ROUND(symr, 4) AS symbol_ratio,
+       (dup <= 0.6 AND topb <= 0.1 AND symr <= 0.05) AS keep
+FROM s
+""")
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import repetition_struct
+    d = _tp(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    F.inline(F.array(repetition_struct(F.col("text"))))) \
+        .select("doc_id",
+                F.round("dup_word_frac", 4).alias("dup_word_frac"),
+                F.round("top_bigram_frac", 4).alias("top_bigram_frac"),
+                F.round("symbol_ratio", 4).alias("symbol_ratio"),
+                "keep")
+
+
 # Multimodal decode pipeline: synthetic payloads (sha2 chains, both
 # engines re-derive them) -> mapInPandas Arrow-batched stub decoder.
 # The oracle reproduces the deterministic fake decode value-for-value,
