@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+from toy_vector_db_spark.operators.decontam import (
+    contamination_report, decontaminate, shingle_hash_set,
+)
+
+TRAIN = [
+    (1, "alpha beta gamma delta epsilon zeta eta"),
+    (2, "one two three four five six seven eight"),
+    (3, "the quick brown fox jumps over the lazy dog"),
+    (4, "totally unrelated words live in this row"),
+]
+EVAL = [
+    (100, "prefix words then one two three four five six and more"),
+    (101, "the quick brown fox jumps over something else"),
+]
+
+
+def _dfs(spark):
+    train = spark.createDataFrame(TRAIN, ["doc_id", "text"])
+    ev = spark.createDataFrame(EVAL, ["doc_id", "text"])
+    return train, ev
+
+
+def test_shingle_hash_set_distinct_per_doc(spark):
+    train, _ = _dfs(spark)
+    sh = shingle_hash_set(train, n=5)
+    # doc 1 has 7 tokens -> 3 distinct 5-shingles
+    assert sh.filter("doc_id = 1").count() == 3
+    assert sh.columns == ["doc_id", "shingle_hash"]
+
+
+def test_contamination_report_flags_overlap(spark):
+    train, ev = _dfs(spark)
+    rep = contamination_report(train, ev, n=5).collect()
+    by_id = {r["doc_id"]: r for r in rep}
+    assert len(by_id) == 4                      # every train doc reported
+    # doc 2 shares "one two three four five"/"two three four five six"
+    # (+1 more); doc 3 shares "the quick brown fox jumps" (+1)
+    assert by_id[2]["contaminated"] and by_id[2]["n_shared"] >= 2
+    assert by_id[3]["contaminated"] and by_id[3]["n_shared"] >= 1
+    assert not by_id[1]["contaminated"] and by_id[1]["n_shared"] == 0
+    assert not by_id[4]["contaminated"]
+    assert all(r["n_shingles"] >= r["n_shared"] for r in rep)
+
+
+def test_shuffle_join_path_matches_broadcast(spark):
+    train, ev = _dfs(spark)
+    a = sorted(map(tuple, contamination_report(
+        train, ev, n=5, broadcast_eval=True).collect()))
+    b = sorted(map(tuple, contamination_report(
+        train, ev, n=5, broadcast_eval=False).collect()))
+    assert a == b
+
+
+def test_decontaminate_removes_only_contaminated(spark):
+    train, ev = _dfs(spark)
+    kept = sorted(r["doc_id"] for r in decontaminate(train, ev, n=5).collect())
+    assert kept == [1, 4]
+    # a stricter threshold keeps the single-shingle overlap
+    kept3 = sorted(r["doc_id"]
+                   for r in decontaminate(train, ev, n=5,
+                                          min_shared=3).collect())
+    assert kept3 == [1, 2, 3, 4]
+
+
+def test_report_plan_broadcasts_eval_side(spark):
+    train, ev = _dfs(spark)
+    df = contamination_report(train, ev, n=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

