@@ -1708,6 +1708,60 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("split", "lang").agg(F.count("*").alias("n")))
 
 
+# PII scrub (functions/pii): the synthetic corpus carries no PII, so
+# both engines INJECT identical deterministic PII (derived from doc_id)
+# before detecting and redacting it — the regexes, the injection, and
+# the redacted text are all value-checked (redacted_md5 hashes the
+# full masked string).
+def _pii_oracle() -> str:
+    from .functions.pii import PII_PATTERNS
+    em, ph, ip = (PII_PATTERNS[k][0] for k in ("email", "phone", "ipv4"))
+    et, pt, it = (PII_PATTERNS[k][1] for k in ("email", "phone", "ipv4"))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309 now' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' from 10.0.' || (doc_id % 256) || '.42' ELSE '' END
+    AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{ph}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ipv4,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        '{em}', '{et}', 'g'), '{ph}', '{pt}', 'g'), '{ip}', '{it}', 'g'))
+    AS redacted_md5
+FROM t
+"""
+
+
+@q("pii_scrub", _pii_oracle())
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.pii import pii_counts, redact_pii
+    d = _tp(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(did % 5 == 0, F.concat(F.lit(" contact user"),
+                                      did.cast("string"),
+                                      F.lit("@example.com")))
+         .otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit(" call 555-867-5309 now"))
+         .otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.concat(F.lit(" from 10.0."),
+                                       (did % 256).cast("string"),
+                                       F.lit(".42")))
+         .otherwise(F.lit("")))
+    return (d.select("doc_id", injected.alias("text"))
+            .select("doc_id",
+                    F.inline(F.array(pii_counts(F.col("text")))),
+                    F.md5(redact_pii(F.col("text"))).alias("redacted_md5")))
+
+
 # Train/eval decontamination (operators/decontam): the hash split is
 # the same growth-stable md5 split as split_train_test; overlap is
 # counted over DISTINCT 5-word shingles per train document. The oracle
