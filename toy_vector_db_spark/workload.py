@@ -1708,6 +1708,45 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("split", "lang").agg(F.count("*").alias("n")))
 
 
+# Corpus composition report: the data-mixing summary a pre-training
+# run starts from — per (source, lang) doc counts, token totals, and
+# each cell's share of the corpus token budget. One partial-agg shuffle
+# over (source, lang); the share is a window over the ALREADY
+# aggregated (tiny) report, not the corpus.
+@q("corpus_mix_report", r"""
+WITH t AS (
+  SELECT source, lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS ws,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\w\s]')) AS bpe
+  FROM documents),
+g AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+         CAST(SUM(bpe) AS BIGINT) AS bpe_tokens
+  FROM t GROUP BY source, lang)
+SELECT source, lang, n_docs, ws_tokens, bpe_tokens,
+       ROUND(CAST(bpe_tokens AS DOUBLE) / SUM(bpe_tokens) OVER (), 4)
+         AS token_share
+FROM g
+""")
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import bpe_ish_token_count, token_count
+    d = _t(spark, sf_dir, "documents")
+    g = (d.select("source", "lang",
+                  token_count(F.col("text")).alias("ws"),
+                  bpe_ish_token_count(F.col("text")).alias("bpe"))
+         .groupBy("source", "lang")
+         .agg(F.count("*").alias("n_docs"),
+              F.sum("ws").alias("ws_tokens"),
+              F.sum("bpe").alias("bpe_tokens")))
+    return g.select(
+        "source", "lang", "n_docs", "ws_tokens", "bpe_tokens",
+        F.round(F.col("bpe_tokens") /
+                F.sum("bpe_tokens").over(Window.partitionBy()), 4)
+        .alias("token_share"))
+
+
 # PII scrub (functions/pii): the synthetic corpus carries no PII, so
 # both engines INJECT identical deterministic PII (derived from doc_id)
 # before detecting and redacting it — the regexes, the injection, and
