@@ -18,10 +18,11 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def events_dir(spark, tmp_path_factory):
     """Events as proper-timestamp parquet split into several files so
-    maxFilesPerTrigger produces multiple micro-batches."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{SF}/events.parquet") \
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    maxFilesPerTrigger produces multiple micro-batches. workload._t
+    normalizes whatever ts encoding the testdata carries (TIMESTAMP_NTZ
+    micros currently; nanos-as-long historically) to TIMESTAMP."""
+    from toy_vector_db_spark.workload import _t
+    df = _t(spark, SF, "events")
     path = str(tmp_path_factory.mktemp("events_stream"))
     df.repartition(4).write.mode("overwrite").parquet(path)
     return path

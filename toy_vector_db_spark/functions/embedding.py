@@ -182,11 +182,24 @@ def ingest_documents(catalog, collection: str, docs: DataFrame,
 
 def search_text(corpus: DataFrame, text: str, k: int = 10,
                 metric: str = "cosine", vec_col: str = "vector",
-                content_type: str = "text"):
+                content_type: str = "text", tie_col: str | None = None,
+                id_cols=None):
     """search-text composition (K11, cmd_search_text.go:15-118): embed
     the free-text query driver-side (one string — no cluster roundtrip),
-    then run exact knn against the already-embedded corpus. No SQL
-    string round-trip, unlike the reference (:39-50)."""
-    from ..operators.knn import knn
+    then run exact knn against the embedded corpus. No SQL string
+    round-trip, unlike the reference (:39-50). The corpus vector column
+    may be an unmaterialized embedding projection: knn binds it once per
+    row, so the embedding chain is never re-inlined per metric term.
+
+    ``id_cols``: project to these columns and let ``knn_auto`` pick the
+    scoring tier (Arrow/BLAS for wide embeddings — the fast path; the
+    result carries only id_cols + distance). Default keeps every corpus
+    column and the pure-Column tier."""
+    from ..operators.knn import knn, knn_auto
     qvec = [float(x) for x in embed_one(text)]
-    return knn(corpus, qvec, k=k, metric=metric, vec_col=vec_col)
+    if id_cols is not None:
+        return knn_auto(corpus.select(*id_cols, vec_col), qvec, k=k,
+                        metric=metric, vec_col=vec_col,
+                        id_cols=list(id_cols), tie_col=tie_col)
+    return knn(corpus, qvec, k=k, metric=metric, vec_col=vec_col,
+               tie_col=tie_col)

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.distance import distance
+from ..functions.util import bind_once
 from ..functions.vector import vector_lit
 
 DEFAULT_K = 10  # reference executor.go:306-309
@@ -57,7 +58,15 @@ def knn(df: DataFrame, query_vec: Sequence[float] | Column, k: int = DEFAULT_K,
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     q = query_vec if isinstance(query_vec, Column) else vector_lit(query_vec)
-    out = df.withColumn(dist_col, distance(metric, F.col(vec_col), q))
+    # bind_once: cosine references its first argument ~6x (dot, two
+    # norms, zero-check); if vec_col is a DERIVED column (e.g. an
+    # unmaterialized embedding_expr projection) Catalyst's projection
+    # collapse would re-inline the whole chain at every reference —
+    # measured 19x on search-text over a freshly embedded corpus.
+    # Binding the vector as a lambda variable evaluates it once per row;
+    # for a plain parquet column the wrap is a no-op-cost array of one.
+    out = df.withColumn(
+        dist_col, bind_once(F.col(vec_col), lambda v: distance(metric, v, q)))
     if exclude_id is not None:
         if id_col is None:
             raise ValueError("exclude_id requires id_col")

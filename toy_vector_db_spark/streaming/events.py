@@ -30,11 +30,30 @@ EVENTS_DDL = ("event_id LONG, ts TIMESTAMP, user_id LONG, "
 def read_event_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int | None = 1) -> DataFrame:
     """File-source stream over parquet event files (schema fixed:
-    streaming sources cannot infer)."""
-    reader = spark.readStream.schema(EVENTS_DDL)
+    streaming sources cannot infer).
+
+    The physical ``ts`` encoding varies by writer — TIMESTAMP_NTZ
+    (micros, the driver testdata), TIMESTAMP (tz-adjusted, our own
+    fixtures), or nanos read back as LONG under
+    ``spark.sql.legacy.parquet.nanosAsLong``. A one-off batch footer
+    peek (metadata only, no data scan) picks the matching streaming
+    schema, and ``ts`` is normalized to TIMESTAMP exactly like the
+    batch reader (workload._t) — session tz is UTC in tests/bench, so
+    the NTZ cast is lossless."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = dict(spark.read.parquet(path).dtypes).get("ts", "timestamp")
+    if ts_type == "bigint":
+        ts_ddl, fix = "ts LONG", F.expr("timestamp_micros(ts div 1000)")
+    elif ts_type == "timestamp_ntz":
+        ts_ddl, fix = "ts TIMESTAMP_NTZ", F.col("ts").cast("timestamp")
+    else:
+        ts_ddl, fix = "ts TIMESTAMP", None
+    schema = EVENTS_DDL.replace("ts TIMESTAMP", ts_ddl, 1)
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(path)
+    df = reader.parquet(path)
+    return df.withColumn("ts", fix) if fix is not None else df
 
 
 def hourly_rollup_stream(events: DataFrame,

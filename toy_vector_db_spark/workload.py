@@ -609,18 +609,17 @@ FROM scored ORDER BY dist ASC, doc_id ASC LIMIT 10
 
 @q("search_text_documents", _search_text_oracle())
 def search_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.distance import cosine
-    from .functions.embedding import embed_documents, embed_one
-    corpus = embed_documents(_t(spark, sf_dir, "documents"))
-    qvec = [float(x) for x in embed_one(_SEARCH_TEXT_QUERY)]
-    # doc_id tiebreak matches the oracle's total order (search_text()
-    # itself orders by distance alone — ties are rare but real)
-    return (corpus.withColumn("distance",
-                              cosine(F.col("vector"),
-                                     F.lit(qvec).cast("array<double>")))
-            .orderBy(F.col("distance").asc_nulls_last(), F.col("doc_id").asc())
-            .limit(10)
-            .select("doc_id", F.round("distance", 4).alias("distance")))
+    from .functions.embedding import embed_documents, search_text
+    # embed-then-search over the raw documents table: the corpus vector
+    # is an UNMATERIALIZED embedding projection, which is exactly the
+    # case knn's bind_once exists for (without it Catalyst re-inlines
+    # the 384-dim hash chain at each of cosine's ~6 references — the
+    # r2 19x regression). doc_id tiebreak matches the oracle's total
+    # order (ties are rare but real).
+    corpus = embed_documents(_tp(spark, sf_dir, "documents"))
+    res = search_text(corpus, _SEARCH_TEXT_QUERY, k=10, tie_col="doc_id",
+                      id_cols=["doc_id"])
+    return res.select("doc_id", F.round("distance", 4).alias("distance"))
 
 
 # ---------------------------------------------------------------------------
@@ -1922,17 +1921,14 @@ FROM events
 GROUP BY 1, 2
 """)
 def events_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .streaming.events import hourly_rollup_stream, run_available_now
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # nanos timestamps: declare ts LONG, convert to micros post-read
-    # (the streaming twin of _t's conversion)
-    schema = ("event_id LONG, ts LONG, user_id LONG, "
-              "event_type STRING, value DOUBLE, props STRING")
+    from .streaming.events import (hourly_rollup_stream, read_event_stream,
+                                   run_available_now)
     # the file source wants a directory or glob; '[t]' makes the single
-    # testdata file a glob without copying it anywhere
-    src = (spark.readStream.schema(schema)
-           .parquet(os.path.join(sf_dir, "events.parque[t]"))
-           .withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+    # testdata file a glob without copying it anywhere; schema handling
+    # (NTZ / nanos-long / proper timestamp) lives in read_event_stream —
+    # the streaming twin of _t's conversion
+    src = read_event_stream(spark, os.path.join(sf_dir, "events.parque[t]"),
+                            max_files_per_trigger=None)
     # one state store spins up per shuffle partition; for a bounded
     # drain of one file, 8 is plenty (a real deployment sizes this to
     # the key cardinality, and the checkpoint pins it thereafter)
