@@ -66,9 +66,17 @@ def main() -> None:
                 best = -1.0
                 break
         timings[name] = best
+        print(f"bench {name}: {best}s", file=sys.stderr)
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    # The driver captures a bounded TAIL of stdout; in r2 the one JSON
+    # line (75 queries, pretty separators) outgrew that window and the
+    # leading "workload_total" key was truncated away -> parsed: null.
+    # Emit compactly: summary keys first, per-query values at 2 dp, no
+    # spaces — ~1.9 KB for 75 queries, comfortably inside the window.
+    compact = {n: round(v, 2) for n, v in timings.items()}
     print(json.dumps({"metric": "workload_total", "value": total,
-                      "unit": "sec", "queries": timings, "sf": sf_val}))
+                      "unit": "sec", "sf": sf_val, "queries": compact},
+                     separators=(",", ":")))
 
 
 if __name__ == "__main__":

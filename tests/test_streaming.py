@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from toy_vector_db_spark.streaming.events import (
     dedup_stream, hourly_rollup_stream, read_event_stream, run_to_memory,
-    sessionize_stream,
+    sessionize_stream, sessionize_stream_windows,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -72,6 +72,34 @@ def test_sessionize_stream_totals(spark, events_dir):
     assert {r["user_id"]: r["n_events"] for r in rows} == batch_counts
     for r in rows:
         assert 1 <= r["n_sessions"] <= r["n_events"]
+
+
+def test_session_window_stream_matches_batch(spark, events_dir):
+    """FULL value parity: session_window streaming sessionization over a
+    multi-batch drain (4 files, 1 per trigger — so events arrive OUT of
+    event-time order across micro-batches) must equal the batch
+    per-session aggregation exactly: same (user, start, end, n_events)
+    multiset. This is the gate the arrival-order stateful sessionizer
+    cannot pass in general — the event-time rewrite can."""
+    gap_min = 30
+    stream = sessionize_stream_windows(
+        read_event_stream(spark, events_dir, 1), gap_minutes=gap_min)
+    _drain(run_to_memory(stream, "sess_win_t", "complete"))
+    got = {(r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+           for r in spark.table("sess_win_t").collect()}
+
+    from toy_vector_db_spark.operators.sessions import with_session_ids
+    batch = with_session_ids(spark.read.parquet(events_dir),
+                             gap_minutes=gap_min) \
+        .groupBy("user_id", "session_id") \
+        .agg(F.min("ts").alias("session_start"),
+             (F.max("ts") + F.expr(f"INTERVAL {gap_min} MINUTES"))
+             .alias("session_end"),
+             F.count("*").alias("n_events"))
+    want = {(r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+            for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
 
 
 def test_watermark_drops_late_data(spark, tmp_path):

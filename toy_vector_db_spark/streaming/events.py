@@ -112,6 +112,36 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout)
 
 
+def sessionize_stream_windows(events: DataFrame, gap_minutes: int = 30,
+                              watermark: str | None = None) -> DataFrame:
+    """Exact event-time sessionization via ``F.session_window`` — the
+    engine-native stateful session operator. Unlike ``sessionize_stream``
+    (arrival-order approximation across micro-batches), session windows
+    merge on EVENT time, so out-of-order arrival within the watermark
+    yields exactly the batch answer (operators/sessions.with_session_ids
+    aggregated per session) — value-parity-gated in
+    tests/test_streaming.py::test_session_window_stream_matches_batch.
+
+    Emits one row per (user, session): start, end (= last event + gap),
+    n_events. ``watermark=None`` (complete-mode drains, tests) keeps all
+    session state; production append-mode sinks pass e.g. "2 hours" so
+    closed sessions finalize and state is evicted.
+
+    Boundary note: an event exactly ``gap_minutes`` after its
+    predecessor starts a NEW session here (window [ts, ts+gap) is
+    half-open) but extends the session in the batch operator (strict
+    ``>`` on the gap) — divergence measurable only at exact-microsecond
+    gap spacing."""
+    gap = f"{gap_minutes} minutes"
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (src.groupBy("user_id", F.session_window("ts", gap).alias("win"))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.col("win.start").alias("session_start"),
+                    F.col("win.end").alias("session_end"),
+                    "n_events"))
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming frame into an in-memory table (tests/demos);
     returns the StreamingQuery — caller awaits processAllAvailable()."""
