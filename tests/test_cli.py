@@ -84,3 +84,28 @@ def test_export_import(run, tmp_path):
     run("--collection", "restored", "import", path)
     out = run("--collection", "restored", "list")
     assert "x" in out
+
+
+def test_export_docs_json(run, spark, tmp_path):
+    # JSON sidecar export: format parity with the reference, which
+    # persists each embedded Document as JSON (cmd_embed.go:100-112)
+    import json as _json
+    run("embed", "text", "docA", "json export body")
+    path = str(tmp_path / "docs_json")
+    out = run("export", path, "--docs", "--format", "json")
+    assert "1 document(s)" in out
+    rows = [r.asDict() for r in spark.read.json(path).collect()]
+    assert len(rows) == 1
+    d = rows[0]
+    assert d["doc_id"] == "docA"
+    assert d["content"] == "json export body"
+    assert d["content_type"] == "text"
+    assert len(d["vector"]) == 384
+    assert d["created_at"] is not None and d["updated_at"] is not None
+    # and the raw files really are JSON lines a non-Spark reader can load
+    import glob
+    files = glob.glob(f"{path}/part-*")
+    assert files
+    with open(files[0]) as f:
+        first = _json.loads(f.readline())
+    assert first["doc_id"] == "docA"

@@ -5,7 +5,8 @@ from pyspark.sql import functions as F
 
 from toy_vector_db_spark.operators.dedup import (
     embedding_near_dup_pairs, exact_dedup, exact_dup_clusters, jaccard,
-    minhash_lsh_pairs, ngram_jaccard_pairs, simhash, simhash_dup_clusters,
+    minhash_lsh_pairs, minhash_signature, minhash_signatures_arrow,
+    ngram_jaccard_pairs, simhash, simhash_dup_clusters,
 )
 
 DOCS = [
@@ -42,6 +43,27 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (1, 3) in got or (2, 3) in got  # near dup shares most shingles
     for r in pairs:
         assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_minhash_arrow_tier_bit_identical(spark, docs):
+    """The hashlib/Arrow signature tier must produce byte-identical
+    signatures to the Catalyst HOF tier — same normalization (Java \\s
+    semantics, space-only trim), same salted md5 hex minima — including
+    the edge rows the normalizer can produce (empty, whitespace-only,
+    shorter than k words, unicode whitespace that Java \\s must NOT
+    eat)."""
+    edge = spark.createDataFrame(
+        [(100, ""), (101, "   "), (102, "one"), (103, "two words"),
+         (104, "nbsp stays attached"), (105, "Tabs\tand\nnewlines")],
+        ["doc_id", "text"])
+    both = docs.unionByName(edge)
+    col_tier = {r["doc_id"]: r["sig"] for r in both.select(
+        "doc_id", minhash_signature(F.col("text"), 8, 3).alias("sig"))
+        .collect()}
+    arrow_tier = {r["doc_id"]: r["sig"] for r in
+                  minhash_signatures_arrow(both, num_perm=8, shingle_k=3)
+                  .collect()}
+    assert col_tier == arrow_tier
 
 
 def test_minhash_no_verify_returns_candidates(docs):

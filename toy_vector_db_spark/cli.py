@@ -100,7 +100,14 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("content_type", choices=["text", "json"])
     e.add_argument("id"); e.add_argument("content")
     sub.add_parser("import").add_argument("path")
-    sub.add_parser("export").add_argument("path")
+    x = sub.add_parser("export")
+    x.add_argument("path")
+    x.add_argument("--format", choices=["parquet", "json"], default="parquet")
+    x.add_argument("--docs", action="store_true",
+                   help="export the document sidecar (content + vector + "
+                        "metadata + timestamps) instead of the vector table "
+                        "— as JSON this mirrors the reference's per-doc "
+                        "JSON persistence (cmd_embed.go:100-112)")
     return p
 
 
@@ -221,8 +228,15 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Imported {n} vector(s)", file=out)
     elif cmd == "export":
         ensure()
-        catalog.read(coll).write.mode("overwrite").parquet(args.path)
-        print(f"Exported to {args.path}", file=out)
+        if args.docs and args.format == "json":
+            n = catalog.export_docs_json(coll, args.path)
+            print(f"Exported {n} document(s) to {args.path}", file=out)
+        else:
+            src = catalog.read_docs(coll) if args.docs else catalog.read(coll)
+            writer = src.write.mode("overwrite")
+            (writer.json(args.path) if args.format == "json"
+             else writer.parquet(args.path))
+            print(f"Exported to {args.path}", file=out)
     return 0
 
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, word_shingles
+from ..functions.text import PUNCT_CLASS, fingerprint, word_shingles
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -79,6 +79,64 @@ def minhash_signature(text: Column, num_perm: int = 8,
         return F.zip_with(acc, salted, lambda a, b: F.least(a, b))
 
     return F.aggregate(sh, init, fold)
+
+
+def minhash_signatures_arrow(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", num_perm: int = 8,
+                             shingle_k: int = 3,
+                             sig_col: str = "sig") -> DataFrame:
+    """Arrow/bulk tier of ``minhash_signature``: bit-identical salted-md5
+    signatures computed with Python hashlib over Arrow batches
+    (mapInPandas) instead of the Catalyst higher-order fold.
+
+    Measured trade (sf0.1, local[32], 5k docs): the Column tier wins at
+    steady state (0.26-0.57 s vs 0.69-1.3 s here — Arrow transfer costs
+    more than the md5s), BUT the Column tier's first ~2 full passes run
+    12 s: HOFs evaluate in Catalyst's *interpreter*, whose hot loops
+    only reach C2-JIT steady state after ~10k documents PER EXECUTOR
+    PROCESS. On a long-lived cluster that knee amortizes to zero (keep
+    the Column tier); on ephemeral/autoscaled executors every fresh JVM
+    pays it, while hashlib.md5 is a C call that is uniformly fast from
+    the first row — that regime is what this tier is for. Map-only
+    either way: signatures only, document text never leaves the scan.
+    Output: (id_col, sig_col ARRAY<STRING>) — byte-identical to the
+    Column tier (parity-tested), so bands/buckets/oracles are shared.
+    """
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    punct = re.compile(PUNCT_CLASS)
+    # Java \s is exactly [ \t\n\x0B\f\r]; Python's \s would also eat
+    # unicode whitespace and diverge from the JVM tier on e.g. \xa0
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+    salts = [f"{i}:".encode() for i in range(num_perm)]
+    id_type = dict(df.dtypes)[id_col]
+
+    def gen(batches):
+        for pdf in batches:
+            sigs = []
+            for t in pdf[text_col]:
+                t = "" if t is None else str(t)
+                # Spark's trim removes ' ' only; after the \s+ -> ' '
+                # collapse that is also all that can remain at the ends
+                t = ws.sub(" ", punct.sub("", t.lower())).strip(" ")
+                toks = t.split(" ")
+                shingles = {" ".join(toks[i:i + shingle_k])
+                            for i in range(max(len(toks) - shingle_k, 0) + 1)}
+                mins = ["g" * 32] * num_perm
+                for s in shingles:
+                    sb = s.encode()
+                    for i, salt in enumerate(salts):
+                        h = hashlib.md5(salt + sb).hexdigest()
+                        if h < mins[i]:
+                            mins[i] = h
+                sigs.append(mins)
+            yield pd.DataFrame({id_col: pdf[id_col], sig_col: sigs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} {id_type}, {sig_col} array<string>")
 
 
 from ..functions.util import bind_once as _bind_once  # noqa: E402

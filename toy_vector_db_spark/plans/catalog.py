@@ -212,6 +212,19 @@ class CollectionCatalog:
         self._commit(dname, out)
         return n
 
+    def export_docs_json(self, name: str, path: str) -> int:
+        """Export the document sidecar as JSON — format parity with the
+        reference, which persists each embedded Document as a JSON file
+        next to the vector (cmd_embed.go:100-112, Document shape
+        document.go:18-26). One JSONL part-file per partition is the
+        distributed-scale analogue of one-file-per-doc (a million tiny
+        JSON files is exactly the small-files problem a 100 TB corpus
+        cannot afford); timestamps serialize ISO-8601. Returns the row
+        count."""
+        docs = self.read_docs(name)
+        docs.write.mode("overwrite").json(path)
+        return docs.count()
+
     def delete(self, name: str, condition: str) -> int:
         """DELETE WHERE <condition> (SQL-string predicate); returns the
         deleted count (executor.go:519-576)."""

@@ -1641,6 +1641,69 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.round("distance", 4).alias("distance"))
 
 
+# PQ re-rank with a FULL value oracle: the standard PQ accuracy knob —
+# ADC ranks a rerank*k shortlist in the compressed domain, then ONLY
+# those rows are re-scored with the true euclidean distance
+# (operators/pq.py PqIndex.search(rerank=...)). DuckDB replays both
+# stages: same codebooks/codes/LUT as _ann_pq_oracle, same
+# (adc, vec_id) shortlist order, exact re-score, final (exact, vec_id)
+# top-k. Value-checks that re-rank changes the RANKING the way raw
+# distances say it must.
+def _ann_pq_rerank_oracle(m: int = 4, ks: int = 8, rerank: int = 2) -> str:
+    def subd(x: str, j: int) -> str:
+        off = f"{j} * (len({x}) // {m})"
+        return (f"list_sum(list_transform(range(1, len({x}) // {m} + 1), "
+                f"i -> ({x}[{off} + i] - c[{off} + i]) * "
+                f"({x}[{off} + i] - c[{off} + i])))")
+
+    code_cols = ",\n    ".join(
+        f"list_position(ds{j}, list_min(ds{j})) - 1 AS code{j}"
+        for j in range(m))
+    ds_cols = ",\n    ".join(
+        f"list_transform((SELECT bs FROM books), c -> {subd('v', j)}) AS ds{j}"
+        for j in range(m))
+    qlut_cols = ",\n    ".join(
+        f"list_transform((SELECT bs FROM books), c -> {subd('q', j)}) AS lut{j}"
+        for j in range(m))
+    adc = " + ".join(f"lut{j}[code{j} + 1]" for j in range(m))
+    exact = ("sqrt(list_sum(list_transform(list_zip(e.v, qv.q), "
+             "p -> (p[1]-p[2])*(p[1]-p[2]))))")
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb AS (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
+       FROM e ORDER BY h, vec_id LIMIT {ks}),
+books AS (SELECT list(v ORDER BY h, vec_id) AS bs FROM cb),
+coded AS (
+  SELECT vec_id, label,
+    {code_cols}
+  FROM (SELECT vec_id, label,
+    {ds_cols}
+        FROM e)),
+qlut AS (
+  SELECT
+    {qlut_cols}
+  FROM (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID})),
+short AS (
+  SELECT vec_id, label FROM coded, qlut
+  ORDER BY sqrt({adc}) ASC, vec_id ASC LIMIT {rerank * KNN_K}),
+qv AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID})
+SELECT s.vec_id, s.label, ROUND({exact}, 4) AS distance
+FROM short s JOIN e USING (vec_id), qv
+ORDER BY {exact} ASC, s.vec_id ASC LIMIT {KNN_K}
+"""
+
+
+@q("ann_pq_rerank_topk", _ann_pq_rerank_oracle())
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.knn import lookup_vector
+    from .operators.pq import PqIndex
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = lookup_vector(e, "vec_id", QUERY_VEC_ID)
+    idx = PqIndex.build(e, m=4, ks=8)
+    return idx.search(qvec, k=KNN_K, rerank=2).select(
+        "vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
 @q("ann_ivf_topk", None)  # KMeans centroids: recall-checked in tests
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import IvfIndex
@@ -1939,6 +2002,52 @@ def events_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("events_rollup_streaming")
+
+
+# Streaming stateful sessionization with a FULL value oracle: Spark's
+# engine-native session_window operator, drained complete with
+# Trigger.AvailableNow, produces exact event-time sessions — which a
+# lag/gap cumulative-sum window computation reproduces in DuckDB.
+# Boundary semantics are session_window's: a gap of EXACTLY the
+# inactivity threshold starts a new session (half-open [ts, ts+gap)),
+# hence >= in the oracle (operators/sessions.with_session_ids uses
+# strict >; divergence measurable only at exact-microsecond spacing).
+@q("events_sessionize_streaming", """
+WITH lagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts)) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged)
+SELECT user_id,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+       CAST(epoch_us(MAX(ts)) + 1800000000 AS BIGINT) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+""")
+def events_sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.events import (read_event_stream, run_available_now,
+                                   sessionize_stream_windows)
+    src = read_event_stream(spark, os.path.join(sf_dir, "events.parque[t]"),
+                            max_files_per_trigger=None)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_available_now(sessionize_stream_windows(src, gap_minutes=30),
+                          "events_sessionize_streaming_t")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    t = spark.table("events_sessionize_streaming_t")
+    return t.select("user_id",
+                    F.unix_micros("session_start").alias("start_us"),
+                    F.unix_micros("session_end").alias("end_us"),
+                    F.col("n_events").cast("bigint").alias("n_events"))
 
 
 # Streaming similarity search with a FULL value oracle: the query feed
