@@ -192,3 +192,51 @@ def test_ivfpq_prune_then_maponly_topk(spark):
     # saved layout it becomes PartitionFilters (asserted in test_pq.py)
     assert "Filter cast((array_position" in plan
     assert "DataFilters: [cast((array_position" in plan
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """The pay-once layout claim (sources/bucketing.py): a join of two
+    tables bucketed on the join key plans with NO Exchange on either
+    side, while the same join over path-parquet (no bucket metadata)
+    shuffles both sides. Also: a groupBy on the bucket key aggregates
+    without a shuffle."""
+    from pyspark.sql import functions as F
+
+    from toy_vector_db_spark.sources.bucketing import (bucketed,
+                                                       cobucket_tables)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet") \
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet") \
+            .select("l_orderkey", "l_quantity") \
+            .withColumnRenamed("l_orderkey", "o_orderkey")
+        cobucket_tables(spark, {
+            "orders_bkt": (orders, ["o_orderkey"]),
+            "lineitem_bkt": (lineitem, ["o_orderkey"]),
+        }, n_buckets=8)
+
+        j = bucketed(spark, "orders_bkt").join(
+            bucketed(spark, "lineitem_bkt"), "o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "SelectedBucketsCount" in plan
+
+        # same join, path parquet: both sides must shuffle
+        unbkt = orders.join(lineitem, "o_orderkey")
+        plan_u = unbkt._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plan_u
+
+        # partial agg on the bucket key: no exchange either
+        agg = bucketed(spark, "lineitem_bkt").groupBy("o_orderkey") \
+            .agg(F.sum("l_quantity").alias("q"))
+        plan_a = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan_a
+
+        # and the values are right (vs the plain-path join)
+        assert j.count() == unbkt.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")

@@ -102,7 +102,8 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("import").add_argument("path")
     x = sub.add_parser("export")
     x.add_argument("path")
-    x.add_argument("--format", choices=["parquet", "json"], default="parquet")
+    x.add_argument("--format", choices=["parquet", "json", "vec"],
+                   default="parquet")
     x.add_argument("--docs", action="store_true",
                    help="export the document sidecar (content + vector + "
                         "metadata + timestamps) instead of the vector table "
@@ -220,15 +221,28 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Embedded and stored {args.id} (dim {EMBEDDING_DIM})", file=out)
     elif cmd == "import":
         ensure()
-        try:
-            src = spark.read.parquet(args.path)
-        except Exception:
-            src = spark.read.json(args.path)
+        import glob as _glob
+        import os as _os
+        if (_os.path.isdir(args.path)
+                and _glob.glob(_os.path.join(args.path, "*.vec"))):
+            # a reference file-store directory (one <id>.vec per vector)
+            from .sources.veccodec import read_vec_dir
+            src = read_vec_dir(spark, args.path)
+        else:
+            try:
+                src = spark.read.parquet(args.path)
+            except Exception:
+                src = spark.read.json(args.path)
         n = catalog.insert_df(coll, src)  # distributed append, no collect
         print(f"Imported {n} vector(s)", file=out)
     elif cmd == "export":
         ensure()
-        if args.docs and args.format == "json":
+        if args.format == "vec":
+            # reference-readable binary file store (<id>.vec per row)
+            from .sources.veccodec import write_vec_dir
+            n = write_vec_dir(catalog.read(coll), args.path)
+            print(f"Exported {n} vector(s) to {args.path}", file=out)
+        elif args.docs and args.format == "json":
             n = catalog.export_docs_json(coll, args.path)
             print(f"Exported {n} document(s) to {args.path}", file=out)
         else:
