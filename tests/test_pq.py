@@ -257,3 +257,82 @@ def test_join_ivfpq_validates_params(emb, ivfpq):
         knn_join_ivfpq(queries, ivfpq, k=0)
     with pytest.raises(ValueError):
         knn_join_ivfpq(queries, ivfpq, nprobe=0)
+
+
+# ---------------------------------------------------------------------------
+# OPQ: learned-rotation PQ (Ge et al., CVPR 2013)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def aniso(spark):
+    """Anisotropic correlated corpus — the regime OPQ exists for:
+    variance concentrated in a few directions that CROSS the fixed
+    subspace boundaries, so identity-rotation PQ quantizes badly."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    dim, n = 16, 600
+    # low-rank mixing: 3 strong latent factors spread across all dims
+    A = rng.normal(size=(3, dim)) * np.array([[10.0], [5.0], [2.0]])
+    X = rng.normal(size=(n, 3)) @ A + 0.05 * rng.normal(size=(n, dim))
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df.cache(), X
+
+
+def test_opq_rotation_orthonormal(aniso):
+    import numpy as np
+
+    from toy_vector_db_spark.operators.pq import OpqCodec
+    df, _ = aniso
+    codec = OpqCodec.fit(df, m=4, ks=8, opq_iters=4, seed=1)
+    R = codec.rotation
+    assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-8)
+
+
+def test_opq_reduces_quantization_error(aniso):
+    """The alternation's whole point: mean ||xR - decode(encode(xR))||^2
+    strictly below plain KMeans-PQ (identity rotation) on data whose
+    correlation crosses subspace boundaries."""
+    import numpy as np
+
+    from toy_vector_db_spark.operators.pq import OpqCodec, PqCodec, _reconstruct
+    df, X = aniso
+    opq = OpqCodec.fit(df, m=4, ks=8, opq_iters=6, seed=1)
+    pq = PqCodec.fit_kmeans(df, m=4, ks=8, seed=1)
+    pq_err = float(((X - _reconstruct(X, pq.codebooks)) ** 2).sum(1).mean())
+    opq_err = opq.quantization_error(X)
+    assert opq_err < pq_err * 0.9  # >=10% better, not a tie-break fluke
+
+
+def test_opq_index_search_and_roundtrip(spark, aniso, tmp_path):
+    """End-to-end OPQ index: Arrow encode produces one code array per
+    row; ADC top-k beats identity-PQ recall on the anisotropic corpus;
+    save/load preserves the rotation (results identical)."""
+    from toy_vector_db_spark.operators.knn import knn
+    from toy_vector_db_spark.operators.pq import PqIndex
+    df, _ = aniso
+    qvec = lookup_vector(df, "vec_id", 3)
+    truth = {r["vec_id"] for r in
+             knn(df, qvec, k=10, tie_col="vec_id").collect()}
+
+    opq_idx = PqIndex.build_opq(df, m=4, ks=8, opq_iters=6, seed=1)
+    got = opq_idx.search(qvec, k=10).collect()
+    assert len(got) == 10
+    opq_recall = len({r["vec_id"] for r in got} & truth) / 10
+
+    from toy_vector_db_spark.operators.pq import PqCodec
+    pq_codec = PqCodec.fit_kmeans(df, m=4, ks=8, seed=1)
+    pq_idx = PqIndex(pq_codec, pq_codec.encode(df), "vec_id", "embedding")
+    pq_recall = len({r["vec_id"] for r in
+                     pq_idx.search(qvec, k=10).collect()} & truth) / 10
+    assert opq_recall >= pq_recall
+
+    path = str(tmp_path / "opq_idx")
+    opq_idx.save(path)
+    loaded = PqIndex.load(spark, path)
+    from toy_vector_db_spark.operators.pq import OpqCodec
+    assert isinstance(loaded.codec, OpqCodec)
+    reloaded = loaded.search(qvec, k=10).collect()
+    assert [(r["vec_id"], round(r["distance"], 6)) for r in reloaded] == \
+        [(r["vec_id"], round(r["distance"], 6)) for r in got]

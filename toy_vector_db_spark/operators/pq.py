@@ -187,6 +187,131 @@ class PqCodec:
         return F.sqrt(total)
 
 
+class OpqCodec:
+    """OPQ: an orthonormal rotation learned in front of PQ (Ge et al.,
+    "Optimized Product Quantization", CVPR 2013; faiss ``OPQx_y,PQz``).
+
+    Plain PQ quantizes fixed dim-order subspaces; when variance or
+    correlation crosses subspace boundaries, quantization error
+    concentrates there. OPQ alternates (a) Lloyd codebook fits on the
+    ROTATED training sample with (b) the Procrustes rotation update
+    R = U V^T from SVD(X^T X̂), provably non-increasing in
+    ||XR − X̂||²_F — the rotation redistributes variance so every
+    subspace carries quantizable structure.
+
+    Scale shape: training is driver-side NumPy on the SAME bounded
+    sample as ``fit_kmeans`` (quality saturates with sample size, so
+    the collect is fixed-size regardless of corpus). ENCODE cannot stay
+    a per-subspace Column expression — the rotation mixes all
+    dimensions — so it runs as an Arrow-batched map (one BLAS X @ R per
+    batch + vectorized argmin per subspace): map-only, no shuffle, and
+    the encoded table still stores only m code bytes. Queries rotate
+    driver-side (one matvec); ADC/LUT machinery is shared with
+    :class:`PqCodec` unchanged. Not value-oracle-checkable (KMeans +
+    SVD); gated by the quantization-error and recall tests in
+    tests/test_pq.py.
+    """
+
+    def __init__(self, rotation: np.ndarray, codec: PqCodec):
+        self.rotation = rotation  # (dim, dim), orthonormal
+        self.codec = codec
+        self.m, self.ks, self.dsub = codec.m, codec.ks, codec.dsub
+
+    @classmethod
+    def fit(cls, df: DataFrame, m: int = 4, ks: int = 8,
+            vec_col: str = "embedding", seed: int = 42,
+            train_rows: int = 20_000, iters: int = 10,
+            opq_iters: int = 8,
+            sample: np.ndarray | None = None) -> "OpqCodec":
+        if sample is None:
+            n = df.count()
+            sdf = df if n <= train_rows else \
+                df.sample(fraction=min(1.0, train_rows / n), seed=seed)
+            sample = np.array([list(r[0]) for r in
+                               sdf.select(F.col(vec_col)
+                                          .cast("array<double>")).collect()])
+        X = np.asarray(sample, dtype=np.float64)
+        dim = X.shape[1]
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        dsub = dim // m
+        R = np.eye(dim)
+        rng = np.random.default_rng(seed)
+        codec = None
+        for _ in range(max(1, opq_iters)):
+            Xr = X @ R
+            books = np.stack([_lloyd(Xr[:, j * dsub:(j + 1) * dsub],
+                                     ks, iters, rng) for j in range(m)])
+            codec = PqCodec(books)
+            Xhat = _reconstruct(Xr, books)       # decode(encode(Xr))
+            # Procrustes: min_R ||X R - Xhat||_F  s.t. R^T R = I
+            U, _, Vt = np.linalg.svd(X.T @ Xhat)
+            R = U @ Vt
+        return cls(R, codec)
+
+    def quantization_error(self, X: np.ndarray) -> float:
+        """Mean squared reconstruction error ||xR − decode(encode(xR))||²
+        — the quantity OPQ's alternation minimizes; the test gate."""
+        Xr = np.asarray(X, dtype=np.float64) @ self.rotation
+        return float(((Xr - _reconstruct(Xr, self.codec.codebooks)) ** 2)
+                     .sum(axis=1).mean())
+
+    def rotate_query(self, qvec: Sequence[float]) -> np.ndarray:
+        return np.asarray(list(qvec), dtype=np.float64) @ self.rotation
+
+    def encode(self, df: DataFrame, vec_col: str = "embedding",
+               code_col: str = "__code") -> DataFrame:
+        """Arrow-batched rotate+encode: X @ R once per batch (BLAS),
+        then per-subspace vectorized argmin. Map-only; appends
+        ``code_col ARRAY<INT>`` and keeps every input column."""
+        import pandas as pd
+
+        R = self.rotation
+        books = self.codec.codebooks
+        m, dsub = self.m, self.dsub
+        out_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        ) + f", {code_col} array<int>"
+
+        def enc(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Xr = np.stack(pdf[vec_col].map(
+                    lambda v: np.asarray(v, dtype=np.float64)).values) @ R
+                codes = np.empty((len(pdf), m), dtype=np.int32)
+                for j in range(m):
+                    S = Xr[:, j * dsub:(j + 1) * dsub]
+                    C = books[j]
+                    d = ((S ** 2).sum(1)[:, None] + (C ** 2).sum(1)[None]
+                         - 2.0 * (S @ C.T))
+                    codes[:, j] = d.argmin(1)
+                res = pdf.copy()
+                res[code_col] = list(codes)
+                yield pd.DataFrame(res)
+
+        return df.mapInPandas(enc, out_ddl)
+
+    def adc_expr(self, qvec: Sequence[float], code_col: str = "__code"):
+        """ADC against the ROTATED query — distances approximate true
+        euclidean because the rotation is orthonormal (norm-preserving)."""
+        return self.codec.adc_from_lut(self.codec.lut(self.rotate_query(qvec)),
+                                       code_col)
+
+
+def _reconstruct(Xr: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """decode(encode(Xr)) under per-subspace codebooks (m, ks, dsub)."""
+    m, _, dsub = books.shape
+    out = np.empty_like(Xr)
+    for j in range(m):
+        S = Xr[:, j * dsub:(j + 1) * dsub]
+        C = books[j]
+        d = ((S ** 2).sum(1)[:, None] + (C ** 2).sum(1)[None]
+             - 2.0 * (S @ C.T))
+        out[:, j * dsub:(j + 1) * dsub] = C[d.argmin(1)]
+    return out
+
+
 def _lloyd(S: np.ndarray, ks: int, iters: int, rng) -> np.ndarray:
     """Plain Lloyd iterations, BLAS-shaped (||s||^2 + ||c||^2 - 2 s.c —
     no (n, ks, dsub) intermediate). Empty clusters re-seed to the point
@@ -230,6 +355,17 @@ class PqIndex(_MaintainableIndex):
         codec = PqCodec.fit_deterministic(df, m, ks, id_col, vec_col)
         return cls(codec, codec.encode(df, vec_col), id_col, vec_col)
 
+    @classmethod
+    def build_opq(cls, df: DataFrame, m: int = 4, ks: int = 8,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  **fit_kw) -> "PqIndex":
+        """OPQ-rotated PQ index (faiss ``OPQx,PQy`` analogue): learned
+        rotation + Lloyd codebooks, Arrow-batched encode, same ADC
+        search/maintenance surface. Recall/error-gated, not
+        value-oracled (KMeans+SVD are not SQL-reproducible)."""
+        codec = OpqCodec.fit(df, m, ks, vec_col=vec_col, **fit_kw)
+        return cls(codec, codec.encode(df, vec_col), id_col, vec_col)
+
     def _index_rows(self, df: DataFrame) -> DataFrame:
         return self.codec.encode(df, self.vec_col)
 
@@ -269,8 +405,12 @@ class PqIndex(_MaintainableIndex):
         if drop_vectors:
             t = t.drop(self.vec_col)
         t.write.mode("overwrite").parquet(os.path.join(path, "codes"))
-        meta = {"codebooks": self.codec.codebooks.tolist(),
-                "id_col": self.id_col, "vec_col": self.vec_col}
+        if isinstance(self.codec, OpqCodec):
+            meta = {"codebooks": self.codec.codec.codebooks.tolist(),
+                    "rotation": self.codec.rotation.tolist()}
+        else:
+            meta = {"codebooks": self.codec.codebooks.tolist()}
+        meta.update(id_col=self.id_col, vec_col=self.vec_col)
         with open(os.path.join(path, "pq_meta.json"), "w") as f:
             json.dump(meta, f)
 
@@ -279,8 +419,10 @@ class PqIndex(_MaintainableIndex):
         with open(os.path.join(path, "pq_meta.json")) as f:
             meta = json.load(f)
         table = spark.read.parquet(os.path.join(path, "codes"))
-        return cls(PqCodec(np.asarray(meta["codebooks"])), table,
-                   meta["id_col"], meta["vec_col"])
+        codec = PqCodec(np.asarray(meta["codebooks"]))
+        if "rotation" in meta:
+            codec = OpqCodec(np.asarray(meta["rotation"]), codec)
+        return cls(codec, table, meta["id_col"], meta["vec_col"])
 
 
 class IvfPqIndex(_MaintainableIndex):
