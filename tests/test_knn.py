@@ -216,3 +216,28 @@ def test_knn_join_ivf_shuffle_path_equals_broadcast(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_knn_join_ivf_arrow_matches_column_tier(spark):
+    """The BLAS cogroup tier (knn_join_ivf_arrow) must return the
+    identical all-pairs answer as the Column-expression shuffle path —
+    same probes, same candidates, same (dist, id) tie order — across
+    every metric."""
+    from toy_vector_db_spark.operators.ann import IvfIndex
+    from toy_vector_db_spark.operators.knn import (knn_join_ivf,
+                                                   knn_join_ivf_arrow)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IvfIndex.build_deterministic(emb, n_centroids=4)
+    queries = emb.select(F.col("vec_id").alias("query_id"),
+                         F.col("embedding").alias("query_vec"))
+    norm = lambda d: sorted((r["query_id"], r["vec_id"],
+                             round(r["distance"], 6)) for r in d.collect())
+    for metric in ("euclidean", "cosine", "dotproduct", "manhattan"):
+        a = knn_join_ivf(queries, idx, k=3, nprobe=2, metric=metric,
+                         broadcast_queries=False)
+        b = knn_join_ivf_arrow(queries, idx, k=3, nprobe=2, metric=metric)
+        assert norm(a) == norm(b), metric
+    with pytest.raises(ValueError):
+        knn_join_ivf_arrow(queries, idx, k=0)
+    with pytest.raises(ValueError):
+        knn_join_ivf_arrow(queries, idx, nprobe=0)

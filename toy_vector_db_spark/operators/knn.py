@@ -267,6 +267,103 @@ def probe_clusters_expr(centroids, qvec_col: Column, nprobe: int) -> Column:
                        lambda s: s["i"])
 
 
+def _np_dists(Q, C, metric: str):
+    """(q, c) distance matrix, NumPy/BLAS — same metric semantics as
+    functions/distance.py (cosine zero-norm => 1.0, clamped sim)."""
+    import numpy as np
+    if metric == "euclidean":
+        # chunk the (q, c, d) diff tensor to bound memory
+        out = np.empty((len(Q), len(C)))
+        step = max(1, int(4e7 // (C.shape[0] * C.shape[1] + 1)))
+        for s in range(0, len(Q), step):
+            d = Q[s:s + step, None, :] - C[None, :, :]
+            out[s:s + step] = np.sqrt((d * d).sum(-1))
+        return out
+    if metric == "manhattan":
+        out = np.empty((len(Q), len(C)))
+        step = max(1, int(4e7 // (C.shape[0] * C.shape[1] + 1)))
+        for s in range(0, len(Q), step):
+            out[s:s + step] = np.abs(
+                Q[s:s + step, None, :] - C[None, :, :]).sum(-1)
+        return out
+    if metric == "dotproduct":
+        return -(Q @ C.T)
+    if metric == "cosine":
+        nq = np.linalg.norm(Q, axis=1)
+        nc = np.linalg.norm(C, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.clip((Q @ C.T) / (nq[:, None] * nc[None, :]), -1.0, 1.0)
+        return np.where((nq[:, None] == 0) | (nc[None, :] == 0), 1.0,
+                        1.0 - sim)
+    raise ValueError(f"unsupported metric: {metric!r}")
+
+
+def knn_join_ivf_arrow(queries: DataFrame, index, k: int = DEFAULT_K,
+                       nprobe: int = 3, metric: str = "euclidean",
+                       query_id_col: str = "query_id",
+                       query_vec_col: str = "query_vec",
+                       dist_col: str = "distance") -> DataFrame:
+    """The BLAS tier of the IVF similarity join — built for the
+    all-pairs / corpus-sized-queries regime where the Column-expression
+    tier's per-pair interpreted fold dominates (measured 28 s vs ~2 s
+    at sf0.1 all-pairs).
+
+    Plan shape: both sides shuffle ONCE on cluster id (the same
+    co-partitioning as ``knn_join_ivf(broadcast_queries=False)``), then
+    a cogroup-applyInPandas scores each cluster's queries against its
+    corpus rows as one (q, c) matrix op and emits only the per-query
+    local top-k; the global merge reduces queries x nprobe x k rows.
+    Per-cluster candidate work is identical to the Column tier — same
+    probes, same candidates, same answers (shared value oracle).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    pcol = index.PARTITION_COL
+    probes = probe_clusters_expr(index.centroids,
+                                 F.col(query_vec_col), nprobe)
+    q = queries.select(F.col(query_id_col).alias("__qid"),
+                       F.col(query_vec_col).alias("__qvec"),
+                       F.explode(probes).alias(pcol))
+    corpus = index._live(index.table).select(
+        F.col(index.id_col).alias("__cid"),
+        F.col(index.vec_col).alias("__cvec"), pcol)
+
+    def score(key, qpdf, cpdf):
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame({"__qid": [], "__cid": [], dist_col: []})
+        Q = np.stack(qpdf["__qvec"].map(
+            lambda v: np.asarray(v, dtype=np.float64)).values)
+        C = np.stack(cpdf["__cvec"].map(
+            lambda v: np.asarray(v, dtype=np.float64)).values)
+        D = _np_dists(Q, C, metric)
+        cids = cpdf["__cid"].values
+        qids = qpdf["__qid"].values
+        # local top-k per query, ties -> ascending corpus id (the same
+        # total order as the struct-sort merge and the SQL oracle)
+        out_q, out_c, out_d = [], [], []
+        for r in range(D.shape[0]):
+            idx = np.lexsort((cids, D[r]))[:k]
+            out_q.extend([qids[r]] * len(idx))
+            out_c.extend(cids[idx])
+            out_d.extend(D[r, idx])
+        return pd.DataFrame({"__qid": out_q, "__cid": out_c,
+                             dist_col: out_d})
+
+    qid_t = dict(q.dtypes)["__qid"]
+    cid_t = dict(corpus.dtypes)["__cid"]
+    pairs = q.groupBy(pcol).cogroup(corpus.groupBy(pcol)).applyInPandas(
+        score, f"__qid {qid_t}, __cid {cid_t}, {dist_col} double")
+    topk = _per_query_topk(pairs, k, dist_col, two_phase=False)
+    return topk.select(F.col("__qid").alias(query_id_col),
+                       F.col("__cid").alias(index.id_col),
+                       F.col(dist_col))
+
+
 def knn_join_ivf(queries: DataFrame, index, k: int = DEFAULT_K,
                  nprobe: int = 3, metric: str = "euclidean",
                  query_id_col: str = "query_id",

@@ -1293,7 +1293,9 @@ def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a broadcast hash EQUI-join on the cluster id (plan-asserted) — the
 # scale path that replaces knn_join's nested-loop at 100 TB.
 def _knn_join_ivf_oracle(n_centroids: int = 8, nprobe: int = 3,
-                         k: int = 5) -> str:
+                         k: int = 5,
+                         where: str = "WHERE vec_id IN (1, 2, 3, 4, 5)"
+                         ) -> str:
     eu = ("sqrt(list_sum(list_transform(list_zip({x}, c), "
           "pr -> (pr[1]-pr[2])*(pr[1]-pr[2]))))")
     return f"""
@@ -1309,7 +1311,7 @@ assigned AS (
 qs AS (SELECT vec_id AS query_id, v AS qv,
               list_transform((SELECT cs FROM cents),
                              c -> {eu.format(x='v')}) AS ds
-       FROM e WHERE vec_id IN (1, 2, 3, 4, 5)),
+       FROM e {where}),
 probes AS (
   SELECT query_id, qv, i - 1 AS cluster
   FROM (SELECT query_id, qv, unnest(ds) AS d,
@@ -1616,6 +1618,30 @@ def knn_join_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id").isin(1, 2, 3, 4, 5)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     return knn_join_ivfpq(queries, idx, k=5, nprobe=3).select(
+        "query_id", "vec_id", F.round("distance", 4).alias("distance"))
+
+
+# All-pairs near-neighbor graph — the corpus-sized-queries regime:
+# a broadcast would ship the whole corpus to every task, so both sides
+# shuffle ONCE on cluster id and each cluster scores its queries
+# against its corpus rows as one BLAS matrix op
+# (knn_join_ivf_arrow, cogroup-applyInPandas; the Column-expression
+# shuffle path knn_join_ivf(broadcast_queries=False) computes the same
+# candidates — equivalence-tested in test_knn.py — but its per-pair
+# interpreted fold measured 28 s vs ~2 s here at sf0.1). Every corpus
+# row gets its 3 nearest (self included, rank 1 at distance 0 — kept:
+# it proves the join saw every row). Full value oracle: the batch
+# IVF-join oracle with the query filter dropped.
+@q("knn_join_ivf_allpairs", _knn_join_ivf_oracle(k=3, where=""))
+def knn_join_ivf_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import IvfIndex
+    from .operators.knn import knn_join_ivf_arrow
+    e = _t(spark, sf_dir, "embeddings")
+    idx = IvfIndex.build_deterministic(e, n_centroids=8)
+    queries = e.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec"))
+    return knn_join_ivf_arrow(queries, idx, k=3, nprobe=3,
+                              metric="euclidean").select(
         "query_id", "vec_id", F.round("distance", 4).alias("distance"))
 
 
@@ -2118,6 +2144,35 @@ def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"),
                  F.round(F.sum("value"), 2).alias("sum_value"),
                  F.countDistinct("user_id").alias("n_users")))
+
+
+# Salted join under a value oracle: event_type is the classic hot-key
+# column (5 values over the whole events table). salted_join spreads
+# each hot key over 8 shuffle partitions (operators/skew.py); salting
+# must be RESULT-invariant, so the oracle is the plain unsalted join —
+# any row lost or duplicated by the salt/explode bookkeeping
+# hash-mismatches.
+@q("skew_salted_join", """
+WITH dim AS (SELECT DISTINCT event_type,
+                    CAST(length(event_type) AS DOUBLE) AS w
+             FROM events)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(e.value * d.w), 2) AS weighted_value
+FROM events e JOIN dim d USING (event_type)
+GROUP BY e.event_type
+""")
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_join
+    e = _t(spark, sf_dir, "events")
+    dim = (e.select("event_type").distinct()
+           .withColumn("w", F.length("event_type").cast("double")))
+    joined = salted_join(e.select("event_type", "value"), dim,
+                         on="event_type", buckets=8)
+    return (joined.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum(F.col("value") * F.col("w")), 2)
+                 .alias("weighted_value")))
 
 
 # Approximate distinct (HLL++): THE way to count 100 TB of distinct
