@@ -72,3 +72,13 @@ def test_normalize(spark):
 
 def test_zero_vector(spark):
     assert _eval(spark, zero_vector(4)) == [0.0] * 4
+
+
+def test_mean_vectors_exact_and_ragged(spark):
+    from toy_vector_db_spark.functions.vector import mean_vectors
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 6.0]), ("b", [5.0, 5.0])],
+        "label string, embedding array<float>")
+    got = {r["label"]: (list(r["centroid"]), r["n_vectors"])
+           for r in mean_vectors(df, "label").collect()}
+    assert got == {"a": ([2.0, 4.0], 2), "b": ([5.0, 5.0], 1)}

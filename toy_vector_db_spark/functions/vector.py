@@ -10,12 +10,13 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .distance import l2_norm
 
-__all__ = ["vector_lit", "normalize", "zero_vector", "random_vector"]
+__all__ = ["vector_lit", "normalize", "zero_vector", "random_vector",
+           "mean_vectors"]
 
 
 def vector_lit(values: Sequence[float]) -> Column:
@@ -41,3 +42,33 @@ def random_vector(dim: int, seed: int | None = None) -> Column:
         return F.transform(F.sequence(F.lit(1), F.lit(dim)),
                            lambda i: F.rand(seed))
     return F.transform(F.sequence(F.lit(1), F.lit(dim)), lambda _: F.rand())
+
+
+def mean_vectors(df: DataFrame, group_col: str,
+                 vec_col: str = "embedding",
+                 out_col: str = "centroid") -> DataFrame:
+    """Per-group mean embedding — class prototypes / centroid init for
+    clustering / per-source embedding drift monitoring (beyond-parity
+    training-pipeline op).
+
+    Plan shape: posexplode -> partial-aggregated (group, pos) avg ->
+    one hash shuffle of (group, pos, sum, count) — the shuffle carries
+    group_cardinality x dim SCALARS, never vectors — then the dim
+    values per group reassemble ordered by position. Exact float64
+    arithmetic, so a SQL engine reproduces it (full value oracle via
+    UNNEST WITH ORDINALITY in the workload).
+    """
+    pairs = df.select(F.col(group_col),
+                      F.posexplode(F.col(vec_col).cast("array<double>"))
+                      .alias("__pos", "__x"))
+    per_pos = pairs.groupBy(group_col, "__pos").agg(
+        F.avg("__x").alias("__avg"), F.count("*").alias("__n"))
+    return (per_pos.groupBy(group_col)
+            .agg(F.array_sort(F.collect_list(F.struct("__pos", "__avg")))
+                 .alias("__s"),
+                 # min, not first: deterministic when vectors are ragged
+                 # (a short vector contributes to fewer positions)
+                 F.min("__n").alias("n_vectors"))
+            .select(group_col,
+                    F.transform("__s", lambda s: s["__avg"]).alias(out_col),
+                    F.col("n_vectors").cast("bigint").alias("n_vectors")))

@@ -2146,6 +2146,32 @@ def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("user_id").alias("n_users")))
 
 
+# Per-label mean embedding (class prototypes / centroid init /
+# per-source drift monitoring). The shuffle carries (label, pos,
+# partial-sum) SCALARS — label_cardinality x dim rows — never vectors;
+# exact float64, so DuckDB reproduces it value-for-value.
+@q("embedding_centroids_by_label", """
+WITH p AS (
+  SELECT label,
+         unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos
+  FROM embeddings),
+a AS (SELECT label, pos, AVG(x) AS m, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY label, pos)
+SELECT label, list(ROUND(m, 6) ORDER BY pos) AS centroid,
+       CAST(MIN(n) AS BIGINT) AS n_vectors
+FROM a GROUP BY label
+""")
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.vector import mean_vectors
+    e = _t(spark, sf_dir, "embeddings")
+    res = mean_vectors(e, "label", "embedding")
+    return res.select(
+        "label",
+        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+        "n_vectors")
+
+
 # Salted join under a value oracle: event_type is the classic hot-key
 # column (5 values over the whole events table). salted_join spreads
 # each hot key over 8 shuffle partitions (operators/skew.py); salting
