@@ -240,3 +240,19 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_knn_over_derived_vector_binds_embedding_once(spark):
+    """Anti-regression for the r2 19x search-text slowdown: scoring a
+    DERIVED (unmaterialized) embedding column must not re-inline the
+    384-dim sha256+md5 chain at each of cosine's ~6 references —
+    knn's bind_once keeps exactly one occurrence in the physical plan."""
+    from toy_vector_db_spark.functions.embedding import embed_documents
+    from toy_vector_db_spark.operators.knn import knn
+    from toy_vector_db_spark.workload import _t
+    corpus = embed_documents(_t(spark, SF, "documents"))
+    df = knn(corpus, [0.1] * 384, k=5, metric="cosine",
+             vec_col="vector", tie_col="doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("sha2") == 1
+    assert plan.count("md5") == 1

@@ -2030,6 +2030,36 @@ def events_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("events_rollup_streaming")
 
 
+# Streaming dedup with a FULL value oracle: the stream source sees TWO
+# copies of the events file (a replayed feed — the at-least-once
+# delivery case dropDuplicatesWithinWatermark exists for); the deduped
+# append-mode drain must equal the single-copy table value-for-value.
+@q("events_dedup_streaming", """
+SELECT event_id, user_id, event_type, value FROM events
+""")
+def events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .streaming.events import (dedup_stream, read_event_stream,
+                                   run_available_now)
+    tmp = tempfile.mkdtemp(prefix="events_dedup_stream_")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        shutil.copy(src, os.path.join(tmp, "a.parquet"))
+        shutil.copy(src, os.path.join(tmp, "b.parquet"))
+        deduped = dedup_stream(read_event_stream(spark, tmp, None)) \
+            .select("event_id", "user_id", "event_type", "value")
+        run_available_now(deduped, "events_dedup_streaming_t", "append")
+        t = spark.table("events_dedup_streaming_t")
+        # the source dir is removed on exit; materialize first (memory
+        # sink tables are already materialized, but be explicit)
+        rows = t.collect()
+        return spark.createDataFrame(rows, t.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Streaming stateful sessionization with a FULL value oracle: Spark's
 # engine-native session_window operator, drained complete with
 # Trigger.AvailableNow, produces exact event-time sessions — which a
