@@ -92,3 +92,25 @@ def test_repetition_struct_signals(spark):
     sym = rows[3]
     assert sym["symbol_ratio"] > 0.5
     assert not sym["keep"]
+
+
+def test_chunk_windows_straddle_and_empty(spark):
+    from toy_vector_db_spark.operators.packing import chunk_windows
+    docs = spark.createDataFrame(
+        [(1, "en", "a b c"),        # off 0, windows: [0]
+         (2, "en", "d e f g"),      # off 3..6 -> straddles w0/w1 (budget 4)
+         (3, "en", "   "),          # zero tokens: occupies nothing
+         (4, "en", "h"),            # off 7 -> w1
+         (5, "fr", "x y z w v")],   # own group: off 0, w0..w1
+        ["doc_id", "lang", "text"])
+    got = {r["doc_id"]: (r["n_tok"], r["start_off"], r["start_window"],
+                         r["n_windows"])
+           for r in chunk_windows(docs, budget=4).collect()}
+    assert got[1] == (3, 0, 0, 1)
+    assert got[2] == (4, 3, 0, 2)   # tokens 3..6 cross the 4-boundary
+    assert got[3] == (0, 7, 1, 0)   # empty doc spans no window
+    assert got[4] == (1, 7, 1, 1)
+    assert got[5] == (5, 0, 0, 2)   # groups pack independently
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_windows(docs, budget=0)

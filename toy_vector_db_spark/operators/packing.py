@@ -1,0 +1,58 @@
+"""Training-window layout: concat-and-chunk sequence packing.
+
+GPT-style pretraining does not feed one document per sequence — it
+concatenates the (shuffled/ordered) token stream of a corpus slice and
+slices it into fixed-size context windows; a document can straddle a
+window boundary. This operator computes that layout as METADATA
+(offsets and window spans per document) without materializing tokens:
+
+    start_off    cumulative tokens before this doc within its group
+    start_window floor(start_off / budget)
+    n_windows    how many windows the doc touches
+
+One window shuffle per group (cumulative sum over the group's document
+order); integer arithmetic only, so a SQL engine reproduces it exactly
+(workload ``corpus_chunk_windows`` oracle). At 100 TB the group column
+is the unit of parallelism (per-language / per-shard streams) — each
+group's running offset is independent, so no global sequential pass
+exists anywhere.
+
+Greedy no-split bin packing (whole docs per window) is the OTHER
+packing regime; it is inherently prefix-sequential per group, which is
+why the industry default for pretraining is exactly this
+concat-and-chunk layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+
+DEFAULT_WINDOW_TOKENS = 2048
+
+
+def chunk_windows(df: DataFrame, budget: int = DEFAULT_WINDOW_TOKENS,
+                  group_col: str = "lang", id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-group concat-and-chunk window assignment (doc order =
+    ascending ``id_col``; pin the order upstream for a shuffled
+    curriculum). Zero-token docs occupy no window: n_windows = 0 and
+    start_window is where the NEXT token would land."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    n_tok = token_count(F.col(text_col))
+    w = Window.partitionBy(group_col).orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(n_tok).over(w)
+    start_off = (cum - n_tok).cast("bigint")
+    end_off = cum.cast("bigint")  # exclusive
+    return df.select(
+        F.col(id_col), F.col(group_col),
+        n_tok.alias("n_tok"),
+        start_off.alias("start_off"),
+        F.floor(start_off / budget).cast("bigint").alias("start_window"),
+        F.when(n_tok == 0, F.lit(0)).otherwise(
+            F.floor((end_off - 1) / budget) - F.floor(start_off / budget) + 1
+        ).cast("bigint").alias("n_windows"))

@@ -750,6 +750,19 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("minhash_sig"))
 
 
+# The hashlib/Arrow signature tier under the SAME oracle as the
+# Catalyst HOF tier: byte-identical signatures are the contract
+# (operators/dedup.minhash_signatures_arrow — the cold-executor tier),
+# and sharing _minhash_oracle() makes the driver's value hash prove it.
+@q("dedup_minhash_signatures_arrow", _minhash_oracle())
+def dedup_minhash_signatures_arrow(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_signatures_arrow
+    d = _tp(spark, sf_dir, "documents")
+    return minhash_signatures_arrow(d, num_perm=8, shingle_k=3).select(
+        "doc_id", F.concat_ws("|", F.col("sig")).alias("minhash_sig"))
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     toks = _dd_shingles(1)
     hs = (f"list_transform({toks}, "
@@ -2050,7 +2063,14 @@ def events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(src, os.path.join(tmp, "b.parquet"))
         deduped = dedup_stream(read_event_stream(spark, tmp, None)) \
             .select("event_id", "user_id", "event_type", "value")
-        run_available_now(deduped, "events_dedup_streaming_t", "append")
+        # one state store per shuffle partition; 8 is plenty for a
+        # bounded drain (same sizing note as events_rollup_streaming)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            run_available_now(deduped, "events_dedup_streaming_t", "append")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
         t = spark.table("events_dedup_streaming_t")
         # the source dir is removed on exit; materialize first (memory
         # sink tables are already materialized, but be explicit)
@@ -2174,6 +2194,35 @@ def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"),
                  F.round(F.sum("value"), 2).alias("sum_value"),
                  F.countDistinct("user_id").alias("n_users")))
+
+
+# Concat-and-chunk training-window layout (operators/packing.py): per
+# language, documents concatenate in doc_id order and slice into
+# 2048-token context windows; each doc's start offset / window span is
+# pure integer arithmetic over one per-group cumulative sum — exact in
+# any engine, full value oracle.
+@q("corpus_chunk_windows", f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len({_DD_TOKS}) END AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+  FROM t)
+SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(start_off AS BIGINT) AS start_off,
+       CAST(start_off // 2048 AS BIGINT) AS start_window,
+       CAST(CASE WHEN n_tok = 0 THEN 0
+                 ELSE (start_off + n_tok - 1) // 2048 - start_off // 2048 + 1
+            END AS BIGINT) AS n_windows
+FROM c
+""")
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import chunk_windows
+    d = _t(spark, sf_dir, "documents")
+    return chunk_windows(d, budget=2048)
 
 
 # Per-label mean embedding (class prototypes / centroid init /
