@@ -68,6 +68,19 @@ def stratified_sample(df: DataFrame, key: str, strata_col: str,
     return df.filter(hash_uniform(F.col(key), salt) < thr)
 
 
+def weighted_sample(df: DataFrame, key: str, weight: Column,
+                    salt: str = "") -> DataFrame:
+    """Quality-weighted deterministic sampling (curriculum mixing):
+    keep a row iff ``hash_uniform(key) < weight``, where ``weight`` is
+    any per-row Column in [0, 1] — e.g. a quality score, or
+    ``pow(quality, 2)`` to bias harder toward the top of the
+    distribution. Expected keep-rate per row IS its weight; membership
+    is stable under corpus growth, the draw is reproducible across
+    engines (md5), and the whole thing stays a map-only scan filter —
+    the curriculum never costs a shuffle."""
+    return df.filter(hash_uniform(F.col(key), salt) < weight)
+
+
 def deterministic_shuffle(df: DataFrame, key: str,
                           salt: str = "shuffle") -> DataFrame:
     """Global reproducible shuffle for training-order randomization:

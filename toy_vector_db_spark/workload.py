@@ -1276,6 +1276,41 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99")))
 
 
+# Approx-percentile error gate — same pattern as events_dau_error_gate:
+# the sketch itself can't hash-match another engine, so the guarantee is
+# asserted INSIDE the query. approx_percentile's rank error is <=
+# 1/accuracy (default 1e-4 of N); requiring the approx p50/p90 to land
+# between the exact p45..p55 / p88..p92 values is a ~500x-margin bound —
+# stable, not flaky — and the oracle answers TRUE unconditionally, so a
+# sketch drifting outside it fails the driver's value hash.
+@q("events_value_percentiles_gate", """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       TRUE AS p50_in_rank_band, TRUE AS p90_in_rank_band
+FROM events GROUP BY event_type
+""")
+def events_value_percentiles_gate(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("__p50"),
+        F.expr("percentile(value, 0.9)").alias("__p90"),
+        F.expr("percentile(value, 0.45)").alias("__p45"),
+        F.expr("percentile(value, 0.55)").alias("__p55"),
+        F.expr("percentile(value, 0.88)").alias("__p88"),
+        F.expr("percentile(value, 0.92)").alias("__p92"),
+        F.expr("approx_percentile(value, 0.5)").alias("__a50"),
+        F.expr("approx_percentile(value, 0.9)").alias("__a90"))
+    return agg.select(
+        "event_type",
+        F.round("__p50", 4).alias("p50"), F.round("__p90", 4).alias("p90"),
+        F.col("__a50").between(F.col("__p45"), F.col("__p55"))
+        .alias("p50_in_rank_band"),
+        F.col("__a90").between(F.col("__p88"), F.col("__p92"))
+        .alias("p90_in_rank_band"))
+
+
 # ---------------------------------------------------------------------------
 # Batch similarity join (SURVEY §2.3: THE join capability to generalize)
 # ---------------------------------------------------------------------------
@@ -1792,6 +1827,24 @@ def sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import hash_sample
     d = _t(spark, sf_dir, "documents")
     return hash_sample(d, "doc_id", 0.25).select("doc_id", "lang")
+
+
+# Quality-weighted deterministic sampling (curriculum mixing): each
+# row's keep-probability IS its per-row weight — here min(chars/500, 1)
+# biases toward longer documents — and the draw stays a reproducible
+# map-only filter (operators/sampling.weighted_sample).
+@q("sample_weighted_quality", f"""
+SELECT doc_id, lang,
+       ROUND(LEAST(length(text) / 500.0, 1.0), 4) AS weight
+FROM documents
+WHERE {_DD_U.format(salt='wq')} < LEAST(length(text) / 500.0, 1.0)
+""")
+def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import weighted_sample
+    d = _t(spark, sf_dir, "documents")
+    w = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+    return weighted_sample(d, "doc_id", w, salt="wq").select(
+        "doc_id", "lang", F.round(w, 4).alias("weight"))
 
 
 @q("split_train_test", f"""
