@@ -228,3 +228,25 @@ def test_catalog_persistence(spark, tmp_path):
     rows = cat2.read("c1").collect()
     assert len(rows) == 1 and rows[0]["id"] == "x"
     assert rows[0]["metadata"] == {"k": "v"}
+
+
+def test_catalog_time_travel(spark, tmp_path):
+    """Snapshot isolation the versioned layout buys: any retained
+    version reads back exactly as committed, GC keeps only the newest
+    keep_versions, and reading an evicted version errors."""
+    root = str(tmp_path / "tt")
+    cat = CollectionCatalog(spark, root, keep_versions=3)
+    cat.create("c")                              # v0: empty
+    cat.insert("c", [("a", [1.0], None)])        # v1: {a}
+    cat.insert("c", [("b", [2.0], None)])        # v2: {a,b}
+    cat.delete("c", "id = 'a'")                  # v3: {b}
+    assert cat.versions("c") == [1, 2, 3]        # v0 GC'd (keep 3)
+    ids = lambda v: sorted(r["id"] for r in cat.read_version("c", v).collect())
+    assert ids(1) == ["a"]
+    assert ids(2) == ["a", "b"]
+    assert ids(3) == ["b"]
+    assert sorted(r["id"] for r in cat.read("c").collect()) == ["b"]
+    with pytest.raises(KeyError, match="version 0"):
+        cat.read_version("c", 0)
+    with pytest.raises(KeyError, match="not found"):
+        cat.versions("nope")

@@ -88,6 +88,29 @@ class CollectionCatalog:
         return self.spark.read.schema(self._schema_for(name)).parquet(
             self._data_path(name))
 
+    def versions(self, name: str) -> list[int]:
+        """Version numbers still on disk, oldest first (the newest
+        ``keep_versions`` survive GC)."""
+        if not self.exists(name):
+            raise KeyError(f"collection not found: {name!r}")
+        base = self._dir(name)
+        return sorted(int(e[1:]) for e in os.listdir(base)
+                      if e.startswith("v") and e[1:].isdigit())
+
+    def read_version(self, name: str, version: int) -> DataFrame:
+        """Snapshot read (time travel): the table exactly as committed
+        at ``version``. This is what the versioned layout buys — every
+        mutation wrote a NEW directory and flipped the pointer, so any
+        retained version is a consistent, immutable snapshot (the same
+        read semantics Delta/Iceberg time travel exposes; swap them in
+        for a longer history than ``keep_versions``)."""
+        if version not in self.versions(name):
+            raise KeyError(
+                f"version {version} of {name!r} not on disk "
+                f"(retained: {self.versions(name)})")
+        return self.spark.read.schema(self._schema_for(name)).parquet(
+            self._data_path(name, version))
+
     def read_docs(self, name: str) -> DataFrame:
         """The document sidecar table of a collection (DOCUMENTS_SCHEMA:
         doc_id, content, content_type, vector, metadata, created_at,
