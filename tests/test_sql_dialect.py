@@ -250,3 +250,23 @@ def test_catalog_time_travel(spark, tmp_path):
         cat.read_version("c", 0)
     with pytest.raises(KeyError, match="not found"):
         cat.versions("nope")
+
+
+def test_sql_version_as_of(spark, tmp_path):
+    from toy_vector_db_spark.plans.dialect import SqlEngine
+    cat = CollectionCatalog(spark, str(tmp_path / "ttsql"), keep_versions=5)
+    eng = SqlEngine(spark, cat)
+    eng.execute("CREATE COLLECTION c")
+    eng.execute("INSERT INTO c (id, vector) VALUES ('a', [1.0, 0.0])")
+    eng.execute("INSERT INTO c (id, vector) VALUES ('b', [0.0, 1.0])")
+    now = sorted(r["id"] for r in eng.sql("SELECT id FROM c").collect())
+    old = sorted(r["id"] for r in
+                 eng.sql("SELECT id FROM c VERSION AS OF 1").collect())
+    assert now == ["a", "b"]
+    assert old == ["a"]
+    # NEAREST TO composes over a pinned snapshot
+    res = eng.sql("SELECT id FROM c VERSION AS OF 1 "
+                  "NEAREST TO [0.9, 0.1] LIMIT 5").collect()
+    assert [r["id"] for r in res] == ["a"]
+    with pytest.raises(ValueError, match="requires a collection"):
+        eng.sql("SELECT id FROM not_a_coll VERSION AS OF 1")

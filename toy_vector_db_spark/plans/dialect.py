@@ -195,7 +195,28 @@ class SqlEngine:
         r"^(?:\s+WHERE\s+.*?)?(?:\s+LIMIT\s+\d+)?\s*$",
         re.IGNORECASE | re.DOTALL)
 
+    # FROM <collection> VERSION AS OF <n> — snapshot reads over the
+    # versioned catalog (catalog.read_version; Delta/Iceberg-style
+    # time-travel syntax). Resolved by registering the pinned version
+    # as a temp view, so everything downstream (NEAREST TO, metadata
+    # rewrites, plain ANSI) composes unchanged.
+    _VERSION_RE = re.compile(
+        r"\bFROM\s+(?P<t>\w+)\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)",
+        re.IGNORECASE)
+
+    def _resolve_versions(self, stmt: str) -> str:
+        def sub(m: re.Match) -> str:
+            t, v = m.group("t"), int(m.group("v"))
+            if not self.catalog.exists(t):
+                raise ValueError(
+                    f"VERSION AS OF requires a collection, got {t!r}")
+            view = f"{t}__v{v}"
+            self.catalog.read_version(t, v).createOrReplaceTempView(view)
+            return f"FROM {view}"
+        return self._VERSION_RE.sub(sub, stmt)
+
     def _select(self, stmt: str) -> SqlResult:
+        stmt = self._resolve_versions(stmt)
         m = _NEAREST_RE.search(stmt)
         if m is not None:
             return SqlResult(df=self._nearest(stmt, m))
