@@ -8,8 +8,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from toy_vector_db_spark.streaming.events import (
-    dedup_stream, hourly_rollup_stream, read_event_stream, run_to_memory,
-    sessionize_stream, sessionize_stream_windows,
+    dedup_stream, followup_pairs_stream, hourly_rollup_stream,
+    read_event_stream, run_to_memory, sessionize_stream,
+    sessionize_stream_windows,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -98,6 +99,32 @@ def test_session_window_stream_matches_batch(spark, events_dir):
              F.count("*").alias("n_events"))
     want = {(r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
             for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_stream_stream_join_multi_batch_matches_batch(spark, events_dir):
+    """Stream-STREAM interval join across micro-batches: with 4 files
+    arriving 1 per trigger in arbitrary event-time order, a pair's two
+    sides can land in different batches — the join state must hold them
+    until matched. Watermark exceeds the dataset span, so nothing is
+    late and the drain must equal the batch self-join exactly."""
+    lhs = read_event_stream(spark, events_dir, 1)
+    rhs = read_event_stream(spark, events_dir, 1)
+    stream = followup_pairs_stream(lhs, rhs, gap_minutes=30,
+                                   watermark="2000 hours")
+    _drain(run_to_memory(stream, "follow_t", "append"))
+    got = {(r["user_id"], r["a_id"], r["b_id"])
+           for r in spark.table("follow_t").collect()}
+    e = spark.read.parquet(events_dir)
+    a = e.select("user_id", F.col("event_id").alias("a_id"),
+                 F.col("ts").alias("a_ts"))
+    b = e.select(F.col("user_id").alias("ub"),
+                 F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts"))
+    want = {(r["user_id"], r["a_id"], r["b_id"]) for r in a.join(
+        b, (a["user_id"] == b["ub"]) & (b["b_ts"] > a["a_ts"])
+        & (b["b_ts"] <= a["a_ts"] + F.expr("INTERVAL 30 MINUTES")))
+        .select("user_id", "a_id", "b_id").collect()}
     assert got == want
     assert len(got) > 0
 

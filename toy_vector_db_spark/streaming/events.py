@@ -142,6 +142,31 @@ def sessionize_stream_windows(events: DataFrame, gap_minutes: int = 30,
                     "n_events"))
 
 
+def followup_pairs_stream(lhs: DataFrame, rhs: DataFrame,
+                          gap_minutes: int = 30,
+                          watermark: str = "2 hours") -> DataFrame:
+    """Stream-STREAM interval self-join: for each event, the same
+    user's follow-up events within ``gap_minutes`` — funnel /
+    session-stitching analytics on two live feeds. The third and
+    hardest Structured Streaming join family (stream-static and
+    windowed aggregation are covered elsewhere): BOTH sides carry
+    watermarks and the join condition bounds the event-time range, so
+    Spark's state store retains each side only ``watermark`` deep —
+    bounded state on unbounded streams. Emits (user_id, a_id, b_id,
+    a_ts) in append mode as matches finalize."""
+    a = lhs.withWatermark("ts", watermark).select(
+        "user_id", F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"))
+    b = rhs.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("__user_b"),
+        F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts"))
+    cond = ((a["user_id"] == b["__user_b"])
+            & (b["b_ts"] > a["a_ts"])
+            & (b["b_ts"] <= a["a_ts"]
+               + F.expr(f"INTERVAL {gap_minutes} MINUTES")))
+    return a.join(b, cond).select("user_id", "a_id", "b_id")
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming frame into an in-memory table (tests/demos);
     returns the StreamingQuery — caller awaits processAllAvailable()."""

@@ -2133,6 +2133,32 @@ def events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Stream-STREAM interval join with a FULL value oracle: two live feeds
+# of the events table joined on user within a 30-minute follow-up
+# window (streaming/events.followup_pairs_stream); the AvailableNow
+# drain must equal the batch interval self-join value-for-value.
+@q("events_followups_streaming", """
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL '30 minutes'
+""")
+def events_followups_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.events import (followup_pairs_stream, read_event_stream,
+                                   run_available_now)
+    glob = os.path.join(sf_dir, "events.parque[t]")
+    lhs = read_event_stream(spark, glob, max_files_per_trigger=None)
+    rhs = read_event_stream(spark, glob, max_files_per_trigger=None)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_available_now(followup_pairs_stream(lhs, rhs, gap_minutes=30),
+                          "events_followups_streaming_t", "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("events_followups_streaming_t")
+
+
 # Streaming stateful sessionization with a FULL value oracle: Spark's
 # engine-native session_window operator, drained complete with
 # Trigger.AvailableNow, produces exact event-time sessions — which a
