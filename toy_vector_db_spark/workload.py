@@ -1778,6 +1778,87 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.round("distance", 4).alias("distance"))
 
 
+# SQ8 scalar quantization with a FULL value oracle: per-dim min/max
+# over the corpus define the affine int8 map (operators/sq.py), codes
+# dequantize at score time — all deterministic arithmetic, so DuckDB
+# reproduces bounds, codes, and the approximate ranking end-to-end.
+def _ann_sq8_oracle() -> str:
+    # bounds/q are 1-row CTEs cross-joined into scope: DuckDB rejects
+    # subqueries INSIDE lambdas, but outer-row columns are fine
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM (
+        SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+      GROUP BY pos),
+bounds AS (SELECT list(mn ORDER BY pos) AS mins,
+                  list((mx - mn) / 255.0 ORDER BY pos) AS scales FROM b),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+coded AS (
+  SELECT vec_id, label,
+         list_transform(range(1, len(v) + 1), i ->
+           CASE WHEN scales[i] = 0 THEN 0
+                ELSE LEAST(GREATEST(CAST(round((v[i] - mins[i])
+                       / scales[i]) AS INTEGER), 0), 255) END) AS c
+  FROM e, bounds),
+scored AS (
+  SELECT vec_id, label,
+         sqrt(list_sum(list_transform(
+           list_transform(range(1, len(c) + 1), i ->
+             qv[i] - (mins[i] + c[i] * scales[i])),
+           d -> d * d))) AS dist
+  FROM coded, bounds, q)
+SELECT vec_id, label, ROUND(dist, 4) AS distance
+FROM scored ORDER BY dist ASC, vec_id ASC LIMIT {KNN_K}
+"""
+
+
+# Sign-bit binarization + Hamming top-k with a FULL value oracle:
+# codes, xor, and popcount are bit-exact in any engine. The oracle
+# packs bits via a (vec, word) grouped sum of distinct powers of two
+# (bit 63 carried as the negative sign-bit value), then joins the
+# query's words per word index.
+@q("ann_hamming_topk", f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bits AS (
+  SELECT vec_id, label, CAST((pos - 1) // 64 AS INTEGER) AS w,
+         CASE WHEN x > 0 THEN
+              CASE WHEN (pos - 1) % 64 = 63 THEN -9223372036854775808
+                   ELSE (CAST(1 AS BIGINT) << CAST((pos - 1) % 64 AS INTEGER))
+              END
+         ELSE 0 END AS b
+  FROM (SELECT vec_id, label, unnest(v) AS x,
+               generate_subscripts(v, 1) AS pos FROM e)),
+words AS (SELECT vec_id, label, w, CAST(SUM(b) AS BIGINT) AS word
+          FROM bits GROUP BY vec_id, label, w),
+qw AS (SELECT w, word AS qword FROM words WHERE vec_id = {QUERY_VEC_ID}),
+ham AS (
+  SELECT a.vec_id, a.label,
+         CAST(SUM(bit_count(xor(a.word, qw.qword))) AS BIGINT) AS h
+  FROM words a JOIN qw USING (w)
+  WHERE a.vec_id <> {QUERY_VEC_ID}
+  GROUP BY a.vec_id, a.label)
+SELECT vec_id, label, h AS hamming
+FROM ham ORDER BY h ASC, vec_id ASC LIMIT {KNN_K}
+""")
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.knn import lookup_vector
+    from .operators.sq import hamming_topk
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = lookup_vector(e, "vec_id", QUERY_VEC_ID)
+    return hamming_topk(e, qvec, k=KNN_K, exclude_id=QUERY_VEC_ID,
+                        tie_col="vec_id").select("vec_id", "label", "hamming")
+
+
+@q("ann_sq8_topk", _ann_sq8_oracle())
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.knn import lookup_vector
+    from .operators.sq import sq8_topk
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = lookup_vector(e, "vec_id", QUERY_VEC_ID)
+    return sq8_topk(e, qvec, k=KNN_K, tie_col="vec_id").select(
+        "vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
 @q("ann_ivf_topk", None)  # KMeans centroids: recall-checked in tests
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import IvfIndex
