@@ -146,3 +146,35 @@ def test_cosine_blocked_tiers_agree(spark):
     assert all(a < b for a, b, _ in col_tier)
     thr = norm(cosine_near_dup_blocked(df, "blk", threshold=0.9, arrow=True))
     assert {(a, b) for a, b, _ in thr} == {(1, 2), (5, 6)}
+
+
+def test_simhash_hamming_pairs_and_neighbor_counts(spark, docs):
+    """Both Hamming-ball APIs against brute force on the fixture:
+    the banded pair list equals the exact all-pairs filter (pigeonhole
+    completeness), and per-doc degrees match with zero-neighbor docs
+    present. Also the parameter guards."""
+    from toy_vector_db_spark.operators.dedup import (
+        simhash, simhash_hamming_pairs, simhash_neighbor_counts)
+    hashes = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", simhash(F.col("text"), 16).alias("sh")).collect()}
+    ids = sorted(hashes)
+    brute = {(a, b): bin(hashes[a] ^ hashes[b]).count("1")
+             for i, a in enumerate(ids) for b in ids[i + 1:]
+             if bin(hashes[a] ^ hashes[b]).count("1") <= 3}
+    got_pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+                 simhash_hamming_pairs(docs, bits=16, bands=4,
+                                       max_hamming=3).collect()}
+    assert got_pairs == brute
+    deg = {i: 0 for i in ids}
+    for (a, b) in brute:
+        deg[a] += 1
+        deg[b] += 1
+    got_deg = {r["doc_id"]: r["n_near"] for r in
+               simhash_neighbor_counts(docs, bits=16, bands=4,
+                                       max_hamming=3).collect()}
+    assert got_deg == deg
+    assert 0 in set(deg.values()) or len(brute) > 0  # fixture sanity
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_hamming_pairs(docs, bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="bands"):
+        simhash_neighbor_counts(docs, bits=16, bands=0)

@@ -263,6 +263,156 @@ def simhash_dup_clusters(df: DataFrame, text_col: str = "text",
             .filter(F.col("n_docs") > 1))
 
 
+def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", bits: int = 16,
+                          bands: int = 4,
+                          max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs within ``max_hamming`` simhash bits — the scale
+    path between exact-simhash grouping (misses 1-bit differences) and
+    all-pairs Hamming (quadratic).
+
+    Pigeonhole banding: split the ``bits``-bit hash into ``bands``
+    contiguous bands; two hashes within ``max_hamming < bands`` bits
+    MUST agree on at least one whole band, so bucketing on (band index,
+    band value) generates a candidate superset — same one-shuffle
+    groupBy-bucket shape as MinHash-LSH, shuffle carries (id, small
+    int) pairs only. Candidates verify with one xor+popcount.
+    Output: (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming.
+    """
+    if not 0 < bands <= bits:
+        raise ValueError(f"bands must be in 1..{bits}, got {bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < bands, got "
+            f"{max_hamming} >= {bands}")
+    width = bits // bands
+    from ..sources.tables import ensure_parallelism
+    base = ensure_parallelism(df.select(F.col(id_col).alias("__id"),
+                                        F.col(text_col).alias("__text")))
+    hashed = base.select(
+        "__id", simhash(F.col("__text"), bits).alias("__h"))
+
+    def band_key(h: Column, b: int) -> Column:
+        mask = (1 << width) - 1
+        return F.concat(F.lit(f"{b}|"),
+                        (F.shiftright(h, b * width)
+                         .bitwiseAND(F.lit(mask))).cast("string"))
+
+    banded = hashed.select(
+        "__id", "__h",
+        F.explode(F.array(*[band_key(F.col("__h"), b)
+                            for b in range(bands)])).alias("__band"))
+    buckets = (banded.groupBy("__band")
+               .agg(F.sort_array(
+                   F.collect_list(F.struct("__id", "__h"))).alias("__rows"))
+               .filter(F.size("__rows") > 1))
+    rows = F.col("__rows")
+    combos = F.flatten(F.transform(
+        rows, lambda x, i: F.transform(
+            F.slice(rows, i + 2, F.size(rows)),
+            lambda y: F.struct(x["__id"].alias("id_a"),
+                               y["__id"].alias("id_b"),
+                               x["__h"].alias("h_a"),
+                               y["__h"].alias("h_b")))))
+    pairs = (buckets.select(F.explode(combos).alias("__p"))
+             .select("__p.id_a", "__p.id_b", "__p.h_a", "__p.h_b")
+             .distinct())
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("bigint")
+    return (pairs.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def _popcount64(v):
+    """Vectorized SWAR popcount over uint64 (numpy < 2.0 has no
+    bitwise_count)."""
+    import numpy as np
+    v = v.astype(np.uint64)
+    v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    v = (v & np.uint64(0x3333333333333333)) \
+        + ((v >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def simhash_neighbor_counts(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", bits: int = 16,
+                            bands: int = 4,
+                            max_hamming: int = 3) -> DataFrame:
+    """Per-document count of near-duplicates within ``max_hamming``
+    simhash bits — the LINEAR-size answer to a question whose pair list
+    is quadratic on heavily templated corpora (the driver's synthetic
+    documents produce ~3.8M qualifying pairs at sf0.1; emitting per-doc
+    degrees keeps output = |corpus| while still exercising the full
+    banded machinery).
+
+    Shape: same pigeonhole banding as ``simhash_hamming_pairs`` (one
+    shuffle of (band, id, hash)), but each band bucket scores its
+    members as a NumPy xor/popcount matrix inside applyInPandas and
+    emits partial per-id counts. A pair agreeing on several bands is
+    counted ONCE — in its FIRST agreeing band (computable locally from
+    the full hashes, so no cross-bucket pair dedup shuffle exists).
+    Zero-neighbor docs come back via a left join with the base ids.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 0 < bands <= bits:
+        raise ValueError(f"bands must be in 1..{bits}, got {bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < bands, got "
+            f"{max_hamming} >= {bands}")
+    width = bits // bands
+    mask = np.uint64((1 << width) - 1)
+    from ..sources.tables import ensure_parallelism
+    base = ensure_parallelism(df.select(F.col(id_col).alias("__id"),
+                                        F.col(text_col).alias("__text")))
+    hashed = base.select("__id",
+                         simhash(F.col("__text"), bits).alias("__h"))
+    banded = hashed.select(
+        "__id", "__h",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("__b"),
+                F.shiftright(F.col("__h"), b * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("__bv"))
+            for b in range(bands)])).alias("__s")
+    ).select("__id", "__h", "__s.__b", "__s.__bv")
+
+    id_t = dict(hashed.dtypes)["__id"]
+
+    def count_bucket(key, pdf):
+        b = int(key[0])
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"__id": [], "__cnt": []})
+        h = pdf["__h"].to_numpy(np.int64).astype(np.uint64)
+        ham = _popcount64(h[:, None] ^ h[None, :])
+        close = (ham <= max_hamming)
+        np.fill_diagonal(close, False)
+        # count a pair only in its FIRST agreeing band: any band b' < b
+        # where both members' band values match disqualifies it here
+        if b > 0:
+            prev_agree = np.zeros((n, n), dtype=bool)
+            for bp in range(b):
+                bv = (h >> np.uint64(bp * width)) & mask
+                prev_agree |= bv[:, None] == bv[None, :]
+            close &= ~prev_agree
+        cnt = close.sum(axis=1).astype("int64")
+        keep = cnt > 0
+        return pd.DataFrame({"__id": pdf["__id"].values[keep],
+                             "__cnt": cnt[keep]})
+
+    partial = banded.groupBy("__b", "__bv").applyInPandas(
+        count_bucket, f"__id {id_t}, __cnt long")
+    totals = partial.groupBy("__id").agg(F.sum("__cnt").alias("__n"))
+    return (hashed.select("__id").join(totals, "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    F.coalesce("__n", F.lit(0)).cast("bigint")
+                    .alias("n_near")))
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (direct pair scoring)
 # ---------------------------------------------------------------------------

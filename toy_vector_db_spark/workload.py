@@ -784,6 +784,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", simhash(F.col("text"), 16).alias("simhash"))
 
 
+# SimHash Hamming-ball near-dup DEGREES: the banded pigeonhole
+# candidate generation is COMPLETE (hamming <= 3 over 4 bands of a
+# 16-bit hash means at least one whole band agrees), so per-doc
+# neighbor counts must equal the exact all-pairs Hamming filter —
+# which is the oracle. Output is |corpus| rows; the qualifying PAIR
+# list is quadratic on this templated corpus (~3.8M at sf0.1), which
+# is exactly why the operator reports degrees
+# (operators/dedup.simhash_neighbor_counts; the pair-emitting variant
+# simhash_hamming_pairs exists for small candidate sets).
+def _simhash_neighbors_oracle(bits: int = 16, max_hamming: int = 3) -> str:
+    toks = _dd_shingles(1)
+    hs = (f"list_transform({toks}, "
+          f"s -> CAST(('0x' || substr(md5(s), 1, 4)) AS BIGINT))")
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {b}) & 1) = 1)) > len(hs)"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(bits))
+    return f"""
+WITH t AS (SELECT doc_id, {hs} AS hs FROM documents),
+s AS (SELECT doc_id, CAST({terms} AS BIGINT) AS sh FROM t),
+deg AS (
+  SELECT a.doc_id, COUNT(*) AS cnt
+  FROM s a JOIN s b
+    ON a.doc_id <> b.doc_id
+   AND bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+  GROUP BY a.doc_id)
+SELECT s.doc_id, CAST(COALESCE(deg.cnt, 0) AS BIGINT) AS n_near
+FROM s LEFT JOIN deg USING (doc_id)
+"""
+
+
+@q("dedup_simhash_neighbors", _simhash_neighbors_oracle())
+def dedup_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_neighbor_counts
+    d = _tp(spark, sf_dir, "documents")
+    return simhash_neighbor_counts(d, bits=16, bands=4, max_hamming=3)
+
+
 @q("dedup_jaccard_consecutive", f"""
 WITH s AS (SELECT doc_id, {_dd_shingles(3)} AS sh FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
