@@ -1634,7 +1634,8 @@ ORDER BY sqrt({adc}) ASC, a.vec_id ASC LIMIT {KNN_K}
 # replays the entire batch pipeline (assign -> probe -> equi-join ->
 # per-query LUT -> ADC ranking) for every query at once.
 def _knn_join_ivfpq_oracle(n_centroids: int = 8, nprobe: int = 3,
-                           m: int = 4, ks: int = 8, k: int = 5) -> str:
+                           m: int = 4, ks: int = 8, k: int = 5,
+                           rerank: int = 0) -> str:
     eu = ("sqrt(list_sum(list_transform(list_zip({x}, c), "
           "pr -> (pr[1]-pr[2])*(pr[1]-pr[2]))))")
 
@@ -1689,10 +1690,25 @@ qlut AS (
 cand AS (
   SELECT p.query_id, a.vec_id, sqrt({adc}) AS dist
   FROM assigned a JOIN probes p USING (cluster)
-       JOIN coded USING (vec_id) JOIN qlut USING (query_id))
+       JOIN coded USING (vec_id) JOIN qlut USING (query_id)){
+'''
 SELECT query_id, vec_id, ROUND(dist, 4) AS distance
 FROM cand
-QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= {k}
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= ''' + str(k)
+if not rerank else f'''
+, short AS (
+  SELECT query_id, vec_id FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY dist, vec_id) <= {rerank * k}),
+exact AS (
+  SELECT s.query_id, s.vec_id,
+         sqrt(list_sum(list_transform(list_zip(e.v, qs.q),
+              pr -> (pr[1]-pr[2])*(pr[1]-pr[2])))) AS dist
+  FROM short s JOIN e USING (vec_id)
+       JOIN qs ON qs.query_id = s.query_id)
+SELECT query_id, vec_id, ROUND(dist, 4) AS distance
+FROM exact
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= {k}'''}
 """
 
 
@@ -1704,6 +1720,22 @@ def knn_join_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id").isin(1, 2, 3, 4, 5)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     return knn_join_ivfpq(queries, idx, k=5, nprobe=3).select(
+        "query_id", "vec_id", F.round("distance", 4).alias("distance"))
+
+
+# The rerank stage of the compressed batch join under its own value
+# oracle: top rerank*k ADC candidates per query re-scored with TRUE
+# euclidean distances (only the shortlist touches raw vectors) — the
+# oracle replays shortlist order, exact re-score, and final ranking.
+@q("knn_join_ivfpq_rerank_batch", _knn_join_ivfpq_oracle(rerank=2))
+def knn_join_ivfpq_rerank_batch(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from .operators.pq import IvfPqIndex, knn_join_ivfpq
+    e = _t(spark, sf_dir, "embeddings")
+    idx = IvfPqIndex.build_deterministic(e, n_centroids=8, m=4, ks=8)
+    queries = e.filter(F.col("vec_id").isin(1, 2, 3, 4, 5)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    return knn_join_ivfpq(queries, idx, k=5, nprobe=3, rerank=2).select(
         "query_id", "vec_id", F.round("distance", 4).alias("distance"))
 
 
