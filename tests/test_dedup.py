@@ -170,11 +170,10 @@ def test_simhash_hamming_pairs_and_neighbor_counts(spark, docs):
         deg[a] += 1
         deg[b] += 1
     got_deg = {r["doc_id"]: r["n_near"] for r in
-               simhash_neighbor_counts(docs, bits=16, bands=4,
-                                       max_hamming=3).collect()}
+               simhash_neighbor_counts(docs, bits=16, max_hamming=3).collect()}
     assert got_deg == deg
     assert 0 in set(deg.values()) or len(brute) > 0  # fixture sanity
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_hamming_pairs(docs, bands=4, max_hamming=4)
-    with pytest.raises(ValueError, match="bands"):
-        simhash_neighbor_counts(docs, bits=16, bands=0)
+    with pytest.raises(ValueError, match="narrow hashes"):
+        simhash_neighbor_counts(docs, bits=32)

@@ -819,7 +819,7 @@ FROM s LEFT JOIN deg USING (doc_id)
 def dedup_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_neighbor_counts
     d = _tp(spark, sf_dir, "documents")
-    return simhash_neighbor_counts(d, bits=16, bands=4, max_hamming=3)
+    return simhash_neighbor_counts(d, bits=16, max_hamming=3)
 
 
 @q("dedup_jaccard_consecutive", f"""
