@@ -1,0 +1,106 @@
+"""Cost-based search-tier selection (operators/chooser.py): the
+decision table as a pure function, plus routed end-to-end searches
+whose answers must match the exact tier."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.operators.chooser import (
+    EXACT_MAX_ROWS, choose_search_tier, search_auto,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# -- decision table (no Spark) ------------------------------------------------
+
+def test_small_corpus_routes_exact():
+    assert choose_search_tier(10_000, 64, 10).tier == "flat-arrow"
+    assert choose_search_tier(10_000, 8, 10).tier == "flat-column"
+
+
+def test_exact_recall_forces_flat_even_at_scale():
+    p = choose_search_tier(10**9, 64, 10, recall_target=1.0)
+    assert p.tier == "flat-arrow"
+
+
+def test_angular_metrics_route_to_lsh():
+    p = choose_search_tier(10**8, 64, 10, metric="cosine",
+                           recall_target=0.9)
+    assert p.tier == "lsh"
+    assert 4 <= p.params["n_planes"] <= 24
+    assert p.params["multiprobe"] >= 1
+
+
+def test_euclidean_routes_to_ivf_with_classic_sizing():
+    n = 10**8
+    p = choose_search_tier(n, 64, 10, metric="euclidean",
+                           recall_target=0.9)
+    assert p.tier == "ivf"
+    assert p.params["n_centroids"] == int(4 * n ** 0.5)
+    assert 1 <= p.params["nprobe"] <= p.params["n_centroids"]
+
+
+def test_higher_recall_probes_wider():
+    lo = choose_search_tier(10**8, 64, 10, recall_target=0.5)
+    hi = choose_search_tier(10**8, 64, 10, recall_target=0.95)
+    assert hi.params["nprobe"] > lo.params["nprobe"]
+
+
+def test_memory_budget_forces_pq_with_dividing_m():
+    n, dim = 10**8, 64
+    p = choose_search_tier(n, dim, 10, recall_target=0.9,
+                           memory_budget_bytes=n * dim)  # 1/4 of raw
+    assert p.tier == "ivfpq"
+    assert dim % p.params["m"] == 0
+
+
+def test_invalid_inputs_raise():
+    with pytest.raises(ValueError):
+        choose_search_tier(-1, 64, 10)
+    with pytest.raises(ValueError):
+        choose_search_tier(100, 64, 10, recall_target=0.0)
+
+
+# -- routed execution ---------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from toy_vector_db_spark.workload import _t
+    return _t(spark, SF, "embeddings").cache()
+
+
+def test_search_auto_exact_route_matches_knn(spark, emb):
+    from toy_vector_db_spark.operators.knn import knn
+    qvec = [r for r in emb.filter("vec_id = 1").select("embedding")
+            .collect()][0][0]
+    plan, res = search_auto(emb, qvec, k=5, tie_col="vec_id")
+    assert plan.tier == "flat-arrow"
+    got = [(r["vec_id"], round(r["distance"], 4)) for r in res.collect()]
+    want = [(r["vec_id"], round(r["distance"], 4))
+            for r in knn(emb, qvec, k=5, tie_col="vec_id").collect()]
+    assert got == want
+
+
+def test_search_auto_ivf_route_returns_neighbors(spark, emb):
+    # force the approximate path with a tiny exact cap: the chosen tier
+    # must be IVF and the query's own stored row must come back first
+    qvec = [r for r in emb.filter("vec_id = 2").select("embedding")
+            .collect()][0][0]
+    plan, res = search_auto(emb, qvec, k=5, metric="euclidean",
+                            recall_target=0.9, exact_max_rows=10)
+    assert plan.tier == "ivf"
+    rows = res.collect()
+    assert rows and rows[0]["vec_id"] == 2 and rows[0]["distance"] == 0.0
+
+
+def test_search_auto_lsh_route_returns_neighbors(spark, emb):
+    qvec = [r for r in emb.filter("vec_id = 3").select("embedding")
+            .collect()][0][0]
+    plan, res = search_auto(emb, qvec, k=5, metric="cosine",
+                            recall_target=0.5, exact_max_rows=10)
+    assert plan.tier == "lsh"
+    rows = res.collect()
+    assert rows and rows[0]["vec_id"] == 3

@@ -86,6 +86,31 @@ def test_export_import(run, tmp_path):
     assert "x" in out
 
 
+def test_export_docs_vec_rejected(run, tmp_path):
+    # --docs has no .vec representation; must be an argparse error,
+    # not a silent export of the wrong table
+    with pytest.raises(SystemExit) as e:
+        run("export", str(tmp_path / "x"), "--docs", "--format", "vec")
+    assert e.value.code == 2
+
+
+def test_export_docs_parquet_roundtrips_via_import(run, spark, tmp_path):
+    # `export --docs --format parquet` output must be consumable by
+    # `import` (restores sidecar + vector rows) — r3 advice: this combo
+    # previously produced a parquet import couldn't round-trip
+    run("embed", "text", "docRT", "round trip body")
+    path = str(tmp_path / "docs_pq")
+    run("export", path, "--docs", "--format", "parquet")
+    out = run("--collection", "other", "import", path)
+    assert "Imported 1 vector(s)" in out
+    got = run("--collection", "other", "get", "docRT")
+    assert "docRT" in got
+    # sidecar restored too: docs export from the new collection works
+    out2 = run("--collection", "other", "export",
+               str(tmp_path / "docs_json2"), "--docs", "--format", "json")
+    assert "1 document(s)" in out2
+
+
 def test_export_docs_json(run, spark, tmp_path):
     # JSON sidecar export: format parity with the reference, which
     # persists each embedded Document as JSON (cmd_embed.go:100-112)

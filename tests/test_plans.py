@@ -157,6 +157,28 @@ def test_tfidf_scalar_n_is_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_tfidf_term_frequencies_computed_once(spark):
+    # dfreq is derived from tf and joined back to tf; without the
+    # localCheckpoint cut in tfidf() the explode + partial-agg subtree
+    # appears on BOTH join branches and the dominant cost runs twice
+    # (r3 verdict #3). The checkpoint replaces both with scans of the
+    # materialized RDD: the documents parquet may appear at most once
+    # (the scalar-N branch), never on both tf branches.
+    plan = plan_of(spark, "tfidf_top_terms")
+    assert plan.count("Scan ExistingRDD") >= 2     # both branches reuse tf
+    assert len(re.findall(r"Scan parquet[^\n]*documents", plan)) <= 1
+
+
+def test_search_auto_exact_route_is_take_ordered(spark):
+    # the cost-based chooser must route this corpus to the exact Arrow
+    # tier: per-batch local top-k merged by TakeOrderedAndProject — no
+    # global sort, no index build stage in the plan
+    plan = plan_of(spark, "knn_search_auto")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "Sort " not in plan  # no global sort node
+
+
 def test_correlated_subquery_decorrelates(spark):
     # Catalyst must rewrite the per-row scalar subquery into one
     # join against the per-customer aggregate — no ScalarSubquery

@@ -34,6 +34,23 @@ def _drain(query):
     query.stop()
 
 
+def test_read_event_stream_empty_dir_and_conf_scoped(spark, tmp_path):
+    # files arriving later is a normal streaming setup: an empty source
+    # dir must yield a stream (plain TIMESTAMP schema fallback), and the
+    # footer-peek must not leak the legacy nanosAsLong conf (r3 advice)
+    empty = str(tmp_path / "not_yet")
+    import os
+    os.makedirs(empty)
+    df = read_event_stream(spark, empty, None)
+    assert df.isStreaming
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    # peek must restore the conf: back at its engine default ("false"),
+    # not the "true" the footer sniff needs while peeking
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+    # and draining the empty stream works (no rows, no error)
+    _drain(run_to_memory(df.groupBy().count(), "empty_t", "complete"))
+
+
 def test_hourly_rollup_stream_matches_batch(spark, events_dir):
     stream = hourly_rollup_stream(read_event_stream(spark, events_dir))
     _drain(run_to_memory(stream, "rollup_t", "complete"))

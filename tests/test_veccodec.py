@@ -93,6 +93,18 @@ def test_spark_dir_roundtrip(spark, tmp_path):
     assert back["c;d"] == ([9.0, 9.0, 9.0], {"semi": "x;y"})
 
 
+def test_write_vec_dir_rejects_path_escaping_ids(spark, tmp_path):
+    import pytest
+    rows = [("../evil", [1.0], {})]
+    df = spark.createDataFrame(
+        rows, "id string, embedding array<float>, metadata map<string,string>")
+    d = str(tmp_path / "store")
+    with pytest.raises(Exception):  # executor ValueError surfaces as Py4J error
+        write_vec_dir(df, d)
+    import os
+    assert not os.path.exists(str(tmp_path / "evil.vec"))
+
+
 def test_cli_vec_export_import(spark, tmp_path, capsys):
     from toy_vector_db_spark.cli import main
 

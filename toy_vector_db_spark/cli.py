@@ -113,7 +113,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if getattr(args, "command", None) == "export" and args.docs \
+            and args.format == "vec":
+        # the .vec binary layout has no document representation
+        # (content/timestamps) — silently dropping --docs exported the
+        # wrong table; fail loudly instead
+        parser.error("--docs cannot be combined with --format vec "
+                     "(the .vec store holds vectors only; use json/parquet)")
     from .config import load_config
     from .plans.catalog import CollectionCatalog
     from .plans.dialect import SqlEngine
@@ -233,6 +241,26 @@ def main(argv: list[str] | None = None) -> int:
                 src = spark.read.parquet(args.path)
             except Exception:
                 src = spark.read.json(args.path)
+        if "doc_id" in src.columns and "vector" in src.columns:
+            # a docs-sidecar export (`export --docs`): restore BOTH the
+            # sidecar and the vector rows so the round-trip is lossless.
+            # JSON reads a map column back as a struct — rebuild the map
+            if dict(src.dtypes).get("metadata", "").startswith("struct"):
+                fields = src.schema["metadata"].dataType.fieldNames()
+                src = src.withColumn("metadata", F.map_filter(
+                    F.map_from_arrays(
+                        F.array(*[F.lit(f) for f in fields]),
+                        F.array(*[F.col(f"metadata.{f}").cast("string")
+                                  for f in fields])),
+                    lambda k, v: v.isNotNull())) if fields else \
+                    src.withColumn(
+                        "metadata",
+                        F.lit(None).cast("map<string,string>"))
+            catalog.upsert_docs(coll, src)
+            src = src.select(F.col("doc_id").alias("id"),
+                             F.col("vector").cast("array<float>")
+                              .alias("embedding"),
+                             F.col("metadata"))
         n = catalog.insert_df(coll, src)  # distributed append, no collect
         print(f"Imported {n} vector(s)", file=out)
     elif cmd == "export":

@@ -1,0 +1,159 @@
+"""Cost-based search-tier selection: flat vs LSH / IVF / IVF-PQ.
+
+The reference's planner picks an access path by ranking fixed costs —
+id-lookup (1.0) beats vector search (10.0) beats full scan (100.0),
+/root/reference/pkg/sql/planner/planner.go:139-182 — and its config
+picks ONE index type statically (config.yaml `indexing.type`). This
+module generalizes both: given corpus statistics (rows, dimension),
+the query (k, metric) and the caller's recall/memory targets, it picks
+the cheapest tier that can meet the targets, with the knobs the tiers
+already expose (operators/ann.py, operators/pq.py).
+
+The decision table is the public faiss index-selection guidance
+re-expressed for our tiers:
+
+- exact (flat) whenever the corpus is small enough that a scan is
+  cheaper than an index build/probe cycle, or the caller demands
+  recall ~1.0.  Column-expression tier for narrow vectors, Arrow/BLAS
+  tier from ARROW_TIER_MIN_DIM up (measured crossover, knn.py:164).
+- angular metrics (cosine / dotproduct) route to hyperplane LSH —
+  random-hyperplane signatures approximate ANGLE, so they are the
+  natural bucketing for those metrics; probe width from the recall
+  target.
+- euclidean/manhattan route to IVF, nlist ~ 4*sqrt(n) (the classic
+  IVF sizing rule), nprobe scaled by the recall target.
+- when the raw vectors exceed the caller's memory budget, IVF-PQ
+  swaps the scan payload for m-byte codes (~dim*4/m compression) and
+  re-ranks exact.
+
+Everything here is a PURE function of scalars -> plan, so the policy
+is unit-testable without a SparkSession; ``search_auto`` applies the
+chosen plan to a DataFrame.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+# Below this corpus size an exact scan beats build+probe even at loose
+# recall targets: a 200k-row scan is one task wave, while an IVF build
+# pays a sampled k-means plus a full-corpus assignment pass before the
+# first probe. (At sf0.1 the measured flat scan is <1 s; builds are
+# 3-6 s.) Callers amortizing a PERSISTED index over many queries
+# should build explicitly rather than route per-query.
+EXACT_MAX_ROWS = 200_000
+#: recall at-or-above this means "the user wants the true answer"
+EXACT_RECALL = 0.999
+
+
+@dataclass(frozen=True)
+class SearchPlan:
+    """A chosen tier plus the parameters to run it with."""
+    tier: str                       # flat-column | flat-arrow | lsh | ivf | ivfpq
+    params: dict = field(default_factory=dict)
+    reason: str = ""
+
+
+def choose_search_tier(n_rows: int, dim: int, k: int,
+                       metric: str = "euclidean",
+                       recall_target: float = 1.0,
+                       memory_budget_bytes: int | None = None,
+                       exact_max_rows: int = EXACT_MAX_ROWS) -> SearchPlan:
+    """Pick the cheapest tier meeting ``recall_target`` (and, if given,
+    ``memory_budget_bytes`` for the scanned payload)."""
+    if n_rows < 0 or dim < 1 or k < 1:
+        raise ValueError(f"invalid stats: n_rows={n_rows} dim={dim} k={k}")
+    if not 0.0 < recall_target <= 1.0:
+        raise ValueError(f"recall_target must be in (0,1], got {recall_target}")
+
+    from .knn import ARROW_TIER_MIN_DIM
+
+    if n_rows <= exact_max_rows or recall_target >= EXACT_RECALL:
+        tier = "flat-arrow" if dim >= ARROW_TIER_MIN_DIM else "flat-column"
+        why = ("corpus small enough for an exact scan"
+               if n_rows <= exact_max_rows else
+               f"recall_target {recall_target} demands the exact answer")
+        return SearchPlan(tier, {"k": k, "metric": metric}, why)
+
+    raw_bytes = n_rows * dim * 4  # float32 payload
+    if memory_budget_bytes is not None and raw_bytes > memory_budget_bytes:
+        # compress: m subquantizers of ks=256 centroids -> m bytes/row.
+        # m must divide dim; prefer ~dim/4 subspaces, floor at 4.
+        m = next((m for m in (max(4, dim // 4), 16, 8, 4, 2, 1)
+                  if dim % m == 0), 1)
+        nlist = max(8, int(4 * math.sqrt(n_rows)))
+        nprobe = max(1, math.ceil(nlist * (0.02 + 0.2 * recall_target)))
+        return SearchPlan(
+            "ivfpq", {"k": k, "n_centroids": nlist, "nprobe": nprobe,
+                      "m": m, "rerank": 4},
+            f"raw vectors {raw_bytes >> 20} MiB exceed budget "
+            f"{memory_budget_bytes >> 20} MiB -> PQ codes ({m} B/row)")
+
+    if metric in ("cosine", "dotproduct"):
+        # hyperplane signatures approximate angle; bucket occupancy
+        # ~ n / 2^planes, aim for ~max(64, 4k) candidates per bucket
+        target_bucket = max(64, 4 * k)
+        n_planes = max(4, min(24, int(math.log2(max(2, n_rows / target_bucket)))))
+        multiprobe = 1 + int(round(3 * recall_target))
+        return SearchPlan(
+            "lsh", {"k": k, "metric": metric, "n_planes": n_planes,
+                    "multiprobe": multiprobe},
+            f"angular metric {metric} -> hyperplane LSH")
+
+    nlist = max(8, int(4 * math.sqrt(n_rows)))
+    nprobe = max(1, math.ceil(nlist * (0.02 + 0.2 * recall_target)))
+    return SearchPlan(
+        "ivf", {"k": k, "metric": metric, "n_centroids": nlist,
+                "nprobe": nprobe},
+        f"metric {metric} at {n_rows} rows -> IVF partition pruning")
+
+
+def search_auto(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+                metric: str = "euclidean",
+                recall_target: float = 1.0,
+                memory_budget_bytes: int | None = None,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                n_rows: int | None = None,
+                exact_max_rows: int = EXACT_MAX_ROWS,
+                tie_col: str | None = None):
+    """Route one top-k search through ``choose_search_tier``.
+
+    Returns ``(plan, DataFrame)`` — callers that only want the frame
+    drop the plan; tests assert on it. ``n_rows`` skips the count when
+    the caller already knows the corpus size (a deployed service
+    caches table stats exactly like Catalyst's own statistics)."""
+    qvec = list(query_vec)
+    n = df.count() if n_rows is None else n_rows
+    plan = choose_search_tier(n, len(qvec), k, metric, recall_target,
+                              memory_budget_bytes, exact_max_rows)
+    if plan.tier == "flat-column":
+        from .knn import knn
+        return plan, knn(df, qvec, k=k, metric=metric, vec_col=vec_col,
+                         tie_col=tie_col)
+    if plan.tier == "flat-arrow":
+        from .knn import knn_arrow
+        return plan, knn_arrow(df, qvec, k=k, metric=metric, vec_col=vec_col,
+                               tie_col=tie_col)
+    if plan.tier == "lsh":
+        from .ann import LshIndex
+        idx = LshIndex.build(df, n_planes=plan.params["n_planes"],
+                             id_col=id_col, vec_col=vec_col)
+        return plan, idx.search(qvec, k=k, metric=metric,
+                                multiprobe=plan.params["multiprobe"])
+    if plan.tier == "ivf":
+        from .ann import IvfIndex
+        idx = IvfIndex.build(df, n_centroids=min(plan.params["n_centroids"],
+                                                 max(1, n)),
+                             id_col=id_col, vec_col=vec_col)
+        return plan, idx.search(qvec, k=k, metric=metric,
+                                nprobe=plan.params["nprobe"])
+    from .pq import IvfPqIndex
+    idx = IvfPqIndex.build_deterministic(
+        df, n_centroids=min(plan.params["n_centroids"], max(1, n)),
+        m=plan.params["m"], id_col=id_col, vec_col=vec_col)
+    return plan, idx.search(qvec, k=k, nprobe=plan.params["nprobe"],
+                            rerank=plan.params["rerank"])

@@ -48,11 +48,18 @@ def chunk_windows(df: DataFrame, budget: int = DEFAULT_WINDOW_TOKENS,
     cum = F.sum(n_tok).over(w)
     start_off = (cum - n_tok).cast("bigint")
     end_off = cum.cast("bigint")  # exclusive
-    return df.select(
+    # bigint `div`, not floor(double division): offsets are exact over
+    # the full bigint range, while float64 loses integer precision past
+    # 2^53 — real territory for a 100 TB per-group token stream
+    b = int(budget)
+    staged = df.select(
         F.col(id_col), F.col(group_col),
         n_tok.alias("n_tok"),
         start_off.alias("start_off"),
-        F.floor(start_off / budget).cast("bigint").alias("start_window"),
-        F.when(n_tok == 0, F.lit(0)).otherwise(
-            F.floor((end_off - 1) / budget) - F.floor(start_off / budget) + 1
+        (end_off - 1).alias("__last_off"))
+    return staged.select(
+        id_col, group_col, "n_tok", "start_off",
+        F.expr(f"start_off div {b}").alias("start_window"),
+        F.when(F.col("n_tok") == 0, F.lit(0)).otherwise(
+            F.expr(f"(__last_off div {b}) - (start_off div {b}) + 1")
         ).cast("bigint").alias("n_windows"))

@@ -60,7 +60,14 @@ def tfidf(docs: DataFrame, id_col: str = "doc_id",
     """(id, term, tf, tfidf) with the smooth idf
     ln((N + 1) / (doc_freq + 1)); N via a scalar count so the plan has
     no driver-side collect."""
-    tf = term_frequencies(docs, id_col, text_col)
+    # localCheckpoint: dfreq is DERIVED from tf and joined back to it,
+    # so without a cut the explode + partial-agg subtree sits on BOTH
+    # join branches and the dominant cost runs twice (r3 verdict #3).
+    # Checkpointing materializes the (id, term, tf) frame once; both
+    # branches then read the materialized partitions. eager=True keeps
+    # the materialization inside this operator's first job. On a
+    # cluster the same cut is a persist() to local disk/shuffle files.
+    tf = term_frequencies(docs, id_col, text_col).localCheckpoint(eager=True)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
     # scalar N as a broadcast 1-row aggregate — no driver collect
     n = docs.agg(F.countDistinct(id_col).alias("__n"))

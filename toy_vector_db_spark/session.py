@@ -54,3 +54,27 @@ def get_spark(app_name: str = "toy_vector_db_spark", master: str | None = None,
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+_SESSION_TMP: str | None = None
+
+
+def session_scratch_dir(prefix: str = "scratch") -> str:
+    """A fresh directory under a per-process scratch root that lives
+    until interpreter exit (cleaned by atexit), NOT until the creating
+    function returns.
+
+    Streaming workload queries sink results here so they can return a
+    lazily-read DataFrame over the sink files instead of collect()-ing
+    the result through the driver to outlive a function-local tempdir —
+    the anti-pattern flagged in round 3 (driver OOM at scale). On a
+    cluster the analogous location is a job-scoped path on shared
+    storage (object store / HDFS), cleaned by the orchestrator."""
+    global _SESSION_TMP
+    import atexit
+    import shutil
+    import tempfile
+    if _SESSION_TMP is None:
+        _SESSION_TMP = tempfile.mkdtemp(prefix="spark_graft_session_")
+        atexit.register(shutil.rmtree, _SESSION_TMP, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix + "_", dir=_SESSION_TMP)

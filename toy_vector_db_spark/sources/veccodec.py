@@ -158,6 +158,17 @@ def read_vec_dir(spark: SparkSession, path: str) -> DataFrame:
         decode, "id string, embedding array<float>, metadata map<string,string>")
 
 
+def _check_vec_id(vec_id: str) -> str:
+    """Reject ids that would escape the export directory when joined
+    into a filename (path separators, '..', empty). The reference keys
+    files by raw id the same way (storage.go:280) with the same hazard;
+    we fail loudly instead of writing outside ``path``."""
+    if (not vec_id or "/" in vec_id or "\\" in vec_id
+            or vec_id in (".", "..") or "\x00" in vec_id):
+        raise ValueError(f"vector id not usable as a filename: {vec_id!r}")
+    return vec_id
+
+
 def write_vec_dir(df: DataFrame, path: str,
                   id_col: str = "id", vec_col: str = "embedding",
                   meta_col: str = "metadata") -> int:
@@ -165,15 +176,30 @@ def write_vec_dir(df: DataFrame, path: str,
     one ``<id>.vec`` per row (storage.go:280). Executor-parallel
     (foreachPartition); the one-file-per-vector layout is the
     REFERENCE'S scale ceiling, not ours — use parquet for anything but
-    hand-off. Returns the row count."""
+    hand-off. Returns the row count, tallied inside the write pass by
+    an accumulator (no second scan of ``df``).
+
+    REQUIRES a filesystem shared between executors and the caller
+    (local mode, NFS, or a FUSE-mounted object store): files are
+    written with plain ``open()`` on whichever host runs the partition.
+    On a cluster without shared storage, export to parquet instead and
+    convert on the consuming host. Ids containing path separators or
+    ``..`` are rejected (they would escape ``path``); distinct rows
+    with the same id overwrite one file, matching reference semantics
+    (last write wins)."""
     os.makedirs(path, exist_ok=True)
     cols = df.select(id_col, vec_col, meta_col)
+    n_written = cols.sparkSession.sparkContext.accumulator(0)
 
     def write_part(rows):
+        n = 0
         for r in rows:
-            buf = encode_vector(str(r[0]), r[1] or [], dict(r[2] or {}))
-            with open(os.path.join(path, f"{r[0]}{VEC_EXT}"), "wb") as f:
+            vid = _check_vec_id(str(r[0]))
+            buf = encode_vector(vid, r[1] or [], dict(r[2] or {}))
+            with open(os.path.join(path, f"{vid}{VEC_EXT}"), "wb") as f:
                 f.write(buf)
+            n += 1
+        n_written.add(n)
 
     cols.foreachPartition(write_part)
-    return df.count()
+    return n_written.value

@@ -39,10 +39,29 @@ def read_event_stream(spark: SparkSession, path: str,
     peek (metadata only, no data scan) picks the matching streaming
     schema, and ``ts`` is normalized to TIMESTAMP exactly like the
     batch reader (workload._t) — session tz is UTC in tests/bench, so
-    the NTZ cast is lossless."""
+    the NTZ cast is lossless.
+
+    If the path is empty or doesn't exist yet (files arriving later —
+    a normal streaming setup), the peek falls back to the plain
+    TIMESTAMP schema. The ``nanosAsLong`` legacy conf is scoped to the
+    peek and restored afterwards, not leaked into the session."""
+    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_type = dict(spark.read.parquet(path).dtypes).get("ts", "timestamp")
+    try:
+        ts_type = dict(spark.read.parquet(path).dtypes).get("ts", "timestamp")
+    except Exception:  # empty dir / no files yet: sniff nothing, assume spec
+        ts_type = "timestamp"
+    finally:
+        if prev_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
     if ts_type == "bigint":
+        # the stream scan itself also decodes nanos under this conf, so
+        # for this (our-own-fixture) encoding it must stay set for the
+        # stream's lifetime — the restore above only covers the common
+        # TIMESTAMP/NTZ paths where the legacy flag is irrelevant
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ts_ddl, fix = "ts LONG", F.expr("timestamp_micros(ts div 1000)")
     elif ts_type == "timestamp_ntz":
         ts_ddl, fix = "ts TIMESTAMP_NTZ", F.col("ts").cast("timestamp")
@@ -184,4 +203,19 @@ def run_available_now(df: DataFrame, name: str,
     workload query events_rollup_streaming shares the batch oracle."""
     q = (df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def run_available_now_to_parquet(df: DataFrame, out_dir: str,
+                                 checkpoint_dir: str) -> None:
+    """Drain the source (Trigger.AvailableNow) into a parquet file sink
+    with exactly-once checkpointing, returning when complete. Unlike
+    the memory sink (whole result materialized in the DRIVER — fine for
+    bounded aggregates, a scale-killer for table-sized output), the
+    file sink writes executor-side and the result is read back as an
+    ordinary distributed parquet scan."""
+    q = (df.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()

@@ -155,6 +155,25 @@ for _m in METRICS:
     q(f"knn_arrow_{_m}", _knn_oracle(_m))(_make_knn_arrow(_m))
 
 
+# Cost-based tier selection (operators/chooser.py): the generalization
+# of the reference planner's fixed-cost access-path ranking
+# (planner.go:139-182). At this corpus size the chooser must route to
+# the exact Arrow tier, so the full exact-knn oracle applies — the
+# routing itself is what's under test (plus the decision table in
+# tests/test_chooser.py and the tier plan assert in test_plans.py).
+@q("knn_search_auto", _knn_oracle("euclidean"))
+def knn_search_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chooser import search_auto
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = lookup_vector(emb, "vec_id", QUERY_VEC_ID)
+    plan, res = search_auto(emb.filter(F.col("vec_id") != QUERY_VEC_ID),
+                            qvec, k=KNN_K, metric="euclidean",
+                            tie_col="vec_id")
+    assert plan.tier == "flat-arrow", plan  # dim 64, corpus < exact cap
+    return res.select("vec_id", "label",
+                      F.round("distance", 4).alias("distance"))
+
+
 # ---------------------------------------------------------------------------
 # Scan / projection / limit (SURVEY §2.1 S2, §2.2 P1, §2.5 W2)
 # `dimension` is computed, not stored (SURVEY §1.1).
@@ -2256,32 +2275,31 @@ SELECT event_id, user_id, event_type, value FROM events
 """)
 def events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
+    from .session import session_scratch_dir
     from .streaming.events import (dedup_stream, read_event_stream,
-                                   run_available_now)
-    tmp = tempfile.mkdtemp(prefix="events_dedup_stream_")
+                                   run_available_now_to_parquet)
+    # source dir (doubled feed), file sink, and checkpoint all live in a
+    # session-lifetime scratch dir: the result is returned as a LAZY
+    # distributed scan over the sink files — the full deduped table
+    # never passes through the driver (r3's collect() here was the worst
+    # 10x scale ratio in the suite, 6.1x, and a driver OOM at 100x)
+    tmp = session_scratch_dir("events_dedup_stream")
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, os.path.join(tmp, "a.parquet"))
+    shutil.copy(src, os.path.join(tmp, "b.parquet"))
+    deduped = dedup_stream(read_event_stream(spark, tmp, None)) \
+        .select("event_id", "user_id", "event_type", "value")
+    # one state store per shuffle partition; 8 is plenty for a
+    # bounded drain (same sizing note as events_rollup_streaming)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        src = os.path.join(sf_dir, "events.parquet")
-        shutil.copy(src, os.path.join(tmp, "a.parquet"))
-        shutil.copy(src, os.path.join(tmp, "b.parquet"))
-        deduped = dedup_stream(read_event_stream(spark, tmp, None)) \
-            .select("event_id", "user_id", "event_type", "value")
-        # one state store per shuffle partition; 8 is plenty for a
-        # bounded drain (same sizing note as events_rollup_streaming)
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            run_available_now(deduped, "events_dedup_streaming_t", "append")
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-        t = spark.table("events_dedup_streaming_t")
-        # the source dir is removed on exit; materialize first (memory
-        # sink tables are already materialized, but be explicit)
-        rows = t.collect()
-        return spark.createDataFrame(rows, t.schema)
+        run_available_now_to_parquet(deduped, os.path.join(tmp, "out"),
+                                     os.path.join(tmp, "ckpt"))
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(os.path.join(tmp, "out"))
 
 
 # Stream-STREAM interval join with a FULL value oracle: two live feeds
@@ -2363,10 +2381,8 @@ def events_sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 # knn_join_ivf_batch.
 @q("knn_search_streaming", _knn_join_ivf_oracle())
 def knn_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from .operators.ann import IvfIndex
+    from .session import session_scratch_dir
     from .streaming.search import read_search_results, start_streaming_search
     e = _t(spark, sf_dir, "embeddings")
     idx = IvfIndex.build_deterministic(e, n_centroids=8)
@@ -2376,20 +2392,17 @@ def knn_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("vec_id").isin(1, 2, 3, 4, 5))
               .select(F.col("vec_id").alias("query_id"),
                       F.col("embedding").alias("query_vec")))
-    tmp = tempfile.mkdtemp(prefix="knn_search_streaming_")
+    # sink + checkpoint in a session-lifetime scratch dir: return a LAZY
+    # scan over the sink files instead of round-tripping the result
+    # through the driver (r3 collect() anti-pattern, now removed)
+    tmp = session_scratch_dir("knn_search_streaming")
     out, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
-    try:
-        q_ = start_streaming_search(idx, stream, out, ckpt, k=5, nprobe=3,
-                                    available_now=True)
-        q_.awaitTermination(300)
-        res = read_search_results(spark, out).select(
-            "query_id", "vec_id",
-            F.round("distance", 4).alias("distance"))
-        # the sink dir is removed on exit; materialize before cleanup
-        rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    q_ = start_streaming_search(idx, stream, out, ckpt, k=5, nprobe=3,
+                                available_now=True)
+    q_.awaitTermination(300)
+    return read_search_results(spark, out).select(
+        "query_id", "vec_id",
+        F.round("distance", 4).alias("distance"))
 
 
 # ---------------------------------------------------------------------------
@@ -2623,8 +2636,8 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # knn: one Column-expression metric + one Arrow/BLAS metric
-    "knn_cosine", "knn_arrow_euclidean",
+    # knn exact (one rep; Arrow tier cycled out r4, still oracle-run)
+    "knn_cosine",
     # scan / filter / SQL dialect
     "scan_project_limit", "filter_id_eq", "filter_like", "filter_meta_eq",
     "sql_meta_ne_dialect", "sql_nearest_by_id",
@@ -2634,31 +2647,36 @@ _WINDOW = [
     "orders_above_cust_avg", "set_ops_segments",
     # temporal operators
     "asof_join_events", "events_sessionize",
-    # embedding pipeline
+    # embedding pipeline (+ per-group vector aggregation, first window r4)
     "embed_documents_values", "embed_ingest_roundtrip",
-    "search_text_documents",
+    "search_text_documents", "embedding_centroids_by_label",
     # text quality tier
-    "text_stats", "text_token_budget", "quality_repetition",
-    # dedup tier
+    "text_stats", "quality_repetition",
+    # dedup tier (+ simhash Hamming-ball degrees, first window r4)
     "dedup_exact_clusters", "dedup_minhash_pairs", "dedup_components",
-    "dedup_cosine_blocked",
-    # sampling / splits
-    "sample_documents_hash", "split_train_test", "stratified_sample_mix",
+    "dedup_cosine_blocked", "dedup_simhash_neighbors",
+    # sampling / splits (one rep; siblings cycled out r4)
+    "split_train_test",
     # vocab / tfidf
     "vocab_top_terms", "tfidf_top_terms",
     # decontamination / PII / corpus reporting / end-to-end clean
     "decontam_overlap", "pii_scrub", "corpus_mix_report",
     "corpus_clean_pipeline",
+    # training-window packing (first window r4)
+    "corpus_chunk_windows",
     # media plumbing
     "media_decode_stats",
     # events analytics (incl. the sketch error gate)
-    "events_multi_rollup", "events_value_bands", "events_dau_error_gate",
-    # batch similarity joins: exact / IVF / IVF-PQ
-    "knn_join_batch", "knn_join_ivf_batch", "knn_join_ivfpq_batch",
-    # ANN index tiers
-    "ann_lsh_topk", "ann_ivf_det_topk", "ann_pq_adc_topk", "ann_ivfpq_topk",
-    # structured streaming
-    "events_rollup_streaming", "knn_search_streaming",
+    "events_value_bands", "events_dau_error_gate",
+    # batch similarity joins: IVF / IVF-PQ (exact tier cycled out r4)
+    "knn_join_ivf_batch", "knn_join_ivfpq_batch",
+    # ANN index tiers (+ SQ8, first window r4)
+    "ann_lsh_topk", "ann_ivf_det_topk", "ann_ivfpq_topk", "ann_sq8_topk",
+    # structured streaming — all five families now hard-signaled:
+    # rollup, dedup (file sink), stream-stream join, sessionize, search
+    "events_rollup_streaming", "events_dedup_streaming",
+    "events_followups_streaming", "events_sessionize_streaming",
+    "knn_search_streaming",
 ]
 
 
