@@ -1,0 +1,100 @@
+"""Graph ANN (HNSW analogue, operators/graph.py): recall against the
+exact tier, bounded degree, maintenance semantics, persistence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.operators.graph import KnnGraphIndex
+from toy_vector_db_spark.operators.knn import knn
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from toy_vector_db_spark.workload import _t
+    return _t(spark, SF, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def idx(emb):
+    return KnnGraphIndex.build(emb, m=8)
+
+
+def _qvec(emb, vid):
+    return list(emb.filter(F.col("vec_id") == vid)
+                .select("embedding").first()[0])
+
+
+def test_recall_gate(emb, idx):
+    # mean recall@10 over a few stored queries must clear 0.8 — the
+    # same harness style as test_ann_recall for the learned tiers
+    hits = total = 0
+    for vid in (1, 5, 9):
+        q = _qvec(emb, vid)
+        exact = {r["vec_id"] for r in
+                 knn(emb, q, k=10, tie_col="vec_id").collect()}
+        approx = {r["vec_id"] for r in idx.search(q, k=10, ef=48).collect()}
+        hits += len(exact & approx)
+        total += len(exact)
+    assert hits / total >= 0.8, f"graph recall {hits}/{total}"
+
+
+def test_self_query_returns_itself_first(emb, idx):
+    q = _qvec(emb, 3)
+    rows = idx.search(q, k=5).collect()
+    assert rows and rows[0]["vec_id"] == 3 and rows[0]["distance"] == 0.0
+
+
+def test_degree_bounded(idx):
+    deg = idx.edges.groupBy("src").count().agg(F.max("count")).first()[0]
+    assert deg <= 2 * idx.m  # symmetrization at most doubles m
+
+
+def test_build_deterministic(emb, idx):
+    again = KnnGraphIndex.build(emb, m=8)
+    assert again.edges.count() == idx.edges.count()
+    assert again.edges.exceptAll(idx.edges).count() == 0
+
+
+def test_delete_tombstones_skip_node(emb, idx):
+    q = _qvec(emb, 7)
+    assert idx.search(q, k=3).collect()[0]["vec_id"] == 7
+    pruned = idx.delete([7])
+    got = [r["vec_id"] for r in pruned.search(q, k=3).collect()]
+    assert 7 not in got and got  # neighbors still reachable THROUGH it
+
+
+def test_add_links_new_rows(spark, emb, idx):
+    base = _qvec(emb, 2)
+    new_vec = [x + 0.001 for x in base]
+    delta = spark.createDataFrame([(990001, 0, new_vec)],
+                                  "vec_id long, label int, "
+                                  "embedding array<float>")
+    grown = idx.add(delta.select("vec_id", "label", "embedding")
+                    .withColumn("embedding",
+                                F.col("embedding").cast("array<float>")))
+    got = [r["vec_id"] for r in grown.search(base, k=3).collect()]
+    assert 990001 in got
+    with pytest.raises(ValueError):
+        grown.add(delta)  # duplicate id errors (hnsw.go:145-156)
+
+
+def test_compact_drops_dead_edges(emb, idx):
+    pruned = idx.delete([7]).compact()
+    assert pruned.edges.filter("src = 7 OR dst = 7").count() == 0
+    assert pruned.size() == idx.size() - 1
+
+
+def test_save_load_roundtrip(spark, emb, idx, tmp_path):
+    p = str(tmp_path / "graph_idx")
+    idx.save(p)
+    back = KnnGraphIndex.load(spark, p)
+    q = _qvec(emb, 4)
+    want = [(r["vec_id"], round(r["distance"], 5))
+            for r in idx.search(q, k=5).collect()]
+    got = [(r["vec_id"], round(r["distance"], 5))
+           for r in back.search(q, k=5).collect()]
+    assert got == want

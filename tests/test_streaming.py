@@ -41,12 +41,15 @@ def test_read_event_stream_empty_dir_and_conf_scoped(spark, tmp_path):
     empty = str(tmp_path / "not_yet")
     import os
     os.makedirs(empty)
+    # whatever the conf was before (a prior nanos-fixture stream in the
+    # shared session leaves it "true" BY DESIGN — the stream scan needs
+    # it), the empty-dir peek must leave it exactly as it found it
+    before = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     df = read_event_stream(spark, empty, None)
     assert df.isStreaming
     assert dict(df.dtypes)["ts"] == "timestamp"
-    # peek must restore the conf: back at its engine default ("false"),
-    # not the "true" the footer sniff needs while peeking
-    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+    after = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    assert after == before
     # and draining the empty stream works (no rows, no error)
     _drain(run_to_memory(df.groupBy().count(), "empty_t", "complete"))
 

@@ -1,0 +1,312 @@
+"""Graph-structured approximate nearest neighbor: the HNSW analogue.
+
+Reference: /root/reference/pkg/index/hnsw/hnsw.go — Build inserts
+points one at a time, linking each to its M nearest neighbors per
+layer (:158-243) and pruning to bounded degree (:245-278); Search is
+greedy best-first expansion over those links with an ``ef``-wide
+candidate beam (:280-388); Delete tombstones nodes that every search
+skips (:391-412).
+
+A pointer-chasing in-memory graph does not translate to Spark, but the
+ideas that make HNSW work — a bounded-degree neighbor graph and a beam
+search that only touches the frontier's neighbors — do:
+
+- **Build** is one batch job instead of n sequential inserts: the
+  corpus self-joined to its m nearest neighbors (the BLAS cogroup
+  all-pairs tier of the IVF join — knn.knn_join_ivf_arrow — so the
+  build never goes quadratic), symmetrized, pruned back to bounded
+  degree (the reference's pruneConnections as one window pass), and
+  stored as an EDGES DataFrame ``(src, dst, dst_vec)``. Storing the
+  neighbor's vector WITH the adjacency row is the DiskANN/Vamana
+  layout (Subramanya et al., NeurIPS 2019): one read serves both the
+  topology and the geometry, so a hop is a single bounded fetch. That
+  costs ~2m copies of each vector — the standard graph-ANN
+  space-for-locality trade.
+- **Search** is the same greedy beam walk: start from deterministic
+  entry points (cached on the index — the analogue of the reference's
+  stored entry point, hnsw.go:66), then per hop fetch the frontier's
+  edge rows — ONE Spark job, ``src`` filter, partition-prunable on the
+  saved bucketed-by-src layout — and score the fetched neighbor
+  vectors driver-side in NumPy (the fetched set is query state, <=
+  ef * 2m rows, never corpus-sized — exactly like a probe list).
+  Stop when a hop admits nothing into the ``ef``-wide beam.
+- **Delete** is the reference's own strategy: tombstones
+  (_MaintainableIndex), skipped during the walk and at assembly.
+  **Add** links a delta batch the way the reference links one node:
+  k nearest LIVE rows per new vector, plus reverse edges.
+
+Config mapping (reference DefaultHNSWConfig, hnsw.go:44-58): M ->
+``m`` (out-degree; pruned bound 2m), efSearch -> ``ef`` (beam width),
+efConstruct -> build ``nprobe`` (build-time effort vs link quality),
+MaxLevel / entry point -> ``n_entry`` deterministic entry points (a
+multi-start flat graph replaces the layer descent; layers exist to
+give a serial in-memory walk a good entry — multi-start does the same
+for a batch engine).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ann import IvfIndex, _MaintainableIndex
+
+DEFAULT_M = 8          # out-degree per node (reference M=16 default; 8
+                       # suffices for the recall gates on dim-64 data)
+DEFAULT_EF = 48        # search beam width (reference efSearch default 50)
+DEFAULT_ENTRIES = 4    # multi-start entry points (replaces layer descent)
+
+
+def _prune_degree(scored_edges: DataFrame, max_degree: int) -> DataFrame:
+    """Keep each node's ``max_degree`` nearest out-edges (ties -> dst
+    asc, deterministic) — pruneConnections (hnsw.go:245-278) as one
+    window over (src, distance). Duplicate (src, dst) pairs collapse
+    first so a mutual pair costs one slot."""
+    from pyspark.sql import Window
+    dedup = scored_edges.groupBy("src", "dst") \
+        .agg(F.min("distance").alias("distance"))
+    w = Window.partitionBy("src").orderBy(F.col("distance").asc(),
+                                          F.col("dst").asc())
+    return (dedup.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_degree)
+            .select("src", "dst"))
+
+
+def _np_query_dists(vecs, q, metric: str):
+    """Distances from one query to a stack of vectors — same metric
+    semantics as functions/distance.py (cosine zero-norm => 1.0)."""
+    import numpy as np
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    if metric == "euclidean":
+        return np.sqrt(((M - q) ** 2).sum(axis=1))
+    if metric == "manhattan":
+        return np.abs(M - q).sum(axis=1)
+    if metric == "dotproduct":
+        return -(M @ q)
+    if metric == "cosine":
+        nm = np.linalg.norm(M, axis=1)
+        nq = np.linalg.norm(q)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.clip((M @ q) / (nm * nq), -1.0, 1.0)
+        return np.where((nm == 0) | (nq == 0), 1.0, 1.0 - sim)
+    raise ValueError(f"unsupported metric: {metric!r}")
+
+
+class KnnGraphIndex(_MaintainableIndex):
+    """Bounded-degree k-NN graph + greedy beam search (HNSW analogue)."""
+
+    def __init__(self, table: DataFrame, edges: DataFrame,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 m: int = DEFAULT_M, metric: str = "euclidean",
+                 n_entry: int = DEFAULT_ENTRIES):
+        self.table = table
+        self.edges = edges          # (src, dst, dst_vec), degree <= 2m
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.m = m
+        self.metric = metric
+        self.n_entry = n_entry
+        self._deleted = None
+        self._entries = None        # cached [(id, vec)] driver-side
+
+    # -- build ----------------------------------------------------------
+
+    @classmethod
+    def build(cls, df: DataFrame, m: int = DEFAULT_M,
+              metric: str = "euclidean", id_col: str = "vec_id",
+              vec_col: str = "embedding", n_centroids: int = 8,
+              nprobe: int = 3,
+              n_entry: int = DEFAULT_ENTRIES) -> "KnnGraphIndex":
+        """Batch k-NN-graph construction. The self-join runs on the
+        BLAS cogroup tier over a deterministic IVF partitioning so the
+        build is (a) never an all-pairs crossJoin and (b) reproducible
+        — same corpus, same graph. ``nprobe`` trades build cost for
+        edge quality exactly like efConstruct trades insert cost for
+        link quality in the reference."""
+        from .knn import knn_join_ivf_arrow
+
+        ivf = IvfIndex.build_deterministic(df, n_centroids=n_centroids,
+                                           id_col=id_col, vec_col=vec_col)
+        q = df.select(F.col(id_col).alias("query_id"),
+                      F.col(vec_col).alias("query_vec"))
+        # k = m+1: the best neighbor of a stored row is itself
+        nn = knn_join_ivf_arrow(q, ivf, k=m + 1, nprobe=nprobe,
+                                metric=metric)
+        fwd = (nn.filter(F.col("query_id") != F.col(id_col))
+               .select(F.col("query_id").alias("src"),
+                       F.col(id_col).alias("dst"), "distance"))
+        pruned = _prune_degree(
+            fwd.unionByName(fwd.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst"),
+                                       "distance")),
+            2 * m)
+        edges = cls._attach_vectors(pruned, df, id_col, vec_col)
+        # materialize: every search hop filters this frame, and without
+        # a cut each hop would RE-RUN the all-pairs join + prune window
+        # (measured 27 s -> seconds for a 3-query gate at sf0.1). The
+        # persisted layout (save()) plays this role for a deployed index.
+        edges = edges.localCheckpoint(eager=True)
+        return cls(df, edges, id_col, vec_col, m, metric, n_entry)
+
+    @staticmethod
+    def _attach_vectors(edges: DataFrame, corpus: DataFrame,
+                        id_col: str, vec_col: str) -> DataFrame:
+        """DiskANN-style co-location: each edge row carries the
+        NEIGHBOR's vector, so one fetch per hop serves topology and
+        geometry."""
+        vecs = corpus.select(F.col(id_col).alias("dst"),
+                             F.col(vec_col).alias("dst_vec"))
+        return edges.join(vecs, "dst").select("src", "dst", "dst_vec")
+
+    # -- search ---------------------------------------------------------
+
+    def _entry_points(self) -> list:
+        """Deterministic entry points — same (md5(id), id) pseudo-random
+        order as ann.det_sample — cached driver-side like the
+        reference's stored entryPoint (hnsw.go:66)."""
+        if self._entries is None:
+            rows = (self._live(self.table)
+                    .select(self.id_col, self.vec_col)
+                    .orderBy(F.md5(F.col(self.id_col).cast("string")),
+                             F.col(self.id_col))
+                    .limit(self.n_entry).collect())
+            self._entries = [(r[0], list(r[1])) for r in rows]
+        return self._entries
+
+    def _deleted_ids(self) -> set:
+        """Tombstones as a driver set for the walk (bounded: tombstone
+        debt is delete volume, not corpus size — compact() folds it)."""
+        d = getattr(self, "_deleted", None)
+        if d is None:
+            return set()
+        return {r[0] for r in d.collect()}
+
+    def search(self, qvec: Sequence[float], k: int = 10,
+               ef: int = DEFAULT_EF, max_hops: int = 6) -> DataFrame:
+        """Greedy beam search (hnsw.go:280-388 re-expressed): expand
+        the best unexpanded beam members' neighbors — one bounded edge
+        fetch per hop — keep the ``ef`` best seen, stop when a hop
+        admits nothing. Returns the same (row..., distance) frame shape
+        as the other index tiers, ordered (distance, id)."""
+        import numpy as np
+
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        q = np.asarray(list(qvec), dtype=np.float64)
+        dead = self._deleted_ids()
+        entries = [(i, v) for i, v in self._entry_points() if i not in dead]
+        live = self._live(self.table)
+        if not entries:
+            return live.withColumn("distance",
+                                   F.lit(None).cast("double")).limit(0)
+        d0 = _np_query_dists([v for _, v in entries], q, self.metric)
+        # beam: (dist, id) best-ef seen; visited: nodes already expanded
+        beam = sorted(zip((float(x) for x in d0),
+                          (i for i, _ in entries)))[:ef]
+        visited: set = set()
+        for _ in range(max_hops):
+            frontier = [i for _, i in beam if i not in visited]
+            if not frontier:
+                break  # every beam member already expanded: converged
+            visited.update(frontier)
+            seen = visited | {i for _, i in beam} | dead
+            # ONE bounded job per hop: the frontier's edge rows carry
+            # both neighbor id and vector (src filter — partition-
+            # prunable on the saved bucketed-by-src layout)
+            fetched = (self.edges.filter(F.col("src").isin(frontier))
+                       .select("dst", "dst_vec").distinct().collect())
+            cand = [(r["dst"], r["dst_vec"]) for r in fetched
+                    if r["dst"] not in seen]
+            if not cand:
+                break
+            dists = _np_query_dists([v for _, v in cand], q, self.metric)
+            before = {i for _, i in beam}
+            beam = sorted(beam + list(zip((float(x) for x in dists),
+                                          (i for i, _ in cand))))[:ef]
+            if {i for _, i in beam} == before:
+                break  # hop admitted nothing into the beam: converged
+        top_ids = [i for _, i in beam[:k]]
+        qlit = F.lit([float(x) for x in qvec]).cast("array<double>")
+        from ..functions.distance import distance
+        res = live.filter(F.col(self.id_col).isin(top_ids)) \
+            .withColumn("distance",
+                        distance(self.metric, F.col(self.vec_col), qlit))
+        return res.orderBy(F.col("distance").asc_nulls_last(),
+                           F.col(self.id_col).asc()).limit(k)
+
+    # -- maintenance (reference Add/Delete semantics) -------------------
+
+    def _index_rows(self, df: DataFrame) -> DataFrame:
+        return df  # graph rows carry no derived columns; edges separate
+
+    def add(self, rows: DataFrame, check_dups: bool = True):
+        """Insert + link (hnsw.go:145-243): each new row links to its m
+        nearest LIVE rows (exact — the delta is the small, broadcast
+        side), plus the reverse edges. Touched existing nodes may
+        exceed the 2m bound until compact()/rebuild, mirroring the
+        reference's relax-then-prune."""
+        from .knn import knn_join
+
+        out = super().add(rows, check_dups=check_dups)
+        q = rows.select(F.col(self.id_col).alias("query_id"),
+                        F.col(self.vec_col).alias("query_vec"))
+        nn = knn_join(q, self._live(self.table), k=self.m,
+                      metric=self.metric, corpus_id_col=self.id_col,
+                      corpus_vec_col=self.vec_col)
+        fwd = nn.select(F.col("query_id").alias("src"),
+                        F.col(self.id_col).alias("dst"))
+        delta = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        out.edges = self.edges.unionByName(
+            self._attach_vectors(delta, out.table, self.id_col,
+                                 self.vec_col)).distinct()
+        out._entries = None  # corpus changed; re-derive entry points
+        return out
+
+    def delete(self, ids):
+        out = super().delete(ids)
+        out._entries = None  # an entry point may now be tombstoned
+        return out
+
+    def compact(self):
+        """Fold tombstones into table AND edges (the rebuild the
+        reference never does — its deleted nodes keep their links
+        forever, hnsw.go:391-412)."""
+        out = super().compact()
+        live_ids = out.table.select(F.col(self.id_col).alias("src"))
+        out.edges = (self.edges
+                     .join(live_ids, "src", "semi")
+                     .join(live_ids.withColumnRenamed("src", "dst"),
+                           "dst", "semi"))
+        out._entries = None
+        return out
+
+    # -- persistence ----------------------------------------------------
+
+    def save(self, path: str) -> None:
+        import json
+        compacted = self.compact()
+        compacted.table.write.mode("overwrite") \
+            .parquet(os.path.join(path, "table"))
+        # bucket-shaped layout: repartition by src so a frontier filter
+        # at search time touches few files (the graph analogue of the
+        # cluster-partitioned IVF layout)
+        compacted.edges.repartition("src").write.mode("overwrite") \
+            .parquet(os.path.join(path, "edges"))
+        with open(os.path.join(path, "params.json"), "w") as f:
+            json.dump({"id_col": self.id_col, "vec_col": self.vec_col,
+                       "m": self.m, "metric": self.metric,
+                       "n_entry": self.n_entry}, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "KnnGraphIndex":
+        import json
+        with open(os.path.join(path, "params.json")) as f:
+            p = json.load(f)
+        return cls(spark.read.parquet(os.path.join(path, "table")),
+                   spark.read.parquet(os.path.join(path, "edges")),
+                   p["id_col"], p["vec_col"], p["m"], p["metric"],
+                   p.get("n_entry", DEFAULT_ENTRIES))

@@ -1959,6 +1959,35 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.round("distance", 4).alias("distance"))
 
 
+# Graph ANN (operators/graph.py, the HNSW analogue): build + beam
+# search are deterministic but a beam walk is not SQL-expressible, so
+# the gate pattern applies (same as events_dau_error_gate): recall@10
+# against the exact tier is computed INSIDE the query and must clear
+# the floor for every probe query; the oracle says TRUE
+# unconditionally. A graph/search regression flips the boolean and the
+# driver's value-hash check fails — the green row constrains the tier.
+# (Measured recall at m=8/ef=64: ~1.0 at sf0.001-0.01; floor 0.6 keeps
+# the gate meaningful without being corpus-size-fragile.)
+@q("ann_graph_recall_gate", """
+SELECT * FROM (VALUES (CAST(1 AS BIGINT), TRUE), (CAST(5 AS BIGINT), TRUE),
+                      (CAST(9 AS BIGINT), TRUE)) AS t(query_id, recall_ok)
+""")
+def ann_graph_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import KnnGraphIndex
+    from .operators.knn import knn, lookup_vector
+    e = _t(spark, sf_dir, "embeddings")
+    idx = KnnGraphIndex.build(e, m=8)
+    rows = []
+    for vid in (1, 5, 9):
+        qvec = lookup_vector(e, "vec_id", vid)
+        exact = {r["vec_id"] for r in
+                 knn(e, qvec, k=KNN_K, tie_col="vec_id").collect()}
+        approx = {r["vec_id"] for r in
+                  idx.search(qvec, k=KNN_K, ef=64).collect()}
+        rows.append((vid, len(exact & approx) / len(exact) >= 0.6))
+    return spark.createDataFrame(rows, "query_id bigint, recall_ok boolean")
+
+
 # Hourly rollup over the events table (batch equivalent of the
 # streaming windowed aggregation in streaming/events.py). Buckets are
 # epoch-aligned on the instant, so tz-independent; emitted as BIGINT
