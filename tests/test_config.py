@@ -63,7 +63,8 @@ def test_reference_config_yaml_shape_parses():
 
 def test_resolve_index_type_and_params():
     cfg = EngineConfig()
-    assert cfg.resolve_index_type() == "ivf"   # hnsw -> ivf tier
+    # hnsw -> graph since r4 (the direct analogue exists)
+    assert cfg.resolve_index_type() == "graph"
     cfg.indexing.type = "IVFPQ"
     assert cfg.resolve_index_type() == "ivfpq"
     cfg.indexing.type = "btree"
@@ -72,6 +73,7 @@ def test_resolve_index_type_and_params():
     params = EngineConfig().spark_index_params()
     assert params["nlist"] == 100 and params["nprobe"] == 8
     assert params["num_hash_tables"] == 7
+    assert params["m"] == 16 and params["ef"] == 50  # reference knobs
 
 
 def test_cli_uses_config(tmp_path, capsys):
@@ -92,7 +94,7 @@ def test_cli_uses_config(tmp_path, capsys):
     assert "1" in run("count")
     # data lived under the config's data_dir, not the default
     assert (tmp_path / "cfg_driven").exists()
-    # search with index omitted -> hnsw -> ivf tier
+    # search with index omitted -> hnsw -> graph tier
     run("add", "a", "[1,0,0,0,0]")
     run("add", "b", "[0.9,0.1,0,0,0]")
     out = run("search", "a", "1")

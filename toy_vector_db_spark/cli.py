@@ -90,9 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("id"); m.add_argument("key"); m.add_argument("value")
     s = sub.add_parser("search")
     s.add_argument("index", nargs="?", default=None,
-                   choices=["flat", "lsh", "ivf", "pq", "ivfpq"],
+                   choices=["flat", "lsh", "ivf", "pq", "ivfpq", "graph"],
                    help="defaults to indexing.type from --config "
-                        "(hnsw maps to ivf, config.resolve_index_type)")
+                        "(hnsw maps to graph, config.resolve_index_type)")
     s.add_argument("id"); s.add_argument("k", type=int)
     st = sub.add_parser("search-text")
     st.add_argument("text"); st.add_argument("--k", type=int, default=10)
@@ -201,6 +201,18 @@ def main(argv: list[str] | None = None) -> int:
                 res = idx.search(qvec, k=args.k + 1, metric=args.metric,
                                  nprobe=min(params["nprobe"], nlist))
             res = res.filter(F.col("id") != args.id).limit(args.k)
+        elif index_type == "graph":
+            # the HNSW analogue (operators/graph.py): m/ef derive from
+            # the reference's max_links/ef_construct config knobs
+            from .operators.graph import KnnGraphIndex
+            params = cfg.spark_index_params()
+            n = df.count()
+            m_deg = min(params["m"], max(1, n - 1))
+            idx = KnnGraphIndex.build(df, m=m_deg, metric=args.metric,
+                                      id_col="id", vec_col="embedding",
+                                      n_centroids=min(8, max(1, n)))
+            res = idx.search(qvec, k=args.k + 1, ef=params["ef"]) \
+                .filter(F.col("id") != args.id).limit(args.k)
         else:  # pq / ivfpq: ADC is euclidean-only, rerank exact
             from .operators.pq import IvfPqIndex, PqIndex
             idx = (PqIndex.build(df, id_col="id", vec_col="embedding")

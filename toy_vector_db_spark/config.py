@@ -56,14 +56,16 @@ class EngineConfig:
     def resolve_index_type(self) -> str:
         """Map the configured index type onto an implemented tier.
 
-        ``hnsw`` -> ``ivf``: both are graph/partition pruners whose
-        recall is tuned by a probe-width knob; IVF's nprobe plays the
-        efSearch role (ann.py docstring has the full rationale).
+        ``hnsw`` -> ``graph``: since r4 the direct analogue exists
+        (operators/graph.KnnGraphIndex — bounded-degree k-NN graph +
+        ef-beam search); max_links maps to the graph's out-degree m and
+        efSearch to the beam width, so the reference's config tunes the
+        same trade-offs it tuned there.
         """
         t = self.indexing.type.lower()
         if t == "hnsw":
-            return "ivf"
-        if t in {"flat", "lsh", "ivf", "pq", "ivfpq"}:
+            return "graph"
+        if t in {"flat", "lsh", "ivf", "pq", "ivfpq", "graph"}:
             return t
         raise ValueError(f"unknown index type: {self.indexing.type!r}")
 
@@ -86,6 +88,10 @@ class EngineConfig:
             "nlist": max(4, ef // 2),
             "nprobe": max(1, links // 2),
             "num_hash_tables": max(2, ef.bit_length() - 1),
+            # graph tier: max_links IS the out-degree; efSearch-shaped
+            # beam width bounded below so tiny ef configs still search
+            "m": max(2, links),
+            "ef": max(16, ef // 4),
         }
 
 

@@ -2698,9 +2698,14 @@ _WINDOW = [
     # events analytics (incl. the sketch error gate)
     "events_value_bands", "events_dau_error_gate",
     # batch similarity joins: IVF / IVF-PQ (exact tier cycled out r4)
+    # (these also hard-signal det-IVF assignment + PQ ADC, so the
+    # ann_ivf_det/ann_ivfpq point-search twins could cycle out)
     "knn_join_ivf_batch", "knn_join_ivfpq_batch",
-    # ANN index tiers (+ SQ8, first window r4)
-    "ann_lsh_topk", "ann_ivf_det_topk", "ann_ivfpq_topk", "ann_sq8_topk",
+    # ANN index tiers: LSH, SQ8 (first window r4), the graph tier's
+    # recall gate (new r4), and the chooser-routed exact search (new
+    # r4) — ivf_det/ivfpq point variants cycled out, covered above
+    "ann_lsh_topk", "ann_sq8_topk", "ann_graph_recall_gate",
+    "knn_search_auto",
     # structured streaming — all five families now hard-signaled:
     # rollup, dedup (file sink), stream-stream join, sessionize, search
     "events_rollup_streaming", "events_dedup_streaming",
