@@ -38,6 +38,8 @@ def test_search_and_sql(run):
     assert "c" in out and "a" not in out.split("distance")[1]  # self excluded
     out = run("search", "graph", "a", "1")  # HNSW-analogue tier
     assert "c" in out
+    out = run("search", "auto", "a", "1")   # cost-based chooser route
+    assert "c" in out
     out = run("sql", "SELECT id FROM vectors NEAREST TO [1,0,0] LIMIT 2")
     assert "a" in out and "c" in out
     out = run("sql", "SELECT count(*) FROM vectors")

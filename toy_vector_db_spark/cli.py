@@ -90,9 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("id"); m.add_argument("key"); m.add_argument("value")
     s = sub.add_parser("search")
     s.add_argument("index", nargs="?", default=None,
-                   choices=["flat", "lsh", "ivf", "pq", "ivfpq", "graph"],
+                   choices=["flat", "lsh", "ivf", "pq", "ivfpq", "graph",
+                            "auto"],
                    help="defaults to indexing.type from --config "
-                        "(hnsw maps to graph, config.resolve_index_type)")
+                        "(hnsw maps to graph, config.resolve_index_type); "
+                        "auto picks a tier by corpus size/dim/metric "
+                        "(operators/chooser.py)")
     s.add_argument("id"); s.add_argument("k", type=int)
     st = sub.add_parser("search-text")
     st.add_argument("text"); st.add_argument("--k", type=int, default=10)
@@ -183,7 +186,14 @@ def main(argv: list[str] | None = None) -> int:
         df = catalog.read(coll)
         qvec = lookup_vector(df.withColumnRenamed("id", "__id"), "__id", args.id)
         index_type = args.index or cfg.resolve_index_type()
-        if index_type == "flat":
+        if index_type == "auto":
+            from .operators.chooser import search_auto
+            plan, res = search_auto(
+                df.filter(F.col("id") != args.id), qvec, k=args.k,
+                metric=args.metric, id_col="id", vec_col="embedding",
+                tie_col="id")
+            print(f"tier: {plan.tier} ({plan.reason})", file=sys.stderr)
+        elif index_type == "flat":
             res = knn(df, qvec, k=args.k + 1, metric=args.metric,
                       exclude_id=args.id, id_col="id").limit(args.k)
         elif index_type in ("lsh", "ivf"):
