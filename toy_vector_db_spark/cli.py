@@ -105,7 +105,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("import").add_argument("path")
     x = sub.add_parser("export")
     x.add_argument("path")
-    x.add_argument("--format", choices=["parquet", "json", "vec"],
+    x.add_argument("--format", choices=["parquet", "json", "vec", "gob"],
                    default="parquet")
     x.add_argument("--docs", action="store_true",
                    help="export the document sidecar (content + vector + "
@@ -119,12 +119,13 @@ def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
     if getattr(args, "command", None) == "export" and args.docs \
-            and args.format == "vec":
-        # the .vec binary layout has no document representation
+            and args.format in ("vec", "gob"):
+        # the binary vector layouts have no document representation
         # (content/timestamps) — silently dropping --docs exported the
         # wrong table; fail loudly instead
-        parser.error("--docs cannot be combined with --format vec "
-                     "(the .vec store holds vectors only; use json/parquet)")
+        parser.error(f"--docs cannot be combined with --format "
+                     f"{args.format} (it holds vectors only; "
+                     "use json/parquet)")
     from .config import load_config
     from .plans.catalog import CollectionCatalog
     from .plans.dialect import SqlEngine
@@ -253,7 +254,11 @@ def main(argv: list[str] | None = None) -> int:
         ensure()
         import glob as _glob
         import os as _os
-        if (_os.path.isdir(args.path)
+        if _os.path.isfile(args.path) and args.path.endswith(".gob"):
+            # a reference gob index snapshot (flat or HNSW)
+            from .sources.gobcodec import read_gob_index_vectors
+            src = read_gob_index_vectors(spark, args.path)
+        elif (_os.path.isdir(args.path)
                 and _glob.glob(_os.path.join(args.path, "*.vec"))):
             # a reference file-store directory (one <id>.vec per vector)
             from .sources.veccodec import read_vec_dir
@@ -291,6 +296,12 @@ def main(argv: list[str] | None = None) -> int:
             # reference-readable binary file store (<id>.vec per row)
             from .sources.veccodec import write_vec_dir
             n = write_vec_dir(catalog.read(coll), args.path)
+            print(f"Exported {n} vector(s) to {args.path}", file=out)
+        elif args.format == "gob":
+            # reference-loadable flat-index snapshot (flat.go Load)
+            from .sources.gobcodec import write_gob_flat_index
+            n = write_gob_flat_index(catalog.read(coll), args.path,
+                                     metric=args.metric)
             print(f"Exported {n} vector(s) to {args.path}", file=out)
         elif args.docs and args.format == "json":
             n = catalog.export_docs_json(coll, args.path)
