@@ -96,6 +96,39 @@ def test_search_auto_ivf_route_returns_neighbors(spark, emb):
     assert rows and rows[0]["vec_id"] == 2 and rows[0]["distance"] == 0.0
 
 
+def test_join_tier_decision_table():
+    from toy_vector_db_spark.operators.chooser import choose_join_tier
+    # small x small, exact recall -> exact broadcast
+    assert choose_join_tier(5, 10_000, 64, 5).tier == "exact-broadcast"
+    # too many pairs -> IVF prune, queries still broadcastable
+    p = choose_join_tier(10_000, 10**7, 64, 5, recall_target=0.9)
+    assert p.tier == "ivf-broadcast" and p.params["nprobe"] >= 1
+    # corpus-sized query side -> co-partitioned BLAS cogroup
+    p = choose_join_tier(10**7, 10**7, 64, 5, recall_target=0.9)
+    assert p.tier == "ivf-cogroup"
+
+
+def test_knn_join_auto_ivf_route_matches_ivf_join(spark, emb):
+    # force the pruned route with a tiny pair cap; its answers must
+    # equal knn_join_ivf on the same deterministic index
+    from toy_vector_db_spark.operators.ann import IvfIndex
+    from toy_vector_db_spark.operators.chooser import knn_join_auto
+    from toy_vector_db_spark.operators.knn import knn_join_ivf
+    from pyspark.sql import functions as FF
+    queries = emb.filter("vec_id in (1, 2, 3)").select(
+        FF.col("vec_id").alias("query_id"),
+        FF.col("embedding").alias("query_vec"))
+    plan, res = knn_join_auto(queries, emb, k=5, recall_target=0.9,
+                              exact_max_pairs=10)
+    assert plan.tier == "ivf-broadcast"
+    idx = IvfIndex.build_deterministic(
+        emb, n_centroids=min(plan.params["n_centroids"], emb.count()))
+    want = knn_join_ivf(queries, idx, k=5, nprobe=plan.params["nprobe"])
+    got = {(r["query_id"], r["vec_id"]) for r in res.collect()}
+    exp = {(r["query_id"], r["vec_id"]) for r in want.collect()}
+    assert got == exp
+
+
 def test_search_auto_lsh_route_returns_neighbors(spark, emb):
     qvec = [r for r in emb.filter("vec_id = 3").select("embedding")
             .collect()][0][0]

@@ -38,6 +38,7 @@ from collections.abc import Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # Below this corpus size an exact scan beats build+probe even at loose
 # recall targets: a 200k-row scan is one task wave, while an IVF build
@@ -110,6 +111,86 @@ def choose_search_tier(n_rows: int, dim: int, k: int,
         "ivf", {"k": k, "metric": metric, "n_centroids": nlist,
                 "nprobe": nprobe},
         f"metric {metric} at {n_rows} rows -> IVF partition pruning")
+
+
+#: query sides at or below this broadcast cleanly (same order as the
+#: autoBroadcastJoinThreshold at typical row widths)
+BROADCAST_MAX_QUERIES = 100_000
+
+
+def choose_join_tier(n_queries: int, n_corpus: int, dim: int, k: int,
+                     recall_target: float = 1.0,
+                     exact_max_pairs: int = 10**9,
+                     broadcast_max_queries: int = BROADCAST_MAX_QUERIES
+                     ) -> SearchPlan:
+    """Pick the batch-similarity-JOIN tier by the two side sizes — the
+    join-shaped twin of ``choose_search_tier``:
+
+    - ``exact-broadcast``: queries broadcast, every pair scored, exact
+      two-phase top-k. Right while |q| x |c| pairs stay scan-shaped.
+    - ``ivf-broadcast``: cluster equi-join prunes candidates to
+      ~nprobe/nlist of the corpus per query; queries still broadcast.
+    - ``ivf-cogroup``: query side is corpus-sized (all-pairs regime) —
+      broadcast would not fit, so both sides shuffle ONCE on cluster id
+      and each cluster scores as one BLAS matrix op.
+    """
+    if n_queries < 0 or n_corpus < 0 or dim < 1 or k < 1:
+        raise ValueError("invalid stats")
+    pairs = n_queries * n_corpus
+    if pairs <= exact_max_pairs and recall_target >= EXACT_RECALL:
+        return SearchPlan("exact-broadcast", {"k": k},
+                          f"{pairs:.0f} pairs scan-shaped, exact")
+    nlist = max(8, int(4 * math.sqrt(max(1, n_corpus))))
+    nprobe = max(1, math.ceil(nlist * (0.02 + 0.2 * recall_target)))
+    params = {"k": k, "n_centroids": nlist, "nprobe": nprobe}
+    if n_queries > broadcast_max_queries:
+        return SearchPlan("ivf-cogroup", params,
+                          f"{n_queries} queries exceed broadcast cap "
+                          "-> co-partition on cluster id, BLAS per cluster")
+    return SearchPlan("ivf-broadcast", params,
+                      f"{pairs:.0f} pairs too many for exact "
+                      "-> cluster-pruned equi-join")
+
+
+def knn_join_auto(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                  metric: str = "euclidean",
+                  recall_target: float = 1.0,
+                  query_id_col: str = "query_id",
+                  query_vec_col: str = "query_vec",
+                  corpus_id_col: str = "vec_id",
+                  corpus_vec_col: str = "embedding",
+                  n_queries: int | None = None, n_corpus: int | None = None,
+                  exact_max_pairs: int = 10**9,
+                  broadcast_max_queries: int = BROADCAST_MAX_QUERIES):
+    """Route a batch similarity join through ``choose_join_tier``.
+    Returns ``(plan, DataFrame)`` with (query_id, vec_id, distance)."""
+    dim_row = corpus.select(F.size(corpus_vec_col)).first()
+    dim = int(dim_row[0]) if dim_row else 1
+    nq = queries.count() if n_queries is None else n_queries
+    nc = corpus.count() if n_corpus is None else n_corpus
+    plan = choose_join_tier(nq, nc, dim, k, recall_target,
+                            exact_max_pairs, broadcast_max_queries)
+    if plan.tier == "exact-broadcast":
+        from .knn import knn_join
+        return plan, knn_join(queries, corpus, k=k, metric=metric,
+                              query_id_col=query_id_col,
+                              query_vec_col=query_vec_col,
+                              corpus_id_col=corpus_id_col,
+                              corpus_vec_col=corpus_vec_col)
+    from .ann import IvfIndex
+    from .knn import knn_join_ivf, knn_join_ivf_arrow
+    idx = IvfIndex.build_deterministic(
+        corpus, n_centroids=min(plan.params["n_centroids"], max(1, nc)),
+        id_col=corpus_id_col, vec_col=corpus_vec_col)
+    nprobe = plan.params["nprobe"]
+    if plan.tier == "ivf-cogroup":
+        return plan, knn_join_ivf_arrow(queries, idx, k=k, nprobe=nprobe,
+                                        metric=metric,
+                                        query_id_col=query_id_col,
+                                        query_vec_col=query_vec_col)
+    return plan, knn_join_ivf(queries, idx, k=k, nprobe=nprobe,
+                              metric=metric, query_id_col=query_id_col,
+                              query_vec_col=query_vec_col)
 
 
 def search_auto(df: DataFrame, query_vec: Sequence[float], k: int = 10,

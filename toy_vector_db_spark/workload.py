@@ -1391,6 +1391,32 @@ def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id", F.round("distance", 4).alias("distance"))
 
 
+# Join-tier chooser (operators/chooser.knn_join_auto): 5 queries x a
+# small corpus routes to the exact-broadcast tier, so the exact join
+# oracle applies verbatim; the IVF routes are exercised (and
+# plan-checked) in tests/test_chooser.py.
+@q("knn_join_auto_batch", f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN (1, 2, 3, 4, 5)),
+s AS (SELECT q.query_id, e.vec_id,
+             list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) AS dist
+      FROM embeddings e CROSS JOIN q)
+SELECT query_id, vec_id, ROUND(dist, 4) AS distance
+FROM s
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= 5
+""")
+def knn_join_auto_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chooser import knn_join_auto
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id").isin(1, 2, 3, 4, 5)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    plan, res = knn_join_auto(queries, e, k=5, metric="euclidean")
+    assert plan.tier == "exact-broadcast", plan
+    return res.select("query_id", "vec_id",
+                      F.round("distance", 4).alias("distance"))
+
+
 # IVF-accelerated batch similarity join with a FULL value oracle:
 # deterministic centroids (smallest md5(vec_id)) let DuckDB replay the
 # corpus cluster assignment, each query's nprobe probe selection, the
