@@ -98,3 +98,30 @@ def test_save_load_roundtrip(spark, emb, idx, tmp_path):
     got = [(r["vec_id"], round(r["distance"], 5))
            for r in back.search(q, k=5).collect()]
     assert got == want
+
+
+def test_loaded_layout_hop_prunes_partitions(spark, emb, idx, tmp_path):
+    from toy_vector_db_spark.operators.graph import (
+        _src_bucket_py, N_EDGE_BUCKETS,
+    )
+    p = str(tmp_path / "graph_idx_pruned")
+    idx.save(p)
+    back = KnnGraphIndex.load(spark, p)
+    assert "src_bucket" in back.edges.columns
+    # the hop scan a search issues: bucket + src filters. The bucket
+    # filter must reach the scan as a PARTITION filter (pruned read).
+    frontier = [1, 2, 3]
+    buckets = sorted({_src_bucket_py(i) for i in frontier})
+    hop = back.edges.filter(
+        F.col("src_bucket").isin(buckets)).filter(F.col("src").isin(frontier))
+    plan = hop._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "src_bucket" in plan.split(
+        "PartitionFilters")[1][:200]
+    # and the driver-side bucket fn matches the saved column for every src
+    rows = back.edges.select("src", "src_bucket").distinct().collect()
+    assert rows and all(_src_bucket_py(r["src"]) == r["src_bucket"]
+                        for r in rows)
+    assert all(0 <= r["src_bucket"] < N_EDGE_BUCKETS for r in rows)
+    # search over the loaded layout still answers correctly
+    q = _qvec(emb, 6)
+    assert back.search(q, k=3).collect()[0]["vec_id"] == 6

@@ -58,6 +58,22 @@ DEFAULT_M = 8          # out-degree per node (reference M=16 default; 8
                        # suffices for the recall gates on dim-64 data)
 DEFAULT_EF = 48        # search beam width (reference efSearch default 50)
 DEFAULT_ENTRIES = 4    # multi-start entry points (replaces layer descent)
+N_EDGE_BUCKETS = 64    # saved-layout partition count (see save())
+
+
+def _src_bucket_py(src) -> int:
+    """Driver-side twin of the saved layout's bucket column: first two
+    hex digits of md5(str(src)) mod N_EDGE_BUCKETS. md5 is the one hash
+    both Python and Spark SQL compute identically, so a search can turn
+    a frontier id list into partition filters without a lookup table."""
+    import hashlib
+    return int(hashlib.md5(str(src).encode()).hexdigest()[:2],
+               16) % N_EDGE_BUCKETS
+
+
+def _src_bucket_col(col):
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 2), 16, 10)
+            .cast("int") % N_EDGE_BUCKETS)
 
 
 def _prune_degree(scored_edges: DataFrame, max_degree: int) -> DataFrame:
@@ -214,9 +230,15 @@ class KnnGraphIndex(_MaintainableIndex):
             visited.update(frontier)
             seen = visited | {i for _, i in beam} | dead
             # ONE bounded job per hop: the frontier's edge rows carry
-            # both neighbor id and vector (src filter — partition-
-            # prunable on the saved bucketed-by-src layout)
-            fetched = (self.edges.filter(F.col("src").isin(frontier))
+            # both neighbor id and vector. On a loaded saved layout the
+            # frontier also prunes PARTITIONS: the bucket column is
+            # recomputed driver-side (same md5 both engines), so the
+            # scan touches ≤ |frontier| of the N_EDGE_BUCKETS dirs.
+            hop = self.edges
+            if "src_bucket" in hop.columns:
+                buckets = sorted({_src_bucket_py(i) for i in frontier})
+                hop = hop.filter(F.col("src_bucket").isin(buckets))
+            fetched = (hop.filter(F.col("src").isin(frontier))
                        .select("dst", "dst_vec").distinct().collect())
             cand = [(r["dst"], r["dst_vec"]) for r in fetched
                     if r["dst"] not in seen]
@@ -260,9 +282,12 @@ class KnnGraphIndex(_MaintainableIndex):
                         F.col(self.id_col).alias("dst"))
         delta = fwd.unionByName(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        out.edges = self.edges.unionByName(
-            self._attach_vectors(delta, out.table, self.id_col,
-                                 self.vec_col)).distinct()
+        delta = self._attach_vectors(delta, out.table, self.id_col,
+                                     self.vec_col)
+        if "src_bucket" in self.edges.columns:  # loaded bucketed layout
+            delta = delta.withColumn("src_bucket",
+                                     _src_bucket_col(F.col("src")))
+        out.edges = self.edges.unionByName(delta).distinct()
         out._entries = None  # corpus changed; re-derive entry points
         return out
 
@@ -291,11 +316,15 @@ class KnnGraphIndex(_MaintainableIndex):
         compacted = self.compact()
         compacted.table.write.mode("overwrite") \
             .parquet(os.path.join(path, "table"))
-        # bucket-shaped layout: repartition by src so a frontier filter
-        # at search time touches few files (the graph analogue of the
-        # cluster-partitioned IVF layout)
-        compacted.edges.repartition("src").write.mode("overwrite") \
-            .parquet(os.path.join(path, "edges"))
+        # partition the edges by a bounded src-hash bucket (the graph
+        # analogue of the cluster-partitioned IVF layout): a hop's
+        # frontier filter becomes real PARTITION pruning at the source
+        # — each search reads ≤ |frontier| of N_EDGE_BUCKETS dirs, not
+        # the whole edge table (plan-asserted in test_graph.py)
+        (compacted.edges
+         .withColumn("src_bucket", _src_bucket_col(F.col("src")))
+         .write.mode("overwrite").partitionBy("src_bucket")
+         .parquet(os.path.join(path, "edges")))
         with open(os.path.join(path, "params.json"), "w") as f:
             json.dump({"id_col": self.id_col, "vec_col": self.vec_col,
                        "m": self.m, "metric": self.metric,
