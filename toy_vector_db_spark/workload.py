@@ -2002,15 +2002,27 @@ def ann_graph_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import KnnGraphIndex
     from .operators.knn import knn, lookup_vector
     e = _t(spark, sf_dir, "embeddings")
-    idx = KnnGraphIndex.build(e, m=8)
-    rows = []
-    for vid in (1, 5, 9):
-        qvec = lookup_vector(e, "vec_id", vid)
-        exact = {r["vec_id"] for r in
-                 knn(e, qvec, k=KNN_K, tie_col="vec_id").collect()}
-        approx = {r["vec_id"] for r in
-                  idx.search(qvec, k=KNN_K, ef=64).collect()}
-        rows.append((vid, len(exact & approx) / len(exact) >= 0.6))
+    # build + searches complete INSIDE this function (the returned frame
+    # is literal rows), so the shuffle-partition override is fully
+    # scoped. Only CAP an oversized default (a vanilla 200-partition
+    # session pays ~4x scheduling overhead on the cogroup/prune stages,
+    # 23 s -> ~6 s warm); a tuned session's setting is left alone so
+    # larger corpora keep their parallelism.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(min(int(prev), 32)) if prev.isdigit() else "32")
+    try:
+        idx = KnnGraphIndex.build(e, m=8)
+        rows = []
+        for vid in (1, 5, 9):
+            qvec = lookup_vector(e, "vec_id", vid)
+            exact = {r["vec_id"] for r in
+                     knn(e, qvec, k=KNN_K, tie_col="vec_id").collect()}
+            approx = {r["vec_id"] for r in
+                      idx.search(qvec, k=KNN_K, ef=64).collect()}
+            rows.append((vid, len(exact & approx) / len(exact) >= 0.6))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.createDataFrame(rows, "query_id bigint, recall_ok boolean")
 
 
