@@ -117,6 +117,39 @@ def test_pq_maintenance_add_delete(spark, emb, idx, qvec):
     assert hits3.isdisjoint({7, 900007})
 
 
+def test_ip_adc_recall_and_rerank_exact(emb, idx, qvec):
+    # inner-product ADC (faiss METRIC_INNER_PRODUCT): ranking must
+    # broadly agree with the exact dotproduct tier, and rerank must
+    # return EXACT dotproduct distances
+    exact = {r["vec_id"] for r in
+             knn(emb, qvec, k=10, metric="dotproduct",
+                 tie_col="vec_id").collect()}
+    adc = {r["vec_id"] for r in
+           idx.search(qvec, k=10, metric="dotproduct").collect()}
+    # dot-product ranking is norm-dominated and ks=8 deterministic
+    # codebooks quantize coarsely, so the compressed-domain floor is
+    # low (measured 2-4/10 here); rerank below is the accuracy path
+    assert len(exact & adc) >= 2
+    rer = idx.search(qvec, k=5, metric="dotproduct", rerank=4).collect()
+    want = {r["vec_id"]: r["distance"] for r in
+            knn(emb, qvec, k=50, metric="dotproduct",
+                tie_col="vec_id").collect()}
+    for r in rer:
+        if r["vec_id"] in want:
+            assert r["distance"] == pytest.approx(want[r["vec_id"]],
+                                                  rel=1e-9)
+
+
+def test_ip_lut_matches_numpy(idx, qvec):
+    import numpy as np
+    lut = idx.codec.lut(qvec, metric="dotproduct")
+    q = np.asarray(list(qvec)).reshape(idx.codec.m, idx.codec.dsub)
+    want = (idx.codec.codebooks * q[:, None, :]).sum(axis=2)
+    assert np.allclose(lut, want)
+    with pytest.raises(ValueError):
+        idx.codec.lut(qvec, metric="manhattan")
+
+
 def test_codec_dim_mismatch_errors(idx):
     with pytest.raises(ValueError, match="dim"):
         idx.codec.lut([0.0] * 3)

@@ -132,29 +132,41 @@ class PqCodec:
                code_col: str = "__code") -> DataFrame:
         return df.withColumn(code_col, self.encode_expr(vec_col))
 
-    def lut(self, qvec: Sequence[float]) -> np.ndarray:
-        """ADC lookup table, shape (m, ks): squared L2 from each query
-        subvector to each codebook entry."""
+    def lut(self, qvec: Sequence[float],
+            metric: str = "euclidean") -> np.ndarray:
+        """ADC lookup table, shape (m, ks). ``euclidean``: squared L2
+        from each query subvector to each codebook entry.
+        ``dotproduct``: the inner-product contribution of each entry
+        (faiss METRIC_INNER_PRODUCT; cosine = normalize both sides
+        upstream, then dotproduct)."""
         q = np.asarray(list(qvec), dtype=np.float64)
         if q.size != self.m * self.dsub:
             raise ValueError(
                 f"query dim {q.size} != codec dim {self.m * self.dsub}")
         qs = q.reshape(self.m, self.dsub)
-        return ((self.codebooks - qs[:, None, :]) ** 2).sum(axis=2)
+        if metric == "euclidean":
+            return ((self.codebooks - qs[:, None, :]) ** 2).sum(axis=2)
+        if metric == "dotproduct":
+            return (self.codebooks * qs[:, None, :]).sum(axis=2)
+        raise ValueError(f"unsupported ADC metric: {metric!r}")
 
-    def adc_from_lut(self, lut: np.ndarray, code_col: str = "__code"):
-        """ADC distance from a precomputed (m, ks) lookup table:
-        ``sqrt(sum_j lut[j][code_j])``. m array lookups per row."""
+    def adc_from_lut(self, lut: np.ndarray, code_col: str = "__code",
+                     metric: str = "euclidean"):
+        """ADC distance from a precomputed (m, ks) lookup table —
+        m array lookups per row: ``sqrt(sum)`` for euclidean,
+        ``-(sum)`` for dotproduct (distance = negated similarity,
+        matching functions/distance.py)."""
         total = F.lit(0.0)
         for j in range(self.m):
             lut_j = F.lit([float(x) for x in lut[j]])
             total = total + F.element_at(
                 lut_j, F.element_at(F.col(code_col), j + 1) + 1)
-        return F.sqrt(total)
+        return F.sqrt(total) if metric == "euclidean" else -total
 
-    def adc_expr(self, qvec: Sequence[float], code_col: str = "__code"):
-        """Approximate euclidean distance from the stored codes alone."""
-        return self.adc_from_lut(self.lut(qvec), code_col)
+    def adc_expr(self, qvec: Sequence[float], code_col: str = "__code",
+                 metric: str = "euclidean"):
+        """Approximate distance from the stored codes alone."""
+        return self.adc_from_lut(self.lut(qvec, metric), code_col, metric)
 
     def lut_expr(self, qvec_col):
         """The ADC lookup table as an ``array<array<double>>`` Column
@@ -292,11 +304,14 @@ class OpqCodec:
 
         return df.mapInPandas(enc, out_ddl)
 
-    def adc_expr(self, qvec: Sequence[float], code_col: str = "__code"):
-        """ADC against the ROTATED query — distances approximate true
-        euclidean because the rotation is orthonormal (norm-preserving)."""
-        return self.codec.adc_from_lut(self.codec.lut(self.rotate_query(qvec)),
-                                       code_col)
+    def adc_expr(self, qvec: Sequence[float], code_col: str = "__code",
+                 metric: str = "euclidean"):
+        """ADC against the ROTATED query — distances approximate the
+        true metric because the rotation is orthonormal (preserves both
+        norms and inner products)."""
+        return self.codec.adc_from_lut(
+            self.codec.lut(self.rotate_query(qvec), metric),
+            code_col, metric)
 
 
 def _reconstruct(Xr: np.ndarray, books: np.ndarray) -> np.ndarray:
@@ -370,15 +385,18 @@ class PqIndex(_MaintainableIndex):
         return self.codec.encode(df, self.vec_col)
 
     def search(self, qvec: Sequence[float], k: int = DEFAULT_K,
-               rerank: int = 0, dist_col: str = "distance") -> DataFrame:
+               rerank: int = 0, dist_col: str = "distance",
+               metric: str = "euclidean") -> DataFrame:
         """ADC top-k. ``rerank > 0``: take the top ``rerank * k`` ADC
-        candidates, re-score them with the TRUE euclidean distance
-        (only the short-list — k*rerank rows — touches raw vectors),
-        return the exact-ranked top-k. The standard PQ accuracy knob."""
+        candidates, re-score them with the TRUE distance (only the
+        short-list — k*rerank rows — touches raw vectors), return the
+        exact-ranked top-k. The standard PQ accuracy knob.
+        ``metric``: euclidean or dotproduct (faiss's two PQ metrics;
+        cosine = normalize upstream + dotproduct)."""
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
         scored = self._live(self.table).withColumn(
-            dist_col, self.codec.adc_expr(qvec))
+            dist_col, self.codec.adc_expr(qvec, metric=metric))
         if not rerank:
             return (scored.orderBy(F.col(dist_col).asc_nulls_last(),
                                    F.col(self.id_col).asc())
@@ -388,7 +406,7 @@ class PqIndex(_MaintainableIndex):
                                 F.col(self.id_col).asc())
                  .limit(rerank * k).drop(dist_col))
         exact = short.withColumn(
-            dist_col, distance("euclidean", F.col(self.vec_col),
+            dist_col, distance(metric, F.col(self.vec_col),
                                F.lit([float(x) for x in qvec])
                                .cast("array<double>")))
         return (exact.orderBy(F.col(dist_col).asc_nulls_last(),

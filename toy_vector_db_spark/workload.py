@@ -1830,6 +1830,67 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.round("distance", 4).alias("distance"))
 
 
+# Inner-product ADC (faiss METRIC_INNER_PRODUCT; r4): the LUT holds
+# dot-product CONTRIBUTIONS and the ADC distance is the negated sum —
+# the second of faiss's two PQ metrics (cosine = normalize upstream
+# then dotproduct). Deterministic codebooks again make the whole
+# compressed-domain ranking SQL-replayable, so this is a FULL value
+# oracle, not a recall gate.
+def _ann_pq_ip_oracle(m: int = 4, ks: int = 8) -> str:
+    def subip(x: str, j: int) -> str:
+        off = f"{j} * (len({x}) // {m})"
+        return (f"list_sum(list_transform(range(1, len({x}) // {m} + 1), "
+                f"i -> {x}[{off} + i] * c[{off} + i]))")
+
+    code_cols = ",\n    ".join(
+        f"list_position(ds{j}, list_min(ds{j})) - 1 AS code{j}"
+        for j in range(m))
+
+    def subd(x: str, j: int) -> str:  # codes still assign by L2
+        off = f"{j} * (len({x}) // {m})"
+        return (f"list_sum(list_transform(range(1, len({x}) // {m} + 1), "
+                f"i -> ({x}[{off} + i] - c[{off} + i]) * "
+                f"({x}[{off} + i] - c[{off} + i])))")
+
+    ds_cols = ",\n    ".join(
+        f"list_transform((SELECT bs FROM books), c -> {subd('v', j)}) AS ds{j}"
+        for j in range(m))
+    qlut_cols = ",\n    ".join(
+        f"list_transform((SELECT bs FROM books), c -> {subip('q', j)}) AS lut{j}"
+        for j in range(m))
+    adc = " + ".join(f"lut{j}[code{j} + 1]" for j in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb AS (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
+       FROM e ORDER BY h, vec_id LIMIT {ks}),
+books AS (SELECT list(v ORDER BY h, vec_id) AS bs FROM cb),
+coded AS (
+  SELECT vec_id, label,
+    {code_cols}
+  FROM (SELECT vec_id, label,
+    {ds_cols}
+        FROM e)),
+qlut AS (
+  SELECT
+    {qlut_cols}
+  FROM (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}))
+SELECT vec_id, label, ROUND(-({adc}), 4) AS distance
+FROM coded, qlut
+ORDER BY -({adc}) ASC, vec_id ASC LIMIT {KNN_K}
+"""
+
+
+@q("ann_pq_ip_topk", _ann_pq_ip_oracle())
+def ann_pq_ip_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.knn import lookup_vector
+    from .operators.pq import PqIndex
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = lookup_vector(e, "vec_id", QUERY_VEC_ID)
+    idx = PqIndex.build(e, m=4, ks=8)
+    return idx.search(qvec, k=KNN_K, metric="dotproduct").select(
+        "vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
 # PQ re-rank with a FULL value oracle: the standard PQ accuracy knob —
 # ADC ranks a rerank*k shortlist in the compressed domain, then ONLY
 # those rows are re-scored with the true euclidean distance
