@@ -57,6 +57,33 @@ def test_memory_budget_forces_pq_with_dividing_m():
     assert dim % p.params["m"] == 0
 
 
+def test_budget_never_hijacks_non_euclidean_metrics():
+    # the IVF-PQ route is euclidean-only: a cosine query under memory
+    # pressure must NOT be routed there (it would silently return
+    # euclidean answers) — it stays on the angular tier
+    n, dim = 10**8, 64
+    p = choose_search_tier(n, dim, 10, metric="cosine",
+                           recall_target=0.9, memory_budget_bytes=n * dim)
+    assert p.tier == "lsh"
+    p = choose_search_tier(n, dim, 10, metric="manhattan",
+                           recall_target=0.9, memory_budget_bytes=n * dim)
+    assert p.tier == "ivf" and "no compressed tier" in p.reason
+
+
+def test_exact_recall_with_budget_conflict_is_flagged():
+    p = choose_search_tier(10**9, 64, 10, recall_target=1.0,
+                           memory_budget_bytes=1 << 30)
+    assert p.tier == "flat-arrow" and "over the" in p.reason
+
+
+def test_join_exact_recall_honored_even_over_pair_cap():
+    from toy_vector_db_spark.operators.chooser import choose_join_tier
+    # default recall (1.0) must stay exact — the caller never opted
+    # into approximate answers — with the overage noted in the reason
+    p = choose_join_tier(10**6, 10**7, 64, 5)
+    assert p.tier == "exact-broadcast" and "NOTE" in p.reason
+
+
 def test_invalid_inputs_raise():
     with pytest.raises(ValueError):
         choose_search_tier(-1, 64, 10)

@@ -82,6 +82,37 @@ def test_add_links_new_rows(spark, emb, idx):
         grown.add(delta)  # duplicate id errors (hnsw.go:145-156)
 
 
+def test_k_larger_than_ef_still_returns_k(emb, idx):
+    # ef must clamp to at least k (hnsw.go max(efSearch, k)); before
+    # the fix k=60 with ef=48 silently returned <= 48 rows
+    rows = idx.search(_qvec(emb, 1), k=60, ef=8).collect()
+    assert len(rows) == 60
+
+
+def test_readd_with_new_vector_drops_stale_edges(spark, emb, idx):
+    # delete X then re-add it with a DIFFERENT vector: edges carrying
+    # X's OLD vector in dst_vec must not survive (they would score X
+    # at its stale location during the beam walk)
+    old_vec = _qvec(emb, 8)
+    new_vec = [x + 100.0 for x in old_vec]
+    delta = spark.createDataFrame(
+        [(8, 0, new_vec)],
+        "vec_id long, label int, embedding array<float>") \
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    re_idx = idx.delete([8]).add(delta)
+    import numpy as np
+    want = np.asarray(old_vec, dtype=np.float32) + np.float32(100.0)
+    stale = re_idx.edges.filter(F.col("dst") == 8) \
+        .select("dst_vec").collect()
+    assert stale  # 8 is linked again after the re-add
+    for r in stale:
+        assert np.allclose(np.asarray(r["dst_vec"], dtype=np.float32),
+                           want, atol=1e-3)
+    # a search near the OLD location must not surface 8 at rank 0
+    got = [r["vec_id"] for r in re_idx.search(old_vec, k=3).collect()]
+    assert got[0] != 8
+
+
 def test_compact_drops_dead_edges(emb, idx):
     pruned = idx.delete([7]).compact()
     assert pruned.edges.filter("src = 7 OR dst = 7").count() == 0

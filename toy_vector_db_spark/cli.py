@@ -268,11 +268,16 @@ def main(argv: list[str] | None = None) -> int:
                 src = spark.read.parquet(args.path)
             except Exception:
                 src = spark.read.json(args.path)
+        docs_src = None
         if "doc_id" in src.columns and "vector" in src.columns:
             # a docs-sidecar export (`export --docs`): restore BOTH the
             # sidecar and the vector rows so the round-trip is lossless.
-            # JSON reads a map column back as a struct — rebuild the map
-            if dict(src.dtypes).get("metadata", "").startswith("struct"):
+            # JSON drops all-null columns entirely and reads a map
+            # column back as a struct — normalize both shapes
+            if "metadata" not in src.columns:
+                src = src.withColumn("metadata",
+                                     F.lit(None).cast("map<string,string>"))
+            elif dict(src.dtypes)["metadata"].startswith("struct"):
                 fields = src.schema["metadata"].dataType.fieldNames()
                 src = src.withColumn("metadata", F.map_filter(
                     F.map_from_arrays(
@@ -283,12 +288,17 @@ def main(argv: list[str] | None = None) -> int:
                     src.withColumn(
                         "metadata",
                         F.lit(None).cast("map<string,string>"))
-            catalog.upsert_docs(coll, src)
+            docs_src = src
             src = src.select(F.col("doc_id").alias("id"),
                              F.col("vector").cast("array<float>")
                               .alias("embedding"),
                              F.col("metadata"))
+        # insert FIRST: its duplicate-id check raises before anything is
+        # committed, so a failed import leaves both stores untouched
+        # (upserting the sidecar first left them inconsistent on error)
         n = catalog.insert_df(coll, src)  # distributed append, no collect
+        if docs_src is not None:
+            catalog.upsert_docs(coll, docs_src)
         print(f"Imported {n} vector(s)", file=out)
     elif cmd == "export":
         ensure()

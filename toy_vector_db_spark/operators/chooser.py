@@ -73,21 +73,34 @@ def choose_search_tier(n_rows: int, dim: int, k: int,
 
     from .knn import ARROW_TIER_MIN_DIM
 
+    raw_bytes = n_rows * dim * 4  # float32 payload
+    over_budget = (memory_budget_bytes is not None
+                   and raw_bytes > memory_budget_bytes)
+
     if n_rows <= exact_max_rows or recall_target >= EXACT_RECALL:
         tier = "flat-arrow" if dim >= ARROW_TIER_MIN_DIM else "flat-column"
         why = ("corpus small enough for an exact scan"
                if n_rows <= exact_max_rows else
                f"recall_target {recall_target} demands the exact answer")
+        if over_budget and n_rows > exact_max_rows:
+            # exact wins the conflict, but say so — dropping the
+            # caller's stated memory constraint silently hides OOM risk
+            why += (f"; NOTE: exact scan reads {raw_bytes >> 20} MiB, "
+                    f"over the {memory_budget_bytes >> 20} MiB budget")
         return SearchPlan(tier, {"k": k, "metric": metric}, why)
 
-    raw_bytes = n_rows * dim * 4  # float32 payload
-    if memory_budget_bytes is not None and raw_bytes > memory_budget_bytes:
+    nlist = max(8, int(4 * math.sqrt(n_rows)))
+    nprobe = max(1, math.ceil(nlist * (0.02 + 0.2 * recall_target)))
+
+    # PQ codes (ADC) support faiss's two metrics: euclidean and (via
+    # normalize-upstream) inner product; the IVF-PQ tier here is wired
+    # euclidean-only, so the budget-compression route must not hijack
+    # other metrics (it would silently return wrong-metric answers)
+    if over_budget and metric == "euclidean":
         # compress: m subquantizers of ks=256 centroids -> m bytes/row.
         # m must divide dim; prefer ~dim/4 subspaces, floor at 4.
         m = next((m for m in (max(4, dim // 4), 16, 8, 4, 2, 1)
                   if dim % m == 0), 1)
-        nlist = max(8, int(4 * math.sqrt(n_rows)))
-        nprobe = max(1, math.ceil(nlist * (0.02 + 0.2 * recall_target)))
         return SearchPlan(
             "ivfpq", {"k": k, "n_centroids": nlist, "nprobe": nprobe,
                       "m": m, "rerank": 4},
@@ -100,17 +113,21 @@ def choose_search_tier(n_rows: int, dim: int, k: int,
         target_bucket = max(64, 4 * k)
         n_planes = max(4, min(24, int(math.log2(max(2, n_rows / target_bucket)))))
         multiprobe = 1 + int(round(3 * recall_target))
+        why = f"angular metric {metric} -> hyperplane LSH"
+        if over_budget:
+            why += (" (memory budget noted: LSH probes scan only the "
+                    "matched buckets, not the full payload)")
         return SearchPlan(
             "lsh", {"k": k, "metric": metric, "n_planes": n_planes,
-                    "multiprobe": multiprobe},
-            f"angular metric {metric} -> hyperplane LSH")
+                    "multiprobe": multiprobe}, why)
 
-    nlist = max(8, int(4 * math.sqrt(n_rows)))
-    nprobe = max(1, math.ceil(nlist * (0.02 + 0.2 * recall_target)))
+    why = f"metric {metric} at {n_rows} rows -> IVF partition pruning"
+    if over_budget:
+        why += (f"; NOTE: {metric} has no compressed tier — probes scan "
+                "raw vectors of nprobe clusters")
     return SearchPlan(
         "ivf", {"k": k, "metric": metric, "n_centroids": nlist,
-                "nprobe": nprobe},
-        f"metric {metric} at {n_rows} rows -> IVF partition pruning")
+                "nprobe": nprobe}, why)
 
 
 #: query sides at or below this broadcast cleanly (same order as the
@@ -137,9 +154,18 @@ def choose_join_tier(n_queries: int, n_corpus: int, dim: int, k: int,
     if n_queries < 0 or n_corpus < 0 or dim < 1 or k < 1:
         raise ValueError("invalid stats")
     pairs = n_queries * n_corpus
-    if pairs <= exact_max_pairs and recall_target >= EXACT_RECALL:
-        return SearchPlan("exact-broadcast", {"k": k},
-                          f"{pairs:.0f} pairs scan-shaped, exact")
+    if pairs <= exact_max_pairs or recall_target >= EXACT_RECALL:
+        # exact wins whenever the pair count is scan-shaped (it meets
+        # ANY recall target), and — same contract as choose_search_tier
+        # — an exact recall target is honored unconditionally: degrading
+        # to IVF silently would return approximate answers the caller
+        # never opted into
+        why = f"{pairs:.0f} pairs, exact"
+        if pairs > exact_max_pairs:
+            why += (f"; NOTE: over the {exact_max_pairs:.0f}-pair "
+                    "comfort cap — pass recall_target < 1 to allow "
+                    "the pruned tiers")
+        return SearchPlan("exact-broadcast", {"k": k}, why)
     nlist = max(8, int(4 * math.sqrt(max(1, n_corpus))))
     nprobe = max(1, math.ceil(nlist * (0.02 + 0.2 * recall_target)))
     params = {"k": k, "n_centroids": nlist, "nprobe": nprobe}

@@ -61,19 +61,19 @@ DEFAULT_ENTRIES = 4    # multi-start entry points (replaces layer descent)
 N_EDGE_BUCKETS = 64    # saved-layout partition count (see save())
 
 
-def _src_bucket_py(src) -> int:
+def _src_bucket_py(src, n_buckets: int = N_EDGE_BUCKETS) -> int:
     """Driver-side twin of the saved layout's bucket column: first two
-    hex digits of md5(str(src)) mod N_EDGE_BUCKETS. md5 is the one hash
+    hex digits of md5(str(src)) mod ``n_buckets``. md5 is the one hash
     both Python and Spark SQL compute identically, so a search can turn
     a frontier id list into partition filters without a lookup table."""
     import hashlib
     return int(hashlib.md5(str(src).encode()).hexdigest()[:2],
-               16) % N_EDGE_BUCKETS
+               16) % n_buckets
 
 
-def _src_bucket_col(col):
+def _src_bucket_col(col, n_buckets: int = N_EDGE_BUCKETS):
     return (F.conv(F.substring(F.md5(col.cast("string")), 1, 2), 16, 10)
-            .cast("int") % N_EDGE_BUCKETS)
+            .cast("int") % n_buckets)
 
 
 def _prune_degree(scored_edges: DataFrame, max_degree: int) -> DataFrame:
@@ -92,23 +92,15 @@ def _prune_degree(scored_edges: DataFrame, max_degree: int) -> DataFrame:
 
 
 def _np_query_dists(vecs, q, metric: str):
-    """Distances from one query to a stack of vectors — same metric
-    semantics as functions/distance.py (cosine zero-norm => 1.0)."""
+    """Distances from one query to a stack of vectors — delegates to
+    the shared matrix implementation (knn._np_dists) so the metric
+    semantics (incl. cosine zero-norm => 1.0) live in exactly one
+    place."""
     import numpy as np
+
+    from .knn import _np_dists
     M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-    if metric == "euclidean":
-        return np.sqrt(((M - q) ** 2).sum(axis=1))
-    if metric == "manhattan":
-        return np.abs(M - q).sum(axis=1)
-    if metric == "dotproduct":
-        return -(M @ q)
-    if metric == "cosine":
-        nm = np.linalg.norm(M, axis=1)
-        nq = np.linalg.norm(q)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sim = np.clip((M @ q) / (nm * nq), -1.0, 1.0)
-        return np.where((nm == 0) | (nq == 0), 1.0, 1.0 - sim)
-    raise ValueError(f"unsupported metric: {metric!r}")
+    return _np_dists(q[None, :], M, metric)[0]
 
 
 class KnnGraphIndex(_MaintainableIndex):
@@ -117,7 +109,8 @@ class KnnGraphIndex(_MaintainableIndex):
     def __init__(self, table: DataFrame, edges: DataFrame,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  m: int = DEFAULT_M, metric: str = "euclidean",
-                 n_entry: int = DEFAULT_ENTRIES):
+                 n_entry: int = DEFAULT_ENTRIES,
+                 edge_buckets: int = N_EDGE_BUCKETS):
         self.table = table
         self.edges = edges          # (src, dst, dst_vec), degree <= 2m
         self.id_col = id_col
@@ -125,6 +118,10 @@ class KnnGraphIndex(_MaintainableIndex):
         self.m = m
         self.metric = metric
         self.n_entry = n_entry
+        # the SAVED layout's partition count: persisted in params.json
+        # and restored on load, so changing the module constant can
+        # never silently mis-bucket searches over an old layout
+        self.edge_buckets = edge_buckets
         self._deleted = None
         self._entries = None        # cached [(id, vec)] driver-side
 
@@ -211,6 +208,8 @@ class KnnGraphIndex(_MaintainableIndex):
 
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
+        ef = max(ef, k)  # the beam must hold k results (hnsw.go uses
+        #                  max(efSearch, k) the same way)
         q = np.asarray(list(qvec), dtype=np.float64)
         dead = self._deleted_ids()
         entries = [(i, v) for i, v in self._entry_points() if i not in dead]
@@ -236,7 +235,8 @@ class KnnGraphIndex(_MaintainableIndex):
             # scan touches ≤ |frontier| of the N_EDGE_BUCKETS dirs.
             hop = self.edges
             if "src_bucket" in hop.columns:
-                buckets = sorted({_src_bucket_py(i) for i in frontier})
+                buckets = sorted({_src_bucket_py(i, self.edge_buckets)
+                                  for i in frontier})
                 hop = hop.filter(F.col("src_bucket").isin(buckets))
             fetched = (hop.filter(F.col("src").isin(frontier))
                        .select("dst", "dst_vec").distinct().collect())
@@ -285,9 +285,20 @@ class KnnGraphIndex(_MaintainableIndex):
         delta = self._attach_vectors(delta, out.table, self.id_col,
                                      self.vec_col)
         if "src_bucket" in self.edges.columns:  # loaded bucketed layout
-            delta = delta.withColumn("src_bucket",
-                                     _src_bucket_col(F.col("src")))
-        out.edges = self.edges.unionByName(delta).distinct()
+            delta = delta.withColumn(
+                "src_bucket", _src_bucket_col(F.col("src"),
+                                              self.edge_buckets))
+        # a re-added id (delete -> add with a NEW vector) may still have
+        # edge rows carrying its OLD vector in dst_vec — those would
+        # score the node at its stale location during the beam walk.
+        # Drop every existing edge touching a delta id before the union
+        # (for genuinely-new ids this anti-join matches nothing).
+        delta_ids = rows.select(F.col(self.id_col).alias("src"))
+        base = (self.edges
+                .join(delta_ids, "src", "left_anti")
+                .join(delta_ids.withColumnRenamed("src", "dst"),
+                      "dst", "left_anti"))
+        out.edges = base.unionByName(delta).distinct()
         out._entries = None  # corpus changed; re-derive entry points
         return out
 
@@ -322,13 +333,15 @@ class KnnGraphIndex(_MaintainableIndex):
         # — each search reads ≤ |frontier| of N_EDGE_BUCKETS dirs, not
         # the whole edge table (plan-asserted in test_graph.py)
         (compacted.edges
-         .withColumn("src_bucket", _src_bucket_col(F.col("src")))
+         .withColumn("src_bucket",
+                     _src_bucket_col(F.col("src"), self.edge_buckets))
          .write.mode("overwrite").partitionBy("src_bucket")
          .parquet(os.path.join(path, "edges")))
         with open(os.path.join(path, "params.json"), "w") as f:
             json.dump({"id_col": self.id_col, "vec_col": self.vec_col,
                        "m": self.m, "metric": self.metric,
-                       "n_entry": self.n_entry}, f)
+                       "n_entry": self.n_entry,
+                       "edge_buckets": self.edge_buckets}, f)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "KnnGraphIndex":
@@ -338,4 +351,5 @@ class KnnGraphIndex(_MaintainableIndex):
         return cls(spark.read.parquet(os.path.join(path, "table")),
                    spark.read.parquet(os.path.join(path, "edges")),
                    p["id_col"], p["vec_col"], p["m"], p["metric"],
-                   p.get("n_entry", DEFAULT_ENTRIES))
+                   p.get("n_entry", DEFAULT_ENTRIES),
+                   p.get("edge_buckets", N_EDGE_BUCKETS))

@@ -413,12 +413,12 @@ def write_gob_flat_index(df: DataFrame, path: str, metric: str = "euclidean",
         return _enc_struct(fields)
 
     n = 0
-    vec_body = b""
+    chunks: list[bytes] = []  # join once — += on bytes is O(n^2) copying
     for row in df.select(id_col, vec_col, meta_col).toLocalIterator():
-        vec_body += _enc_string(str(row[0])) \
-            + enc_vector(str(row[0]), row[1], dict(row[2] or {}))
+        chunks.append(_enc_string(str(row[0])))
+        chunks.append(enc_vector(str(row[0]), row[1], dict(row[2] or {})))
         n += 1
-    idx_fields = [(0, _enc_uint(n) + vec_body)]
+    idx_fields = [(0, _enc_uint(n) + b"".join(chunks))]
     if metric:
         idx_fields.append((1, _enc_string(metric)))
     value = _enc_int(T_IDX) + _enc_struct(idx_fields)
