@@ -68,6 +68,11 @@ def test_budget_never_hijacks_non_euclidean_metrics():
     p = choose_search_tier(n, dim, 10, metric="manhattan",
                            recall_target=0.9, memory_budget_bytes=n * dim)
     assert p.tier == "ivf" and "no compressed tier" in p.reason
+    # dotproduct DOES have an ADC form (faiss METRIC_INNER_PRODUCT) —
+    # the compressed route carries the metric through
+    p = choose_search_tier(n, dim, 10, metric="dotproduct",
+                           recall_target=0.9, memory_budget_bytes=n * dim)
+    assert p.tier == "ivfpq" and p.params["metric"] == "dotproduct"
 
 
 def test_exact_recall_with_budget_conflict_is_flagged():

@@ -150,6 +150,24 @@ def test_ip_lut_matches_numpy(idx, qvec):
         idx.codec.lut(qvec, metric="manhattan")
 
 
+def test_ivfpq_ip_search_and_residual_rejection(spark, emb, qvec):
+    from toy_vector_db_spark.operators.pq import IvfPqIndex
+    det = IvfPqIndex.build_deterministic(emb, n_centroids=4, m=4, ks=8)
+    # IP probe + IP ADC + exact IP rerank: ranking must broadly agree
+    # with the exact dotproduct tier
+    exact = {r["vec_id"] for r in
+             knn(emb, qvec, k=10, metric="dotproduct",
+                 tie_col="vec_id").collect()}
+    got = {r["vec_id"] for r in
+           det.search(qvec, k=10, metric="dotproduct", nprobe=3,
+                      rerank=4).collect()}
+    assert len(exact & got) >= 3
+    # residual codes have no IP decomposition: must refuse, not guess
+    res = IvfPqIndex.build_residual(emb, n_centroids=4, m=4, ks=8)
+    with pytest.raises(ValueError):
+        res.search(qvec, k=5, metric="dotproduct").collect()
+
+
 def test_codec_dim_mismatch_errors(idx):
     with pytest.raises(ValueError, match="dim"):
         idx.codec.lut([0.0] * 3)

@@ -92,20 +92,21 @@ def choose_search_tier(n_rows: int, dim: int, k: int,
     nlist = max(8, int(4 * math.sqrt(n_rows)))
     nprobe = max(1, math.ceil(nlist * (0.02 + 0.2 * recall_target)))
 
-    # PQ codes (ADC) support faiss's two metrics: euclidean and (via
-    # normalize-upstream) inner product; the IVF-PQ tier here is wired
-    # euclidean-only, so the budget-compression route must not hijack
-    # other metrics (it would silently return wrong-metric answers)
-    if over_budget and metric == "euclidean":
+    # PQ codes (ADC) support faiss's two metrics — euclidean and inner
+    # product (cosine/manhattan have no ADC form) — so the budget-
+    # compression route only takes those; it must never hijack other
+    # metrics (it would silently return wrong-metric answers)
+    if over_budget and metric in ("euclidean", "dotproduct"):
         # compress: m subquantizers of ks=256 centroids -> m bytes/row.
         # m must divide dim; prefer ~dim/4 subspaces, floor at 4.
         m = next((m for m in (max(4, dim // 4), 16, 8, 4, 2, 1)
                   if dim % m == 0), 1)
         return SearchPlan(
-            "ivfpq", {"k": k, "n_centroids": nlist, "nprobe": nprobe,
-                      "m": m, "rerank": 4},
+            "ivfpq", {"k": k, "metric": metric, "n_centroids": nlist,
+                      "nprobe": nprobe, "m": m, "rerank": 4},
             f"raw vectors {raw_bytes >> 20} MiB exceed budget "
-            f"{memory_budget_bytes >> 20} MiB -> PQ codes ({m} B/row)")
+            f"{memory_budget_bytes >> 20} MiB -> PQ codes ({m} B/row, "
+            f"{metric} ADC)")
 
     if metric in ("cosine", "dotproduct"):
         # hyperplane signatures approximate angle; bucket occupancy
@@ -263,4 +264,5 @@ def search_auto(df: DataFrame, query_vec: Sequence[float], k: int = 10,
         df, n_centroids=min(plan.params["n_centroids"], max(1, n)),
         m=plan.params["m"], id_col=id_col, vec_col=vec_col)
     return plan, idx.search(qvec, k=k, nprobe=plan.params["nprobe"],
-                            rerank=plan.params["rerank"])
+                            rerank=plan.params["rerank"],
+                            metric=plan.params.get("metric", "euclidean"))

@@ -545,21 +545,33 @@ class IvfPqIndex(_MaintainableIndex):
             else self.vec_col
         return assigned.withColumn("__code", self.codec.encode_expr(vec))
 
-    def _probe(self, qvec: Sequence[float], nprobe: int) -> list[int]:
+    def _probe(self, qvec: Sequence[float], nprobe: int,
+               metric: str = "euclidean") -> list[int]:
         q = np.asarray(list(qvec), dtype=np.float64)
-        dists = np.linalg.norm(self.centroids - q, axis=1)
+        if metric == "dotproduct":
+            dists = -(self.centroids @ q)  # best cluster = max IP
+        else:
+            dists = np.linalg.norm(self.centroids - q, axis=1)
         return [int(c) for c in np.argsort(dists, kind="stable")[:nprobe]]
 
     def candidates(self, qvec: Sequence[float], nprobe: int = 3) -> DataFrame:
         probe = self._probe(qvec, nprobe)
         return self._live(self.table.filter(F.col("__cluster").isin(probe)))
 
-    def _adc(self, qvec: Sequence[float], probe: list[int]):
-        """ADC distance column. Raw mode: one global LUT. Residual
-        mode: per-probed-cluster LUTs from q - centroid_c, fused into
-        an nprobe-way CASE on __cluster."""
+    def _adc(self, qvec: Sequence[float], probe: list[int],
+             metric: str = "euclidean"):
+        """ADC distance column. Raw mode: one global LUT (euclidean or
+        inner-product, faiss's two PQ metrics). Residual mode:
+        per-probed-cluster LUTs from q - centroid_c, fused into an
+        nprobe-way CASE on __cluster — euclidean-only (the residual
+        decomposition ||q-v||^2 = ||(q-c)-(v-c)||^2 has no IP
+        analogue over residual codes)."""
         if not self.residual:
-            return self.codec.adc_expr(qvec)
+            return self.codec.adc_expr(qvec, metric=metric)
+        if metric != "euclidean":
+            raise ValueError(
+                "residual IVF-PQ supports euclidean ADC only; build "
+                "with build_deterministic for inner-product search")
         q = np.asarray(list(qvec), dtype=np.float64)
         expr = None
         for c in probe:
@@ -570,13 +582,14 @@ class IvfPqIndex(_MaintainableIndex):
 
     def search(self, qvec: Sequence[float], k: int = DEFAULT_K,
                nprobe: int = 3, rerank: int = 0,
-               dist_col: str = "distance") -> DataFrame:
+               dist_col: str = "distance",
+               metric: str = "euclidean") -> DataFrame:
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
-        probe = self._probe(qvec, nprobe)
+        probe = self._probe(qvec, nprobe, metric)
         scored = self._live(
             self.table.filter(F.col("__cluster").isin(probe))
-        ).withColumn(dist_col, self._adc(qvec, probe))
+        ).withColumn(dist_col, self._adc(qvec, probe, metric))
         top = (scored.orderBy(F.col(dist_col).asc_nulls_last(),
                               F.col(self.id_col).asc())
                .limit(rerank * k if rerank else k))
@@ -584,7 +597,7 @@ class IvfPqIndex(_MaintainableIndex):
             return top.drop("__code", "__cluster")
         from ..functions.distance import distance
         exact = top.drop(dist_col).withColumn(
-            dist_col, distance("euclidean", F.col(self.vec_col),
+            dist_col, distance(metric, F.col(self.vec_col),
                                F.lit([float(x) for x in qvec])
                                .cast("array<double>")))
         return (exact.orderBy(F.col(dist_col).asc_nulls_last(),
