@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.functions.text import fingerprint, text_stats_struct
+from toy_vector_db_spark.streaming.corpus import (
+    clean_report_stream, quality_gate_stream, read_document_stream,
+)
+from toy_vector_db_spark.streaming.events import run_available_now
+
+DOCS_GLOB = os.path.join("/root/testdata/sf0.001", "documents.parque[t]")
+
+
+def _batch_report(spark, q_threshold=0.6):
+    d = spark.read.parquet(os.path.join("/root/testdata/sf0.001", "documents.parquet"))
+    gated = d.withColumn("quality",
+                         text_stats_struct(F.col("text"))["quality"]) \
+        .filter(F.col("quality") >= q_threshold) \
+        .withColumn("fingerprint", fingerprint(F.col("text")))
+    return (gated.groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("canonical_doc_id"),
+                 F.count("*").alias("n_copies"),
+                 F.round(F.max("quality"), 4).alias("best_quality")))
+
+
+def test_gate_is_stateless_filter(spark):
+    src = read_document_stream(spark, DOCS_GLOB, max_files_per_trigger=None)
+    gated = quality_gate_stream(src)
+    assert gated.isStreaming
+    assert "fingerprint" in gated.columns and "quality" in gated.columns
+
+
+def test_clean_report_matches_batch(spark):
+    """AvailableNow drain of the per-fingerprint registry must equal
+    the batch GROUP BY value-for-value (every output column is an
+    order-insensitive aggregate)."""
+    src = read_document_stream(spark, DOCS_GLOB, max_files_per_trigger=None)
+    run_available_now(clean_report_stream(src), "t_corpus_clean")
+    got = {tuple(r) for r in spark.table("t_corpus_clean").collect()}
+    want = {tuple(r) for r in _batch_report(spark).collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_dup_fingerprints_collapse(spark, tmp_path):
+    """Replayed/duplicated documents land in one registry row with the
+    smallest id as canonical."""
+    rows = [(7, "the quick brown fox jumps over the lazy dog today ok", "en",
+             "s", 52),
+            (9, "The quick brown fox jumps over the lazy dog today ok.", "en",
+             "s", 53)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    src_dir = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(src_dir)
+    src = read_document_stream(spark, src_dir, max_files_per_trigger=None)
+    # threshold 0: both docs pass the gate regardless of quality score
+    run_available_now(clean_report_stream(src, q_threshold=0.0),
+                      "t_corpus_dups")
+    out = spark.table("t_corpus_dups").collect()
+    assert len(out) == 1
+    assert out[0]["canonical_doc_id"] == 7
+    assert out[0]["n_copies"] == 2

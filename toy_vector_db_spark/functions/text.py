@@ -235,20 +235,31 @@ def rolling_fingerprint(text: Column, window: int = 4) -> Column:
     """Winnowing-style robust fingerprint: md5 over each ``window``-word
     shingle of the normalized text, keep the lexicographic minimum.
     Survives local edits that shift the exact hash."""
-    toks = F.split(normalize_for_fingerprint(text), " ")
-    n = F.size(toks)
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))))
-    return F.array_min(shingles)
+    from .util import bind_once
+
+    def rolled(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.array_min(F.transform(
+            F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window)))))
+
+    # tokenizer bound once per row (see word_shingles)
+    return bind_once(F.split(normalize_for_fingerprint(text), " "), rolled)
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of normalized text (MinHash/Jaccard
     input). For texts shorter than k words, the whole text is the one
-    shingle."""
-    toks = F.split(normalize_for_fingerprint(text), " ")
-    n = F.size(toks)
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    shingle. The tokenizer (two regexp passes + split) is bound once
+    per ROW via bind_once — referenced naively inside the transform
+    lambda it would re-run per shingle POSITION (~n_tokens times per
+    row; measured 4x on the crossdoc shared-shingle scan)."""
+    from .util import bind_once
+
+    def shingles(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))))
+
+    return bind_once(F.split(normalize_for_fingerprint(text), " "), shingles)

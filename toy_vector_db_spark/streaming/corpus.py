@@ -1,0 +1,70 @@
+"""Structured Streaming over the documents corpus.
+
+The streaming twin of the batch training-data cleaning tier
+(workload.corpus_clean_pipeline): documents arrive as files, each
+micro-batch is quality-gated with the SAME Column expressions the
+batch path uses (functions/text.text_stats_struct — map-only, so they
+lift onto a stream unchanged), and exact-duplicate groups are tracked
+by fingerprint with a streaming aggregate.
+
+Batch-parity contract (how the value oracle works): with
+Trigger.AvailableNow and complete output mode, the per-fingerprint
+aggregate over the whole drained input must equal the batch GROUP BY
+— every output column is an order-insensitive aggregate (count, min,
+max), so the answer is independent of file/partition arrival order.
+
+Scale design: the gate is stateless map-side work; the only state is
+one row per DISTINCT fingerprint (the dedup registry a real ingest
+keeps anyway), sharded across the state store by fingerprint hash. On
+an unbounded feed you would bound that state with a watermark on
+ingest time (dropDuplicatesWithinWatermark — see
+streaming/events.dedup_stream for the evented version); the documents
+table carries no event time, so the bounded-drain registry is the
+honest shape here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, text_stats_struct
+
+DOCUMENTS_DDL = ("doc_id LONG, text STRING, lang STRING, "
+                 "source STRING, n_chars LONG")
+
+
+def read_document_stream(spark: SparkSession, path: str,
+                         max_files_per_trigger: int | None = 1) -> DataFrame:
+    """File-source stream over documents parquet (schema fixed:
+    streaming sources cannot infer)."""
+    reader = spark.readStream.schema(DOCUMENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def quality_gate_stream(docs: DataFrame,
+                        q_threshold: float = 0.6) -> DataFrame:
+    """Stateless quality gate: docs scoring below ``q_threshold`` are
+    dropped; survivors carry ``quality`` and ``fingerprint``. Pure
+    per-row Column expressions — identical plan fragment to the batch
+    pipeline's gate, just under a streaming scan."""
+    scored = docs.withColumn(
+        "quality", text_stats_struct(F.col("text"))["quality"])
+    return scored.filter(F.col("quality") >= q_threshold) \
+        .withColumn("fingerprint", fingerprint(F.col("text")))
+
+
+def clean_report_stream(docs: DataFrame,
+                        q_threshold: float = 0.6) -> DataFrame:
+    """Per-fingerprint dedup registry over the gated stream:
+    (fingerprint, canonical_doc_id = smallest id seen, n_copies,
+    best_quality). Complete-mode output; every column is an
+    order-insensitive aggregate, so the drained result equals the
+    batch GROUP BY value-for-value."""
+    return (quality_gate_stream(docs, q_threshold)
+            .groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("canonical_doc_id"),
+                 F.count("*").alias("n_copies"),
+                 F.round(F.max("quality"), 4).alias("best_quality")))
