@@ -95,3 +95,56 @@ def test_tfidf_top_terms_ranking(spark):
     assert term == "apple"
     assert score == pytest.approx(2 * math.log(4 / 2), rel=1e-9)
     assert out[(1, 2)][0] == "banana"
+
+
+# -- token-budget mixture sampling ------------------------------------------
+
+@pytest.fixture(scope="module")
+def sourced_docs(spark):
+    # 3 sources x 10 docs, each doc exactly 4 whitespace tokens
+    rows = [(s * 100 + i, "tok one two three", f"src{s}")
+            for s in range(3) for i in range(10)]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"]).cache()
+
+
+def test_token_budget_cutoff(sourced_docs):
+    from toy_vector_db_spark.operators.sampling import token_budget_sample
+    # budget 10 tokens at 4 tokens/doc: cum_before 0,4,8 < 10 -> 3 docs
+    out = token_budget_sample(sourced_docs, {"src0": 10}).collect()
+    assert len(out) == 3
+    assert all(r["source"] == "src0" for r in out)
+    assert sorted(r["cum_before"] for r in out) == [0, 4, 8]
+    # the crossing doc is kept: total taken = 12 >= budget
+    assert sum(r["n_tok"] for r in out) == 12
+
+
+def test_token_budget_per_source_and_unlisted(sourced_docs):
+    from toy_vector_db_spark.operators.sampling import token_budget_sample
+    out = token_budget_sample(sourced_docs,
+                              {"src0": 40, "src1": 1}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # src0: all 10 docs (budget == exactly the full 40 tokens)
+    assert len(by_src["src0"]) == 10
+    # src1: budget 1 -> just the first doc in hash order
+    assert len(by_src["src1"]) == 1
+    # src2 unlisted -> contributes nothing
+    assert "src2" not in by_src
+
+
+def test_token_budget_deterministic(sourced_docs):
+    from toy_vector_db_spark.operators.sampling import token_budget_sample
+    a = {r["doc_id"] for r in
+         token_budget_sample(sourced_docs, {"src1": 20}).collect()}
+    b = {r["doc_id"] for r in
+         token_budget_sample(sourced_docs, {"src1": 20}).collect()}
+    assert a == b and len(a) == 5
+
+
+def test_token_budget_validation(sourced_docs):
+    from toy_vector_db_spark.operators.sampling import token_budget_sample
+    with pytest.raises(ValueError, match="at least one"):
+        token_budget_sample(sourced_docs, {})
+    with pytest.raises(ValueError, match="negative"):
+        token_budget_sample(sourced_docs, {"src0": -1})

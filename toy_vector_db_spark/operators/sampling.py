@@ -81,6 +81,57 @@ def weighted_sample(df: DataFrame, key: str, weight: Column,
     return df.filter(hash_uniform(F.col(key), salt) < weight)
 
 
+def token_budget_sample(df: DataFrame, budgets: dict[str, int],
+                        key: str = "doc_id", source_col: str = "source",
+                        text_col: str = "text",
+                        salt: str = "budget") -> DataFrame:
+    """Per-source token-budget mixture construction (the Pile/Dolma
+    recipe: "take ~N tokens from each source"): within every source,
+    walk the docs in deterministic md5 order and keep them until the
+    source's token budget is met. The doc that CROSSES the budget is
+    kept (the mixture reaches >= budget whenever the source has enough
+    tokens), every later doc is dropped. Unlisted sources contribute
+    nothing.
+
+    Output: the kept rows + (n_tok, cum_before) — cum_before is the
+    tokens taken from this source BEFORE this doc, so downstream
+    curriculum code can trim the final doc if exact budgets matter.
+
+    Determinism: ordering is (hash_uniform(key), key) — fully
+    reproducible and engine-portable; membership changes only if the
+    source's doc SET changes (unlike fraction sampling, adding docs can
+    displace later-ordered ones — budgets are quotas, not fractions).
+
+    Scale: the per-source running sum is a window over
+    partitionBy(source) — one source = one task, the honest exact
+    semantics (a cumulative walk is sequential by definition). At
+    100 TB per source, cut the sequential span first with the map-only
+    ``hash_sample`` at fraction ~= 2*budget/total_source_tokens (the
+    per-source totals are one cheap agg), then run this exact pass on
+    the ~2x-budget remainder — the window then walks bounded data.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+
+    if not budgets:
+        raise ValueError("budgets must name at least one source")
+    budget = F.lit(None).cast("long")
+    for src, b in sorted(budgets.items()):
+        if b < 0:
+            raise ValueError(f"negative budget for {src!r}: {b}")
+        budget = F.when(F.col(source_col) == src, F.lit(int(b))) \
+            .otherwise(budget)
+    w = (Window.partitionBy(source_col)
+         .orderBy(hash_uniform(F.col(key), salt), F.col(key))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n_tok = token_count(F.col(text_col))
+    staged = df.withColumn("n_tok", n_tok.cast("bigint")) \
+        .withColumn("cum_before",
+                    (F.sum("n_tok").over(w) - F.col("n_tok")).cast("bigint"))
+    return staged.filter(budget.isNotNull() & (F.col("cum_before") < budget))
+
+
 def deterministic_shuffle(df: DataFrame, key: str,
                           salt: str = "shuffle") -> DataFrame:
     """Global reproducible shuffle for training-order randomization:

@@ -140,6 +140,43 @@ class CollectionCatalog:
                 if int(entry[1:]) <= current - self.keep_versions:
                     shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
 
+    # -- maintenance -------------------------------------------------------
+
+    def compact(self, name: str, target_files: int = 1,
+                sort_by: list[str] | None = None) -> tuple[int, int]:
+        """OPTIMIZE analogue: rewrite the current snapshot into
+        ``target_files`` parquet files, committing a NEW version (the
+        pointer flip is atomic; readers of retained older versions are
+        untouched — the Delta/Iceberg OPTIMIZE contract). Returns
+        (files_before, files_after).
+
+        Row-at-a-time DML (the reference's write-through model,
+        storage.go:133-292) accretes one small file per commit batch —
+        the classic small-files problem that at scale turns every scan
+        into open/footer overhead. ``sort_by`` additionally
+        RANGE-partitions on those columns and sorts within files, so
+        parquet column min/max stats become selective and point/range
+        predicates on the sort key skip whole files (poor-man's
+        clustering; Z-order for multi-key locality would slot in here).
+        """
+        if target_files < 1:
+            raise ValueError(f"target_files must be >= 1, got {target_files}")
+        df = self.read(name)
+        before = self._file_count(name)
+        if sort_by:
+            out = df.repartitionByRange(target_files,
+                                        *[F.col(c) for c in sort_by]) \
+                .sortWithinPartitions(*sort_by)
+        else:
+            out = df.repartition(target_files)
+        self._commit(name, out)
+        return before, self._file_count(name)
+
+    def _file_count(self, name: str) -> int:
+        path = self._data_path(name)
+        return sum(1 for f in os.listdir(path)
+                   if f.startswith("part-") and f.endswith(".parquet"))
+
     # -- DDL ---------------------------------------------------------------
 
     def create(self, name: str, dimension: int | None = None,

@@ -2858,6 +2858,33 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label")
 
 
+# Per-source token-budget mixture construction (sampling.
+# token_budget_sample): deterministic md5-order walk per source, keep
+# docs until the budget is crossed. The oracle replays the identical
+# window arithmetic, so membership AND running totals are value-checked.
+@q("mixture_token_budget", f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len({_DD_TOKS}) END AS n_tok,
+         {_DD_U.format(salt='budget')} AS u
+  FROM documents),
+w AS (
+  SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+           AS BIGINT) AS cum_before
+  FROM t)
+SELECT doc_id, source, n_tok, cum_before FROM w
+WHERE (source = 'src0' AND cum_before < 2000)
+   OR (source = 'src1' AND cum_before < 500)
+""")
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import token_budget_sample
+    d = _t(spark, sf_dir, "documents")
+    return token_budget_sample(d, {"src0": 2000, "src1": 500}) \
+        .select("doc_id", "source", "n_tok", "cum_before")
+
+
 # Streaming corpus clean (streaming/corpus.py) with a FULL value
 # oracle: quality gate + per-fingerprint dedup registry over an
 # AvailableNow drain of the documents file stream; every output column
