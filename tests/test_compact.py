@@ -67,3 +67,16 @@ def test_compact_validation(catalog):
     _fill(catalog, "v", n_batches=1)
     with pytest.raises(ValueError, match="target_files"):
         catalog.compact("v", target_files=0)
+
+
+def test_sql_optimize_verb(spark, catalog):
+    from toy_vector_db_spark.plans.dialect import SqlEngine
+    _fill(catalog, "o", n_batches=4)
+    eng = SqlEngine(spark, catalog)
+    res = eng.execute("OPTIMIZE o FILES 1")
+    assert "compacted" in res.message and res.affected == 1
+    assert catalog._file_count("o") == 1
+    # sorted form parses too
+    res2 = eng.execute("OPTIMIZE o FILES 2 SORT BY id")
+    assert res2.affected == 2
+    assert "OPTIMIZE" in eng.explain("OPTIMIZE o")

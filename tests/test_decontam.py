@@ -70,3 +70,40 @@ def test_report_plan_broadcasts_eval_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_tier_matches_exact_report(spark):
+    from toy_vector_db_spark.operators.decontam import (
+        contamination_report_bloom,
+    )
+    train, ev = _dfs(spark)
+    exact = sorted(map(tuple, contamination_report(train, ev, n=5).collect()))
+    bloom = sorted(map(tuple,
+                       contamination_report_bloom(train, ev, n=5).collect()))
+    assert bloom == exact
+
+
+def test_bloom_tier_matches_under_heavy_fpp(spark):
+    """A deliberately tiny filter (64 bits for ~20 shingles -> nearly
+    every probe collides) must STILL give the exact answer — false
+    positives only reach the verification join."""
+    from toy_vector_db_spark.operators.decontam import (
+        contamination_report_bloom,
+    )
+    train, ev = _dfs(spark)
+    exact = sorted(map(tuple, contamination_report(train, ev, n=5).collect()))
+    bloom = sorted(map(tuple,
+                       contamination_report_bloom(train, ev, n=5,
+                                                  m_bits=64, k=2).collect()))
+    assert bloom == exact
+
+
+def test_bloom_filter_size_and_validation(spark):
+    from toy_vector_db_spark.operators.decontam import build_shingle_bloom
+    _, ev = _dfs(spark)
+    arr = build_shingle_bloom(ev, m_bits=1 << 10, k=4)
+    assert len(arr) == (1 << 10) // 64
+    assert any(w != 0 for w in arr)           # something was inserted
+    import pytest
+    with pytest.raises(ValueError, match="multiple of 64"):
+        build_shingle_bloom(ev, m_bits=100)

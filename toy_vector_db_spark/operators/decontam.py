@@ -65,6 +65,91 @@ def contamination_report(train: DataFrame, eval_df: DataFrame,
             .withColumn("contaminated", F.col("n_shared") >= min_shared))
 
 
+def _bloom_positions(sh_hash, m_bits: int, k: int):
+    """k bit positions for a shingle hash (seeded xxhash64 mod m)."""
+    return [F.pmod(F.xxhash64(F.concat(F.lit(f"b{i}:"), sh_hash)),
+                   F.lit(m_bits)).cast("long")
+            for i in range(k)]
+
+
+def build_shingle_bloom(eval_df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 5,
+                        m_bits: int = 1 << 16, k: int = 4) -> list[int]:
+    """Distributed Bloom-filter build over the eval set's distinct
+    shingle hashes: each hash sets k seeded-xxhash64 bits; the bit
+    array is assembled executor-side (explode positions → per-64-bit
+    word `bit_or` aggregation) and only the m_bits/64 words reach the
+    driver — 2^16 bits = 1 KiB of longs, independent of eval size."""
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    ev = shingle_hash_set(eval_df, id_col, text_col, n) \
+        .select("shingle_hash").distinct()
+    pos = ev.select(F.explode(F.array(
+        *_bloom_positions(F.col("shingle_hash"), m_bits, k))).alias("p"))
+    words = (pos.select(
+        F.expr("p div 64").alias("w"),
+        F.expr("shiftleft(1L, cast(p % 64 AS INT))").alias("m"))
+        .groupBy("w").agg(F.bit_or("m").alias("bits")).collect())
+    arr = [0] * (m_bits // 64)
+    for r in words:
+        arr[int(r["w"])] = int(r["bits"])
+    return arr
+
+
+def contamination_report_bloom(train: DataFrame, eval_df: DataFrame,
+                               id_col: str = "doc_id",
+                               text_col: str = "text", n: int = 5,
+                               min_shared: int = 1,
+                               m_bits: int = 1 << 16,
+                               k: int = 4) -> DataFrame:
+    """contamination_report with a Bloom prefilter — the scale tier
+    for eval sets too big to broadcast as a row set but fine as a bit
+    array (the filter is m_bits/8 bytes REGARDLESS of eval size; at
+    1% FPP that's ~1.2 bytes per eval shingle vs ~16 for the hash
+    row). The probe is a pure Column expression (element_at + bit
+    test, k=4 probes per shingle, no join), so the full train scan
+    stays map-only; only the ~FPP-sized survivor set reaches the
+    EXACT verification join — the answer is identical to
+    contamination_report (false positives cost verify work, never
+    correctness), and the same DuckDB oracle value-checks both tiers
+    (workload.decontam_bloom_overlap).
+
+    Plan-size note: the filter ships as an array literal (m_bits/64
+    longs inside the plan) — right up to a few hundred KiB. Past
+    that, fall back to ``contamination_report(broadcast_eval=False)``
+    (shuffle join) or shard the eval set across several filters.
+    """
+    flt = build_shingle_bloom(eval_df, id_col, text_col, n, m_bits, k)
+    flt_col = F.lit(flt)
+    tr = shingle_hash_set(train, id_col, text_col, n)
+    # name the k probe positions so the variable-distance shifts can be
+    # plain SQL exprs (shiftleft's numBits is int-only in the DSL)
+    probes = _bloom_positions(F.col("shingle_hash"), m_bits, k)
+    tr_p = tr.select(id_col, "shingle_hash",
+                     *[p.alias(f"__p{i}") for i, p in enumerate(probes)])
+
+    def bit_set(i):
+        word = F.element_at(flt_col,
+                            F.expr(f"cast(__p{i} div 64 AS INT)") + 1)
+        return word.bitwiseAND(
+            F.expr(f"shiftleft(1L, cast(__p{i} % 64 AS INT))")) != 0
+
+    maybe = bit_set(0)
+    for i in range(1, k):
+        maybe = maybe & bit_set(i)
+
+    totals = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    ev = (shingle_hash_set(eval_df, id_col, text_col, n)
+          .select("shingle_hash").distinct())
+    hits = (tr_p.filter(maybe).select(id_col, "shingle_hash")
+            .join(F.broadcast(ev), "shingle_hash", "left_semi")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared")))
+    return (totals.join(hits, id_col, "left")
+            .select(id_col, "n_shingles",
+                    F.coalesce("n_shared", F.lit(0)).alias("n_shared"))
+            .withColumn("contaminated", F.col("n_shared") >= min_shared))
+
+
 def decontaminate(train: DataFrame, eval_df: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   n: int = 5, min_shared: int = 1,

@@ -67,6 +67,14 @@ _CREATE_RE = re.compile(
     r"(?:\(\s*DIMENSION\s+(?P<dim>\d+)\s*\))?\s*$", re.IGNORECASE)
 _DROP_RE = re.compile(r"^\s*DROP\s+COLLECTION\s+(?P<table>\w+)\s*$",
                       re.IGNORECASE)
+# OPTIMIZE <collection> [FILES <n>] [SORT BY <col>[, <col>...]] — the
+# Delta-style maintenance verb over the versioned catalog
+# (catalog.compact): small-file rewrite as a new atomic version.
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<table>\w+)"
+    r"(?:\s+FILES\s+(?P<files>\d+))?"
+    r"(?:\s+SORT\s+BY\s+(?P<sort>\w+(?:\s*,\s*\w+)*))?\s*$",
+    re.IGNORECASE)
 
 
 @dataclass
@@ -149,6 +157,8 @@ class SqlEngine:
             return self._create(stmt)
         if head == "DROP" and _DROP_RE.match(stmt):
             return self._drop(stmt)
+        if head == "OPTIMIZE" and _OPTIMIZE_RE.match(stmt):
+            return self._optimize(stmt)
         # pure ANSI -> Catalyst directly
         return SqlResult(df=self.spark.sql(stmt))
 
@@ -177,6 +187,9 @@ class SqlEngine:
         if (head == "CREATE" and _CREATE_RE.match(stmt)) or \
                 (head == "DROP" and _DROP_RE.match(stmt)):
             return f"== {head} COLLECTION ==\ncatalog DDL (no Catalyst plan)"
+        if head == "OPTIMIZE" and _OPTIMIZE_RE.match(stmt):
+            return ("== OPTIMIZE ==\ncatalog compaction — rewrite current "
+                    "snapshot as a new version (no Catalyst plan)")
         df = self._select(stmt).df if head == "SELECT" else self.spark.sql(stmt)
         jvm = df.sparkSession._jvm
         return df._jdf.queryExecution().explainString(
@@ -445,3 +458,15 @@ class SqlEngine:
         n = self.catalog.drop(m.group("table"))
         return SqlResult(message=f"Collection {m.group('table')} dropped",
                          affected=n)
+
+    def _optimize(self, stmt: str) -> SqlResult:
+        m = _OPTIMIZE_RE.match(stmt)
+        table = m.group("table")
+        files = int(m.group("files") or 1)
+        sort_by = ([c.strip() for c in m.group("sort").split(",")]
+                   if m.group("sort") else None)
+        before, after = self.catalog.compact(table, files, sort_by)
+        return SqlResult(
+            message=f"Collection {table} compacted: "
+                    f"{before} -> {after} file(s)",
+            affected=after)

@@ -2260,7 +2260,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # report is value-checked end-to-end. 2 of 463 train docs share
 # shingles with the eval split at sf0.01 (near-dup docs straddling the
 # split) — the flag genuinely discriminates.
-@q("decontam_overlap", f"""
+_DECONTAM_ORACLE = f"""
 WITH d AS (
   SELECT doc_id, text,
          CASE WHEN {_DD_U.format(salt='split')} < 0.1
@@ -2277,13 +2277,32 @@ SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
        count(te.h) >= 1 AS contaminated
 FROM tr LEFT JOIN te ON tr.h = te.h
 GROUP BY tr.doc_id
-""")
+"""
+
+
+@q("decontam_overlap", _DECONTAM_ORACLE)
 def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.decontam import contamination_report
     from .operators.sampling import train_test_split
     d = train_test_split(_tp(spark, sf_dir, "documents"), "doc_id", 0.1)
     return contamination_report(d.filter("split = 'train'"),
                                 d.filter("split = 'test'"), n=5) \
+        .select("doc_id",
+                F.col("n_shingles").cast("bigint").alias("n_shingles"),
+                F.col("n_shared").cast("bigint").alias("n_shared"),
+                "contaminated")
+
+
+# The Bloom-prefilter tier must give the IDENTICAL report (false
+# positives only cost verify work), so it runs under the SAME oracle —
+# the strongest possible check of the prefilter's exactness contract.
+@q("decontam_bloom_overlap", _DECONTAM_ORACLE)
+def decontam_bloom_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.decontam import contamination_report_bloom
+    from .operators.sampling import train_test_split
+    d = train_test_split(_tp(spark, sf_dir, "documents"), "doc_id", 0.1)
+    return contamination_report_bloom(d.filter("split = 'train'"),
+                                      d.filter("split = 'test'"), n=5) \
         .select("doc_id",
                 F.col("n_shingles").cast("bigint").alias("n_shingles"),
                 F.col("n_shared").cast("bigint").alias("n_shared"),
