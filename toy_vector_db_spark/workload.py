@@ -2904,6 +2904,36 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tok", "cum_before")
 
 
+# Corpus-wide duplicated-span removal (operators/spandedup.py — the
+# Lee et al. arXiv:2107.06499 substring-dedup recipe at fixed 8-token
+# spans): every repeated span keeps only its first (doc_id, pos)
+# occurrence; docs are reassembled from survivors. The oracle replays
+# chunking, the global winner pick, and the ordered reassembly — the
+# rebuilt TEXT is value-checked, not just counts.
+@q("span_dedup_docs", f"""
+WITH t AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ') AS span
+  FROM t, UNNEST(range(0, greatest(CAST(ceil(len(toks) / 8.0) AS BIGINT), 1)))
+       AS u(i)),
+r AS (SELECT doc_id, pos, span,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rk
+      FROM s)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN rk = 1 OR span = '' THEN span END,
+                           ' ' ORDER BY pos), '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN rk = 1 OR span = '' THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_removed
+FROM r GROUP BY doc_id
+""")
+def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.spandedup import span_dedup
+    d = _tp(spark, sf_dir, "documents")
+    return span_dedup(d, span_tokens=8)
+
+
 # Streaming corpus clean (streaming/corpus.py) with a FULL value
 # oracle: quality gate + per-fingerprint dedup registry over an
 # AvailableNow drain of the documents file stream; every output column
