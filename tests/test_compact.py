@@ -80,3 +80,28 @@ def test_sql_optimize_verb(spark, catalog):
     res2 = eng.execute("OPTIMIZE o FILES 2 SORT BY id")
     assert res2.affected == 2
     assert "OPTIMIZE" in eng.explain("OPTIMIZE o")
+
+
+def test_history_lists_versions(catalog):
+    _fill(catalog, "h", n_batches=2)   # create + 2 inserts = 3 commits
+    hist = catalog.history("h")
+    assert [e["version"] for e in hist] == sorted(e["version"] for e in hist)
+    assert sum(e["is_current"] for e in hist) == 1
+    assert hist[-1]["is_current"]
+    assert all(e["n_files"] >= 0 and e["committed_at"] > 0 for e in hist)
+    import pytest
+    with pytest.raises(KeyError):
+        catalog.history("nope")
+
+
+def test_vacuum_removes_old_versions(catalog):
+    _fill(catalog, "vac", n_batches=2)
+    assert len(catalog.versions("vac")) > 1      # keep_versions=2
+    removed = catalog.vacuum("vac", retain_versions=1)
+    assert removed
+    assert catalog.versions("vac") == [catalog._version("vac")]
+    # data still readable after the sweep
+    assert catalog.read("vac").count() == 8
+    import pytest
+    with pytest.raises(ValueError, match="retain_versions"):
+        catalog.vacuum("vac", retain_versions=0)

@@ -142,6 +142,46 @@ class CollectionCatalog:
 
     # -- maintenance -------------------------------------------------------
 
+    def history(self, name: str) -> list[dict]:
+        """Snapshot history of the retained versions (DESCRIBE HISTORY
+        analogue), oldest first: version, committed_at (directory
+        mtime, UTC epoch seconds), n_files, is_current. Reads only
+        directory metadata — no data scan."""
+        if not self.exists(name):
+            raise KeyError(f"no such collection: {name!r}")
+        cur = self._version(name)
+        out = []
+        for v in self.versions(name):
+            path = self._data_path(name, v)
+            out.append({
+                "version": v,
+                "committed_at": os.path.getmtime(path),
+                "n_files": sum(1 for f in os.listdir(path)
+                               if f.startswith("part-")
+                               and f.endswith(".parquet")),
+                "is_current": v == cur,
+            })
+        return out
+
+    def vacuum(self, name: str, retain_versions: int = 1) -> list[int]:
+        """Delete all but the newest ``retain_versions`` snapshots NOW
+        (VACUUM analogue; _gc applies the standing ``keep_versions``
+        policy on every commit — this is the explicit, tighter sweep).
+        The current version is always retained. Returns the removed
+        version numbers."""
+        if retain_versions < 1:
+            raise ValueError(
+                f"retain_versions must be >= 1, got {retain_versions}")
+        versions = self.versions(name)
+        cur = self._version(name)
+        keep = set(versions[-retain_versions:]) | {cur}
+        removed = []
+        for v in versions:
+            if v not in keep:
+                shutil.rmtree(self._data_path(name, v), ignore_errors=True)
+                removed.append(v)
+        return removed
+
     def compact(self, name: str, target_files: int = 1,
                 sort_by: list[str] | None = None) -> tuple[int, int]:
         """OPTIMIZE analogue: rewrite the current snapshot into

@@ -2904,6 +2904,33 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tok", "cum_before")
 
 
+# Table profiling (operators/profile.py): per-column null counts,
+# exact cardinalities, native-type min/max — one aggregate pass,
+# unpivoted plan-side. Exact tier here so the oracle hash-checks it;
+# approximate=True (HLL++) is the 100 TB default.
+def _profile_oracle(cols: list[str]) -> str:
+    selects = [
+        f"""SELECT '{c}' AS col_name,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders"""
+        for c in cols]
+    return "\nUNION ALL\n".join(selects)
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority"]
+
+
+@q("profile_orders", _profile_oracle(_PROFILE_COLS))
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import profile_table
+    o = _t(spark, sf_dir, "orders")
+    return profile_table(o, _PROFILE_COLS)
+
+
 # Corpus-wide duplicated-span removal (operators/spandedup.py — the
 # Lee et al. arXiv:2107.06499 substring-dedup recipe at fixed 8-token
 # spans): every repeated span keeps only its first (doc_id, pos)
