@@ -475,6 +475,38 @@ def sql_nearest_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("id", F.round("distance", 4).alias("distance"))
 
 
+# Filtered vector search (the reference grammar's WHERE + NEAREST TO
+# composition, executor.go:251-388): the metadata predicate PRE-filters
+# the candidate set, then knn ranks the survivors — the "filtered ANN"
+# semantics every vector store debates; here the filter reaches the
+# scan (predicate pushdown) and the knn is exact over survivors.
+@q("sql_nearest_filtered", f"""
+WITH qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+), scored AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id,
+         list_distance(CAST(embedding AS DOUBLE[]), q) AS dist
+  FROM embeddings, qv
+  WHERE vec_id <> {QUERY_VEC_ID} AND label = 7
+)
+SELECT id, ROUND(dist, 4) AS distance
+FROM scored ORDER BY dist ASC, CAST(id AS BIGINT) ASC LIMIT {KNN_K}
+""")
+def sql_nearest_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.dialect import SqlEngine
+    _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("id"), "embedding",
+        F.create_map(F.lit("lab"), F.col("label").cast("string"))
+        .alias("metadata")
+    ).createOrReplaceTempView("vectors_dialect_fknn")
+    eng = SqlEngine(spark)
+    df = eng.sql(
+        f"SELECT id, distance FROM vectors_dialect_fknn "
+        f"NEAREST TO '{QUERY_VEC_ID}' USING euclidean "
+        f"WHERE metadata.lab = '7' LIMIT {KNN_K}")
+    return df.select("id", F.round("distance", 4).alias("distance"))
+
+
 @q("sql_meta_ne_dialect", """
 SELECT CAST(doc_id AS VARCHAR) AS id FROM documents
 WHERE COALESCE((CASE WHEN source <> 'web' THEN lang END) <> 'en', TRUE)
