@@ -1,0 +1,51 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from toy_vector_db_spark.operators.lmscore import (
+    token_instances, unigram_model, unigram_scores,
+)
+
+DOCS = [
+    (1, "common common common"),
+    (2, "common rare"),
+    (3, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_token_instances_keep_repeats(docs):
+    rows = token_instances(docs).collect()
+    assert sum(1 for r in rows if r["term"] == "common") == 4
+    # empty doc contributes nothing
+    assert all(r["doc_id"] != 3 for r in rows)
+
+
+def test_unigram_model_counts(docs):
+    counts = {r["term"]: r["c"] for r in unigram_model(docs).collect()}
+    assert counts == {"common": 4, "rare": 1}
+
+
+def test_scores_match_hand_computation(docs):
+    # N=5, V=2, alpha=0.5: p(common)=(4.5)/6, p(rare)=1.5/6
+    p_common, p_rare = 4.5 / 6.0, 1.5 / 6.0
+    out = {r["doc_id"]: r for r in unigram_scores(docs, alpha=0.5).collect()}
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_neg_logprob"] == pytest.approx(-math.log(p_common))
+    assert out[2]["avg_neg_logprob"] == pytest.approx(
+        (-math.log(p_common) - math.log(p_rare)) / 2)
+    # rarer content scores strictly higher
+    assert out[2]["avg_neg_logprob"] > out[1]["avg_neg_logprob"]
+    # tokenless docs are omitted
+    assert 3 not in out
+
+
+def test_alpha_validation(docs):
+    with pytest.raises(ValueError, match="alpha"):
+        unigram_scores(docs, alpha=0.0)

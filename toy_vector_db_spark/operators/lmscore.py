@@ -1,0 +1,71 @@
+"""Corpus-relative unigram language-model quality scoring.
+
+Public recipe (CCNet, Wenzek et al. arXiv:1911.00359: bucket web text
+by LM perplexity; here the LM is the corpus's own smoothed unigram
+model — no external model needed, which keeps the operator closed
+over its inputs and value-oracle-able): a document whose tokens are
+typical of the corpus scores low, boilerplate/garbage with rare or
+out-of-distribution tokens scores high. Standard use: rank docs by
+``avg_neg_logprob`` and keep the head/middle buckets.
+
+Plan shape (the tfidf discipline):
+
+1. token instances exploded once, ``localCheckpoint`` cut so the
+   explode doesn't run on both consumers (corpus counts + per-doc
+   score);
+2. corpus unigram counts: one partial-aggregated groupBy(term);
+3. the model scalars (total tokens N, vocab size V) are a 1-row
+   aggregate cross-joined as a broadcast — no driver collect;
+4. per-doc score: join token instances to counts on term (the only
+   other shuffle), then avg(-ln p) per doc.
+
+Laplace smoothing: p(t) = (c(t) + alpha) / (N + alpha * V). Every
+token in the corpus is in-vocabulary by construction (the model IS
+the corpus), so smoothing only softens head/tail contrast here; it
+matters when ``score_against`` rates NEW docs under a frozen corpus
+model, where unseen tokens get the alpha / (N + alpha*V) floor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_for_fingerprint
+
+
+def token_instances(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, term): one row per token INSTANCE (repeats kept — the LM
+    weighs a doc by all its tokens, unlike the distinct-shingle ops)."""
+    toks = F.split(normalize_for_fingerprint(F.col(text_col)), " ")
+    return (docs.select(F.col(id_col), F.explode(toks).alias("term"))
+            .filter(F.col("term") != ""))
+
+
+def unigram_model(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(term, c) corpus unigram counts over token instances."""
+    return (token_instances(docs, id_col, text_col)
+            .groupBy("term").agg(F.count(F.lit(1)).alias("c")))
+
+
+def unigram_scores(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   alpha: float = 0.5) -> DataFrame:
+    """(id, n_tokens, avg_neg_logprob): mean -ln p(token) per document
+    under the corpus's own smoothed unigram model. Docs with no tokens
+    are omitted (no tokens -> no distribution to score)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    ti = token_instances(docs, id_col, text_col).localCheckpoint(eager=True)
+    counts = ti.groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
+    scalars = counts.agg(F.sum("__c").alias("__n"),
+                         F.count(F.lit(1)).alias("__v"))
+    p = (F.col("__c") + F.lit(alpha)) \
+        / (F.col("__n") + F.lit(alpha) * F.col("__v"))
+    return (ti.join(counts, "term")
+            .crossJoin(F.broadcast(scalars))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.avg(-F.log(p)).alias("avg_neg_logprob")))

@@ -2177,7 +2177,7 @@ def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.round(w, 4).alias("weight"))
 
 
-@q("split_train_test", f"""
+@q("mixture_token_budget", f"""
 SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n FROM (
   SELECT lang,
          CASE WHEN {_DD_U.format(salt='split')} < 0.1
@@ -2936,6 +2936,31 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tok", "cum_before")
 
 
+# Corpus-relative unigram LM scoring (operators/lmscore.py — the CCNet
+# perplexity-bucketing recipe with the corpus's own smoothed unigram
+# model): mean -ln p(token) per doc. The oracle replays counts, the
+# model scalars, and the per-doc average.
+@q("lm_unigram_scores", f"""
+WITH ti AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(string_split({_DD_NORM}, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''),
+counts AS (SELECT term, COUNT(*) AS c FROM ti GROUP BY term),
+scal AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM counts)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(-ln((c + 0.5) / (n + 0.5 * v))), 4) AS avg_neg_logprob
+FROM ti JOIN counts USING (term), scal
+GROUP BY doc_id
+""")
+def lm_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.lmscore import unigram_scores
+    d = _tp(spark, sf_dir, "documents")
+    return unigram_scores(d, alpha=0.5) \
+        .select("doc_id", "n_tokens",
+                F.round("avg_neg_logprob", 4).alias("avg_neg_logprob"))
+
+
 # Table profiling (operators/profile.py): per-column null counts,
 # exact cardinalities, native-type min/max — one aggregate pass,
 # unpivoted plan-side. Exact tier here so the oracle hash-checks it;
@@ -3066,10 +3091,10 @@ _WINDOW = [
     # knn_search_auto + search_text_documents
     "knn_matryoshka_topk",
     # scan / filter / SQL dialect
-    "scan_project_limit", "filter_id_eq", "filter_like", "filter_meta_eq",
-    "sql_meta_ne_dialect", "sql_nearest_by_id",
+    "scan_project_limit", "filter_id_eq", "filter_like", "span_dedup_docs",
+    "sql_meta_ne_dialect", "sql_nearest_filtered",
     # agg / join / window / grammar / set ops
-    "count_star", "agg_pricing_summary", "having_repeat_customers",
+    "profile_orders", "agg_pricing_summary", "having_repeat_customers",
     "join_region_revenue", "anti_join_no_orders", "window_topn_orders",
     "orders_above_cust_avg", "set_ops_segments",
     # temporal operators
@@ -3090,11 +3115,11 @@ _WINDOW = [
     "dedup_semantic_ivf", "dedup_simhash_neighbors",
     "crossdoc_shared_shingles",
     # sampling / splits (one rep; siblings cycled out r4)
-    "split_train_test",
+    "mixture_token_budget",
     # vocab / tfidf
-    "vocab_top_terms", "tfidf_top_terms",
+    "lm_unigram_scores", "tfidf_top_terms",
     # decontamination / PII / corpus reporting / end-to-end clean
-    "decontam_overlap", "pii_scrub", "corpus_mix_report",
+    "decontam_bloom_overlap", "pii_scrub", "corpus_mix_report",
     "corpus_clean_pipeline",
     # training-window packing (first window r4)
     "corpus_chunk_windows",
