@@ -49,3 +49,27 @@ def test_scores_match_hand_computation(docs):
 def test_alpha_validation(docs):
     with pytest.raises(ValueError, match="alpha"):
         unigram_scores(docs, alpha=0.0)
+
+
+def test_score_against_frozen_model(spark, docs):
+    import math
+    from toy_vector_db_spark.operators.lmscore import (
+        score_against, unigram_model,
+    )
+    model = unigram_model(docs)          # N=5, V=2 (common:4, rare:1)
+    new = spark.createDataFrame(
+        [(10, "common unseen")], ["doc_id", "text"])
+    out = {r["doc_id"]: r
+           for r in score_against(new, model, alpha=0.5).collect()}
+    p_common, p_floor = 4.5 / 6.0, 0.5 / 6.0
+    assert out[10]["n_tokens"] == 2
+    assert out[10]["avg_neg_logprob"] == pytest.approx(
+        (-math.log(p_common) - math.log(p_floor)) / 2)
+    # scoring docs already in the corpus under their own model matches
+    # the closed-form unigram_scores
+    from toy_vector_db_spark.operators.lmscore import unigram_scores
+    a = {r["doc_id"]: r["avg_neg_logprob"]
+         for r in unigram_scores(docs).collect()}
+    b = {r["doc_id"]: r["avg_neg_logprob"]
+         for r in score_against(docs, model).collect()}
+    assert a == pytest.approx(b)

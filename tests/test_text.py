@@ -114,3 +114,24 @@ def test_chunk_windows_straddle_and_empty(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_windows(docs, budget=0)
+
+
+def test_strip_markup(spark):
+    from toy_vector_db_spark.functions.text import strip_markup
+    cases = [
+        ("<p>hello <b>world</b></p>", "hello world"),
+        ("<script>var x = '<b>'</script>rest", "rest"),
+        ("<STYLE>p{}</STYLE>kept", "kept"),
+        ("a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f",
+         "a & b <c> \"d\" 'e' f"),
+        ("  plain   text  ", "plain text"),
+        ("<div attr='>v'>x</div>", "v'>x"),  # naive tag regex, documented
+    ]
+    df = spark.createDataFrame([(i, c) for i, (c, _) in enumerate(cases)],
+                               ["i", "raw"])
+    import pyspark.sql.functions as F
+    got = {r["i"]: r["clean"]
+           for r in df.select("i", strip_markup(F.col("raw"))
+                              .alias("clean")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)

@@ -217,6 +217,30 @@ def repetition_struct(text: Column) -> Column:
     return bind_once(tokens(text), build)
 
 
+# Markup extraction (the raw-crawl -> text step): RE2-compatible
+# patterns only (no backreferences / lookaround), so the DuckDB oracle
+# runs them verbatim. Script/style contents are junk, not text;
+# everything else keeps its inner text.
+SCRIPT_BLOCK_RE = r"(?is)<script[^>]*>.*?</script>"
+STYLE_BLOCK_RE = r"(?is)<style[^>]*>.*?</style>"
+TAG_RE = r"<[^>]+>"
+_ENTITY_MAP = (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+               ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"))
+
+
+def strip_markup(text: Column) -> Column:
+    """Markup-stripped plain text: drop script/style blocks WITH their
+    contents, replace every remaining tag with a space, unescape the
+    six common entities, collapse whitespace. Pure regexp/replace
+    Column chain — map-only at any scale."""
+    t = F.regexp_replace(text, SCRIPT_BLOCK_RE, " ")
+    t = F.regexp_replace(t, STYLE_BLOCK_RE, " ")
+    t = F.regexp_replace(t, TAG_RE, " ")
+    for ent, rep in _ENTITY_MAP:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
 def normalize_for_fingerprint(text: Column) -> Column:
     """Canonical form for exact-dup detection: lowercase, strip
     punctuation, collapse whitespace."""

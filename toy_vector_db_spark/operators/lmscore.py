@@ -50,6 +50,30 @@ def unigram_model(docs: DataFrame, id_col: str = "doc_id",
             .groupBy("term").agg(F.count(F.lit(1)).alias("c")))
 
 
+def score_against(docs: DataFrame, model: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  alpha: float = 0.5) -> DataFrame:
+    """Rate NEW documents under a FROZEN unigram model (the
+    incremental-ingest path: fit the model once on the reference
+    corpus with ``unigram_model``, then score every new batch against
+    it — map-only apart from the term join, so it lifts onto a stream
+    unchanged). ``model`` is a (term, c) frame; unseen tokens get the
+    smoothing floor alpha / (N + alpha * V) via a left join."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    counts = model.select("term", F.col("c").alias("__c"))
+    scalars = counts.agg(F.sum("__c").alias("__n"),
+                         F.count(F.lit(1)).alias("__v"))
+    p = (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(alpha)) \
+        / (F.col("__n") + F.lit(alpha) * F.col("__v"))
+    return (token_instances(docs, id_col, text_col)
+            .join(F.broadcast(counts), "term", "left")
+            .crossJoin(F.broadcast(scalars))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.avg(-F.log(p)).alias("avg_neg_logprob")))
+
+
 def unigram_scores(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
                    alpha: float = 0.5) -> DataFrame:

@@ -2936,6 +2936,59 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tok", "cum_before")
 
 
+# Markup extraction (functions/text.strip_markup — the raw-crawl ->
+# text step): markup is injected deterministically around each doc
+# (tags, script/style blocks with junk contents, entities), stripped,
+# and the recovered text is md5-checked. Same RE2 patterns both
+# engines.
+@q("text_strip_markup", r"""
+WITH w AS (
+  SELECT doc_id,
+         '<p class=''x''>' || text || '</p>'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '<script type=''text/javascript''>var x = ''<b>'';</script>'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ' &amp; tail &lt;raw&gt;' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '<style>p { color: red; }</style>'
+                 ELSE '' END AS raw
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+             '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', ''''),
+           '\s+', ' ', 'g')) AS clean
+  FROM w)
+SELECT doc_id, CAST(length(clean) AS BIGINT) AS n_chars,
+       md5(clean) AS clean_md5
+FROM s
+""")
+def text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import strip_markup
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.lit("<p class='x'>"), F.col("text"), F.lit("</p>"),
+        F.when(did % 3 == 0,
+               F.lit("<script type='text/javascript'>var x = '<b>';"
+                     "</script>")).otherwise(F.lit("")),
+        F.when(did % 4 == 0,
+               F.lit(" &amp; tail &lt;raw&gt;")).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.lit("<style>p { color: red; }</style>"))
+        .otherwise(F.lit("")))
+    clean = strip_markup(raw)
+    return d.select("doc_id",
+                    F.length(clean).cast("bigint").alias("n_chars"),
+                    F.md5(clean).alias("clean_md5"))
+
+
 # Corpus-relative unigram LM scoring (operators/lmscore.py — the CCNet
 # perplexity-bucketing recipe with the corpus's own smoothed unigram
 # model): mean -ln p(token) per doc. The oracle replays counts, the
