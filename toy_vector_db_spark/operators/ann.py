@@ -74,6 +74,9 @@ class _MaintainableIndex:
         out = copy.copy(self)
         out.table = table
         out._deleted = deleted
+        # membership changed: a cached covering radius could be too
+        # small after add() (breaking range-search pruning exactness)
+        out.__dict__.pop("_radii", None)
         return out
 
     def _index_rows(self, df: DataFrame) -> DataFrame:
@@ -397,11 +400,60 @@ class IvfIndex(_MaintainableIndex):
                    [float(x) for x in qvec], k=k, metric=metric,
                    vec_col=self.vec_col).drop("__cluster")
 
+    def cluster_radii(self) -> np.ndarray:
+        """Per-cluster covering radius: max euclidean distance from any
+        live member to its centroid. One partial-aggregated pass over
+        the table, <= n_centroids rows collected; cached on the index
+        (production path: compute at build and persist in the meta —
+        ``save`` does exactly that via this cache). Empty clusters get
+        radius 0."""
+        cached = getattr(self, "_radii", None)
+        if cached is not None:
+            return cached
+        v = F.col(self.vec_col).cast("array<double>")
+        own = F.element_at(F.array(*[
+            F.sqrt(F.aggregate(
+                F.zip_with(v, F.lit([float(x) for x in c]),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda s, x: s + x))
+            for c in self.centroids]), F.col("__cluster") + 1)
+        rows = (self._live(self.table)
+                .groupBy("__cluster").agg(F.max(own).alias("r")).collect())
+        radii = np.zeros(len(self.centroids))
+        for r in rows:
+            radii[r["__cluster"]] = r["r"]
+        self._radii = radii
+        return radii
+
+    def range_search(self, qvec: Sequence[float], radius: float,
+                     dist_col: str = "distance") -> DataFrame:
+        """EXACT euclidean radius query with cluster pruning: by the
+        triangle inequality a cluster can hold a point within
+        ``radius`` of q only if d(q, centroid) <= radius + covering
+        radius, so every other cluster is skipped (partition pruning on
+        a saved layout) with zero recall loss. Exactness means the
+        pruned tier shares the brute-force oracle — the workload query
+        value-checks that pruning loses nothing. Euclidean only: the
+        bound needs a metric distance (cosine distance violates the
+        triangle inequality)."""
+        from .knn import range_search as _range
+        if radius < 0:
+            raise ValueError(f"radius must be >= 0, got {radius}")
+        q = np.asarray(qvec, dtype=np.float64)
+        qd = np.linalg.norm(self.centroids - q, axis=1)
+        keep = [int(c) for c in np.nonzero(qd <= radius
+                                           + self.cluster_radii())[0]]
+        cand = self._live(self.table.filter(F.col("__cluster").isin(keep)))
+        return _range(cand, [float(x) for x in qvec], radius,
+                      metric="euclidean", vec_col=self.vec_col,
+                      dist_col=dist_col).drop("__cluster")
+
     def save(self, path: str) -> None:
         self._live(self.table).write.mode("overwrite") \
             .partitionBy("__cluster").parquet(os.path.join(path, "clusters"))
         meta = {"centroids": self.centroids.tolist(), "id_col": self.id_col,
-                "vec_col": self.vec_col}
+                "vec_col": self.vec_col,
+                "radii": self.cluster_radii().tolist()}
         with open(os.path.join(path, "ivf_meta.json"), "w") as f:
             json.dump(meta, f)
 
@@ -410,8 +462,11 @@ class IvfIndex(_MaintainableIndex):
         with open(os.path.join(path, "ivf_meta.json")) as f:
             meta = json.load(f)
         table = spark.read.parquet(os.path.join(path, "clusters"))
-        return cls(np.asarray(meta["centroids"]), table,
-                   meta["id_col"], meta["vec_col"])
+        out = cls(np.asarray(meta["centroids"]), table,
+                  meta["id_col"], meta["vec_col"])
+        if "radii" in meta:  # persisted covering radii (pre-r4 saves lack them)
+            out._radii = np.asarray(meta["radii"])
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -188,6 +188,39 @@ def knn_auto(df: DataFrame, query_vec: Sequence[float], k: int = DEFAULT_K,
                exclude_id, id_col, dist_col, tie_col)
 
 
+def range_search(df: DataFrame, query_vec: Sequence[float] | Column,
+                 radius: float, metric: str = "euclidean",
+                 vec_col: str = "embedding", dist_col: str = "distance",
+                 exclude_id=None, id_col: str | None = None,
+                 limit: int | None = None,
+                 tie_col: str | None = None) -> DataFrame:
+    """Radius query: every row within ``radius`` of the query (faiss
+    ``range_search`` shape — the \"all neighbors this close\" dual of
+    top-k). The distance predicate is a map-side filter, so the scan
+    parallelizes like any filter; unlike top-k there is no shuffle at
+    all unless the caller asks for an ordered ``limit`` head (which
+    compiles to TakeOrderedAndProject, per-partition heaps). Rows with
+    null distance (dim mismatch / null vector) are excluded, matching
+    the knn tier's documented divergence from the reference's
+    hard-error (distance.go:56-58)."""
+    if radius < 0:
+        raise ValueError(f"radius must be >= 0, got {radius}")
+    q = query_vec if isinstance(query_vec, Column) else vector_lit(query_vec)
+    out = df.withColumn(
+        dist_col, bind_once(F.col(vec_col), lambda v: distance(metric, v, q)))
+    if exclude_id is not None:
+        if id_col is None:
+            raise ValueError("exclude_id requires id_col")
+        out = out.filter(F.col(id_col) != exclude_id)
+    out = out.filter(F.col(dist_col) <= radius)
+    if limit is not None:
+        order = [F.col(dist_col).asc_nulls_last()]
+        if tie_col is not None:
+            order.append(F.col(tie_col).asc())
+        out = out.orderBy(*order).limit(limit)
+    return out
+
+
 def _per_query_topk(pairs: DataFrame, k: int, dist_col: str,
                     two_phase: bool = True) -> DataFrame:
     """Reduce scored (__qid, __cid, dist) pairs to the k best per query.

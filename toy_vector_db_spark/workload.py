@@ -1600,6 +1600,34 @@ def ann_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "label", F.round("distance", 4).alias("distance")))
 
 
+# Radius (range) search, pruned tier (operators/knn.range_search +
+# IvfIndex.range_search): every vector within r of the query. The
+# index tier prunes clusters by the triangle inequality
+# (d(q, centroid) > r + covering radius => cluster skipped), which is
+# EXACT — so the oracle is plain brute force, and a hash match proves
+# the pruning loses nothing.
+_RANGE_R = 1.28
+
+
+@q("range_search_pruned", f"""
+WITH qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+  WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label, ROUND(list_distance(CAST(embedding AS DOUBLE[]), q), 4)
+         AS distance
+FROM embeddings, qv
+WHERE list_distance(CAST(embedding AS DOUBLE[]), q) <= {_RANGE_R}
+""")
+def range_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import IvfIndex
+    from .operators.knn import lookup_vector
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = lookup_vector(e, "vec_id", QUERY_VEC_ID)
+    idx = IvfIndex.build_deterministic(e, n_centroids=8)
+    return idx.range_search(qvec, _RANGE_R) \
+        .select("vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
 # PQ with a FULL value oracle: codebooks are subvector slices of the
 # ks corpus vectors with smallest md5(vec_id) (PqCodec.fit_deterministic),
 # so DuckDB reproduces codebooks, per-row codes (argmin), the query's
