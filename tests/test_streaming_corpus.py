@@ -65,3 +65,45 @@ def test_dup_fingerprints_collapse(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["canonical_doc_id"] == 7
     assert out[0]["n_copies"] == 2
+
+
+def test_lm_score_stream_matches_batch(spark):
+    """Frozen-model scoring drained from the stream equals score_against
+    on the same batch (identical math, stream-static joins)."""
+    from toy_vector_db_spark.operators.lmscore import (
+        score_against, unigram_model,
+    )
+    from toy_vector_db_spark.streaming.corpus import lm_score_stream
+
+    batch = spark.read.parquet(
+        os.path.join("/root/testdata/sf0.001", "documents.parquet"))
+    model = unigram_model(batch).localCheckpoint(eager=True)
+    src = read_document_stream(spark, DOCS_GLOB, max_files_per_trigger=None)
+    run_available_now(lm_score_stream(src, model), "t_lm_scores")
+    got = {(r["doc_id"], r["n_tokens"], r["avg_neg_logprob"])
+           for r in spark.table("t_lm_scores").collect()}
+    want = {(r["doc_id"], r["n_tokens"], round(r["avg_neg_logprob"], 4))
+            for r in score_against(batch, model).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_lm_score_stream_unseen_tokens_floor(spark, tmp_path):
+    """Docs whose tokens the frozen model never saw score at the
+    smoothing floor, not an error/null."""
+    from toy_vector_db_spark.operators.lmscore import unigram_model
+    from toy_vector_db_spark.streaming.corpus import lm_score_stream
+
+    fit = spark.createDataFrame([(1, "aaa bbb")], ["doc_id", "text"])
+    model = unigram_model(fit).localCheckpoint(eager=True)
+    new_dir = str(tmp_path / "newdocs")
+    spark.createDataFrame([(9, "zzz yyy", "en", "s", 7)],
+                          "doc_id long, text string, lang string, "
+                          "source string, n_chars long") \
+        .coalesce(1).write.parquet(new_dir)
+    src = read_document_stream(spark, new_dir, max_files_per_trigger=None)
+    run_available_now(lm_score_stream(src, model), "t_lm_floor")
+    rows = spark.table("t_lm_floor").collect()
+    assert len(rows) == 1 and rows[0]["n_tokens"] == 2
+    import math
+    # floor: -ln(alpha / (N + alpha*V)) with N=2, V=2, alpha=0.5
+    assert rows[0]["avg_neg_logprob"] == round(-math.log(0.5 / 3.0), 4)

@@ -56,6 +56,39 @@ def quality_gate_stream(docs: DataFrame,
         .withColumn("fingerprint", fingerprint(F.col("text")))
 
 
+def lm_score_stream(docs: DataFrame, model: DataFrame,
+                    alpha: float = 0.5) -> DataFrame:
+    """Frozen-model LM scoring ON THE STREAM: each arriving document is
+    rated under a unigram model fit OFFLINE (``lmscore.unigram_model``)
+    — the incremental-ingest quality gate. Per doc:
+    (doc_id, n_tokens, avg_neg_logprob), identical math to
+    ``lmscore.score_against``.
+
+    Streaming shape: the token explode is map-side; the model counts
+    are a STATIC broadcast side of a stream-static left join (unseen
+    tokens get the smoothing floor); the model scalars (total tokens
+    N, vocab V) join on a constant key — also stream-static, also
+    broadcast — so the only stateful operator is the final per-doc
+    aggregate (complete mode, one state row per doc in flight; bound
+    with a watermark on ingest time for an unbounded feed)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    counts = model.select("term", F.col("c").alias("__c"))
+    scalars = (counts.agg(F.sum("__c").alias("__n"),
+                          F.count(F.lit(1)).alias("__v"))
+               .withColumn("__k", F.lit(1)))
+    from ..operators.lmscore import token_instances
+    p = (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(alpha)) \
+        / (F.col("__n") + F.lit(alpha) * F.col("__v"))
+    return (token_instances(docs)
+            .join(F.broadcast(counts), "term", "left")
+            .withColumn("__k", F.lit(1))
+            .join(F.broadcast(scalars), "__k")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(-F.log(p)), 4).alias("avg_neg_logprob")))
+
+
 def clean_report_stream(docs: DataFrame,
                         q_threshold: float = 0.6) -> DataFrame:
     """Per-fingerprint dedup registry over the gated stream:

@@ -3151,6 +3151,43 @@ def corpus_clean_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("corpus_clean_streaming")
 
 
+# Streaming frozen-model LM scoring (streaming/corpus.lm_score_stream):
+# the unigram model is fit OFFLINE on the batch corpus, then every doc
+# arriving on the stream is scored under it — the incremental-ingest
+# quality gate. Scoring the same corpus the model was fit on makes the
+# result equal unigram_scores exactly (every token in-vocabulary), so
+# the stream drain shares the lm_unigram_scores value oracle.
+@q("lm_score_streaming", f"""
+WITH ti AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(string_split({_DD_NORM}, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''),
+counts AS (SELECT term, COUNT(*) AS c FROM ti GROUP BY term),
+scal AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM counts)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(-ln((c + 0.5) / (n + 0.5 * v))), 4) AS avg_neg_logprob
+FROM ti JOIN counts USING (term), scal
+GROUP BY doc_id
+""")
+def lm_score_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.lmscore import unigram_model
+    from .streaming.corpus import lm_score_stream, read_document_stream
+    from .streaming.events import run_available_now
+    model = unigram_model(_tp(spark, sf_dir, "documents")) \
+        .localCheckpoint(eager=True)
+    src = read_document_stream(
+        spark, os.path.join(sf_dir, "documents.parque[t]"),
+        max_files_per_trigger=None)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_available_now(lm_score_stream(src, model), "lm_score_streaming")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("lm_score_streaming")
+
+
 # DSIR importance resampling (operators/dsir.py, Xie et al.
 # arXiv:2302.03169): hashed uni+bigram models for target (lang='en')
 # vs raw pool, per-doc log importance ratio, deterministic Gumbel
