@@ -3151,6 +3151,54 @@ def corpus_clean_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("corpus_clean_streaming")
 
 
+# URL / domain stats (operators/urlstats): the RefinedWeb-style
+# URL-curation signal. Testdata text carries no URLs, so the query
+# injects them deterministically by doc_id (the pii_scrub pattern) and
+# the oracle replays injection + extraction + the domain aggregate.
+def _url_oracle() -> str:
+    from .operators.urlstats import DOMAIN_PATTERN, URL_PATTERN
+    pat = URL_PATTERN.replace("'", "''")
+    dpat = DOMAIN_PATTERN.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' see https://Example.com/page.' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' via http://cdn.assets.net/app.js (and https://example.com/dup)'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' ref https://sub.tracker.io/pixel?id=' || CAST(doc_id AS VARCHAR)
+            ELSE '' END AS text
+  FROM documents),
+u AS (SELECT doc_id, unnest(regexp_extract_all(text, '{pat}')) AS url FROM t),
+d AS (SELECT doc_id, lower(regexp_extract(url, '{dpat}', 1)) AS domain FROM u)
+SELECT domain, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM d WHERE domain <> '' GROUP BY domain
+"""
+
+
+@q("url_domain_stats", _url_oracle())
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.urlstats import domain_stats
+    d = _tp(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.lit(" see https://Example.com/page."))
+         .otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.lit(" via http://cdn.assets.net/app.js"
+                     " (and https://example.com/dup)"))
+         .otherwise(F.lit("")),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" ref https://sub.tracker.io/pixel?id="),
+                        did.cast("string")))
+         .otherwise(F.lit("")))
+    return domain_stats(d.select("doc_id", injected.alias("text")))
+
+
 # Streaming frozen-model LM scoring (streaming/corpus.lm_score_stream):
 # the unigram model is fit OFFLINE on the batch corpus, then every doc
 # arriving on the stream is scored under it — the incremental-ingest
