@@ -73,3 +73,18 @@ def test_add_invalidates_radii_cache(vecs, spark):
     # and the grown-radius index still finds the new point exactly
     got = {r["vec_id"] for r in idx2.range_search([0.0, 4.9], 0.2).collect()}
     assert got == {7}
+
+
+def test_cluster_stats_report(vecs):
+    idx = IvfIndex.build_deterministic(
+        vecs.withColumn("label", (F.col("vec_id") % 2).cast("int")),
+        n_centroids=3)
+    rows = idx.cluster_stats(label_col="label").collect()
+    assert sum(r["n_members"] for r in rows) == len(VECS)
+    for r in rows:
+        assert r["max_dist"] >= r["avg_dist"] >= 0.0
+        assert 0 < r["top_label_n"] <= r["n_members"]
+    # without labels: no label columns in the schema
+    plain = idx.cluster_stats()
+    assert set(plain.columns) == {"cluster_id", "n_members",
+                                  "avg_dist", "max_dist"}

@@ -400,6 +400,17 @@ class IvfIndex(_MaintainableIndex):
                    [float(x) for x in qvec], k=k, metric=metric,
                    vec_col=self.vec_col).drop("__cluster")
 
+    def _dist_to_own_centroid(self):
+        """Column: euclidean distance from a member row to the centroid
+        of its assigned cluster."""
+        v = F.col(self.vec_col).cast("array<double>")
+        return F.element_at(F.array(*[
+            F.sqrt(F.aggregate(
+                F.zip_with(v, F.lit([float(x) for x in c]),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda s, x: s + x))
+            for c in self.centroids]), F.col("__cluster") + 1)
+
     def cluster_radii(self) -> np.ndarray:
         """Per-cluster covering radius: max euclidean distance from any
         live member to its centroid. One partial-aggregated pass over
@@ -410,20 +421,43 @@ class IvfIndex(_MaintainableIndex):
         cached = getattr(self, "_radii", None)
         if cached is not None:
             return cached
-        v = F.col(self.vec_col).cast("array<double>")
-        own = F.element_at(F.array(*[
-            F.sqrt(F.aggregate(
-                F.zip_with(v, F.lit([float(x) for x in c]),
-                           lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda s, x: s + x))
-            for c in self.centroids]), F.col("__cluster") + 1)
         rows = (self._live(self.table)
-                .groupBy("__cluster").agg(F.max(own).alias("r")).collect())
+                .groupBy("__cluster")
+                .agg(F.max(self._dist_to_own_centroid()).alias("r"))
+                .collect())
         radii = np.zeros(len(self.centroids))
         for r in rows:
             radii[r["__cluster"]] = r["r"]
         self._radii = radii
         return radii
+
+    def cluster_stats(self, label_col: str | None = None) -> DataFrame:
+        """Corpus cartography: per-cluster membership count, mean and
+        max distance to centroid, and (with ``label_col``) the dominant
+        label + its count — the SemDeDup-style \"what lives where\" map
+        used to spot over-represented regions before pruning. One
+        aggregate on the compact cluster key; the dominant label adds
+        one (cluster, label) aggregate and a per-cluster top-1 window —
+        group count is bounded by n_centroids x labels, never rows."""
+        base = self._live(self.table) \
+            .withColumn("__cd", self._dist_to_own_centroid())
+        stats = (base.groupBy("__cluster")
+                 .agg(F.count(F.lit(1)).alias("n_members"),
+                      F.round(F.avg("__cd"), 4).alias("avg_dist"),
+                      F.round(F.max("__cd"), 4).alias("max_dist"))
+                 .withColumnRenamed("__cluster", "cluster_id"))
+        if label_col is None:
+            return stats
+        from pyspark.sql import Window
+        lc = (base.groupBy("__cluster", label_col)
+              .agg(F.count(F.lit(1)).alias("top_label_n")))
+        win = Window.partitionBy("__cluster").orderBy(
+            F.col("top_label_n").desc(), F.col(label_col).asc())
+        top = (lc.withColumn("__rk", F.row_number().over(win))
+               .filter(F.col("__rk") == 1)
+               .select(F.col("__cluster").alias("cluster_id"),
+                       F.col(label_col).alias("top_label"), "top_label_n"))
+        return stats.join(top, "cluster_id")
 
     def range_search(self, qvec: Sequence[float], radius: float,
                      dist_col: str = "distance") -> DataFrame:

@@ -3151,6 +3151,50 @@ def corpus_clean_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("corpus_clean_streaming")
 
 
+# Embedding-space cluster analytics (IvfIndex.cluster_stats): the
+# corpus-cartography report over deterministic-IVF clusters — per
+# cluster: size, mean/max distance to centroid, dominant label. The
+# oracle replays centroid selection, assignment, both distance
+# aggregates, and the count-desc/label-asc dominant-label ranking.
+def _cluster_stats_oracle(n_centroids: int = 8) -> str:
+    eu = ("sqrt(list_sum(list_transform(list_zip({x}, c), "
+          "p -> (p[1]-p[2])*(p[1]-p[2]))))")
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
+         FROM e ORDER BY h, vec_id LIMIT {n_centroids}),
+cents AS (SELECT list(v ORDER BY h, vec_id) AS cs FROM cent),
+assigned AS (
+  SELECT vec_id, label, list_position(ds, list_min(ds)) - 1 AS cluster,
+         ds[list_position(ds, list_min(ds))] AS cd
+  FROM (SELECT vec_id, label, v,
+          list_transform((SELECT cs FROM cents), c -> {eu.format(x='v')}) AS ds
+        FROM e)),
+stats AS (
+  SELECT cluster AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         ROUND(AVG(cd), 4) AS avg_dist, ROUND(MAX(cd), 4) AS max_dist
+  FROM assigned GROUP BY cluster),
+lc AS (SELECT cluster AS cluster_id, label, CAST(COUNT(*) AS BIGINT) AS n
+       FROM assigned GROUP BY cluster, label),
+top AS (SELECT cluster_id, label AS top_label, n AS top_label_n
+        FROM (SELECT *, ROW_NUMBER() OVER
+                (PARTITION BY cluster_id ORDER BY n DESC, label ASC) AS rk
+              FROM lc)
+        WHERE rk = 1)
+SELECT cluster_id, n_members, avg_dist, max_dist, top_label, top_label_n
+FROM stats JOIN top USING (cluster_id)
+"""
+
+
+@q("embedding_cluster_stats", _cluster_stats_oracle())
+def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import IvfIndex
+    e = _t(spark, sf_dir, "embeddings")
+    idx = IvfIndex.build_deterministic(e, n_centroids=8)
+    return idx.cluster_stats(label_col="label") \
+        .withColumn("cluster_id", F.col("cluster_id").cast("int"))
+
+
 # URL / domain stats (operators/urlstats): the RefinedWeb-style
 # URL-curation signal. Testdata text carries no URLs, so the query
 # injects them deterministically by doc_id (the pii_scrub pattern) and
