@@ -1624,6 +1624,11 @@ def range_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qvec = lookup_vector(e, "vec_id", QUERY_VEC_ID)
     idx = IvfIndex.build_deterministic(e, n_centroids=8)
+    # materialize the assignment once (the loaded-index shape: a saved
+    # IVF layout has clusters on disk): the covering-radius pass and
+    # the candidate scan otherwise each re-run the 8-centroid assign
+    # expression over the corpus — measured 1.6x at the 10x point
+    idx.table = idx.table.localCheckpoint(eager=True)
     return idx.range_search(qvec, _RANGE_R) \
         .select("vec_id", "label", F.round("distance", 4).alias("distance"))
 
