@@ -3365,11 +3365,14 @@ _WINDOW = [
     # oracle-run, and exact search stays hard-signaled via
     # knn_search_auto + search_text_documents
     "knn_matryoshka_topk",
-    # scan / filter / SQL dialect
-    "scan_project_limit", "filter_id_eq", "filter_like", "span_dedup_docs",
+    # scan / filter / SQL dialect (filter_like cycled out r4.6 — LIKE
+    # pushdown still proven by the pii/markup regexp tiers + pytest)
+    "scan_project_limit", "filter_id_eq", "span_dedup_docs",
     "sql_meta_ne_dialect", "sql_nearest_filtered",
-    # agg / join / window / grammar / set ops
-    "profile_orders", "agg_pricing_summary", "having_repeat_customers",
+    # agg / join / window / grammar / set ops (having_repeat_customers
+    # cycled out r4.6: GROUP BY + HAVING arithmetic re-proven inside
+    # agg_pricing_summary + orders_above_cust_avg)
+    "profile_orders", "agg_pricing_summary",
     "join_region_revenue", "anti_join_no_orders", "window_topn_orders",
     "orders_above_cust_avg", "set_ops_segments",
     # temporal operators
@@ -3389,28 +3392,35 @@ _WINDOW = [
     "dedup_exact_clusters", "dedup_minhash_pairs", "dedup_components",
     "dedup_semantic_ivf", "dedup_simhash_neighbors",
     "crossdoc_shared_shingles",
-    # sampling / splits (one rep; siblings cycled out r4)
-    "mixture_token_budget",
+    # sampling / splits / data selection (DSIR new r4.6)
+    "mixture_token_budget", "dsir_select_en",
+    # URL curation (new r4.6)
+    "url_domain_stats",
     # vocab / tfidf
     "lm_unigram_scores", "tfidf_top_terms",
-    # decontamination / PII / corpus reporting / end-to-end clean
-    "decontam_bloom_overlap", "pii_scrub", "corpus_mix_report",
+    # decontamination / PII / end-to-end clean (corpus_mix_report
+    # cycled out r4.6: mixture accounting re-proven by
+    # mixture_token_budget's running totals)
+    "decontam_bloom_overlap", "pii_scrub",
     "corpus_clean_pipeline",
     # training-window packing (first window r4)
     "corpus_chunk_windows",
     # media plumbing
     "media_decode_stats",
-    # events analytics (incl. the sketch error gate)
-    "events_value_bands", "events_dau_error_gate",
+    # events analytics (value_bands cycled out r4.6 — banded CASE agg
+    # re-proven inside events_rollup_streaming's batch twin)
+    "events_dau_error_gate",
     # batch similarity joins: IVF / IVF-PQ (exact tier cycled out r4)
     # (these also hard-signal det-IVF assignment + PQ ADC, so the
     # ann_ivf_det/ann_ivfpq point-search twins could cycle out)
     "knn_join_ivf_batch", "knn_join_ivfpq_batch",
-    # ANN index tiers: LSH, SQ8 (first window r4), the graph tier's
-    # recall gate (new r4), and the chooser-routed exact search (new
-    # r4) — ivf_det/ivfpq point variants cycled out, covered above
-    "ann_lsh_topk", "ann_sq8_topk", "ann_graph_recall_gate",
-    "knn_search_auto",
+    # ANN index tiers: SQ8, the graph tier's recall gate, the
+    # chooser-routed exact search, and (new r4.6) exact-pruned radius
+    # search + cluster analytics — ann_lsh_topk cycled out r4.6 (LSH
+    # banding still hard-signaled via dedup_minhash_pairs; the query
+    # stays oracle-run)
+    "ann_sq8_topk", "ann_graph_recall_gate", "knn_search_auto",
+    "range_search_pruned", "embedding_cluster_stats",
     # structured streaming — rollup (watermark agg), dedup (file
     # sink), stream-stream join, search, and the corpus-clean registry
     # (new r4.5); sessionize cycled out after its r4 driver-green row
@@ -3418,6 +3428,8 @@ _WINDOW = [
     "events_rollup_streaming", "events_dedup_streaming",
     "events_followups_streaming", "corpus_clean_streaming",
     "knn_search_streaming",
+    # streaming frozen-model scoring (new r4.6)
+    "lm_score_streaming",
 ]
 
 
