@@ -135,3 +135,56 @@ def test_strip_markup(spark):
                               .alias("clean")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_chunk_with_overlap_windows(spark):
+    from toy_vector_db_spark.operators.packing import chunk_with_overlap
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"),   # 7 tokens
+         (2, "x y"),             # shorter than one chunk
+         (3, "")],               # empty: no chunks
+        ["doc_id", "text"])
+    rows = chunk_with_overlap(docs, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0 and 3 (ceil((7-4)/3)=1 extra chunk)
+    got = sorted((r["chunk_id"], r["start_tok"], r["n_tok"], r["chunk_text"])
+                 for r in by_doc[1])
+    assert got == [(0, 0, 4, "a b c d"), (1, 3, 4, "d e f g")]
+    # overlap: token 'd' appears in both chunks
+    assert by_doc[2][0]["chunk_text"] == "x y"
+    assert len(by_doc[2]) == 1
+    assert 3 not in by_doc
+
+
+def test_chunk_with_overlap_full_coverage(spark):
+    """Every token position is covered by at least one chunk and
+    consecutive chunks overlap by chunk-stride tokens."""
+    from toy_vector_db_spark.operators.packing import chunk_with_overlap
+
+    text = " ".join(f"t{i}" for i in range(50))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(chunk_with_overlap(docs, chunk_tokens=8, stride=5).collect(),
+                  key=lambda r: r["chunk_id"])
+    covered = set()
+    for r in rows:
+        covered |= set(range(r["start_tok"], r["start_tok"] + r["n_tok"]))
+    assert covered == set(range(50))
+    assert all(rows[i + 1]["start_tok"] - rows[i]["start_tok"] == 5
+               for i in range(len(rows) - 1))
+
+
+def test_chunk_with_overlap_validation(spark):
+    import pytest as _pytest
+
+    from toy_vector_db_spark.operators.packing import chunk_with_overlap
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        chunk_with_overlap(docs, chunk_tokens=0)
+    with _pytest.raises(ValueError):
+        chunk_with_overlap(docs, chunk_tokens=4, stride=5)
+    with _pytest.raises(ValueError):
+        chunk_with_overlap(docs, chunk_tokens=4, stride=0)

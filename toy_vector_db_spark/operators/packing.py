@@ -25,10 +25,11 @@ concat-and-chunk layout.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import token_count
+from ..functions.util import bind_once
 
 DEFAULT_WINDOW_TOKENS = 2048
 
@@ -63,3 +64,54 @@ def chunk_windows(df: DataFrame, budget: int = DEFAULT_WINDOW_TOKENS,
         F.when(F.col("n_tok") == 0, F.lit(0)).otherwise(
             F.expr(f"(__last_off div {b}) - (start_off div {b}) + 1")
         ).cast("bigint").alias("n_windows"))
+
+
+def chunk_with_overlap(df: DataFrame, chunk_tokens: int = 256,
+                       stride: int = 192, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """PER-DOCUMENT sliding-window chunking with overlap — the RAG /
+    embedding-input regime (vs ``chunk_windows``'s cross-document
+    concat-and-chunk): chunk ``i`` of a doc covers whitespace tokens
+    ``[i*stride, i*stride + chunk_tokens)``; ``stride < chunk_tokens``
+    gives ``chunk_tokens - stride`` tokens of overlap so no boundary
+    context is lost. Output: (id, chunk_id, start_tok, n_tok,
+    chunk_text); the final chunk may be short; empty docs emit nothing.
+
+    Entirely map-side — the token array is bound ONCE per row (HOFs
+    don't CSE), chunk structs are built in one ``transform`` and
+    inlined; there is no shuffle anywhere, so the operator scales as a
+    pure scan. Per-doc token counts stay far below 2^53, so the
+    chunk-count ceil may use double division safely (unlike the
+    corpus-cumulative offsets above, which must stay integer)."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError(
+            f"stride must be in [1, chunk_tokens], got {stride}")
+
+    def chunks(t: Column) -> Column:
+        n = F.size(t)
+        # n <= chunk_tokens => the ceil term is <= 0 => one chunk
+        n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+            1 + F.greatest(
+                F.lit(0),
+                F.ceil((n - chunk_tokens) / F.lit(float(stride)))
+                .cast("int")))
+        return F.when(n_chunks > 0, F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                (i * stride).cast("bigint").alias("start_tok"),
+                F.slice(t, i * stride + 1, chunk_tokens).alias("__ctoks")))
+        ).otherwise(F.array().cast(
+            "array<struct<start_tok:bigint,__ctoks:array<string>>>"))
+
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda x: x != "")
+    return (df.select(F.col(id_col),
+                      F.posexplode(bind_once(toks, chunks))
+                      .alias("chunk_id", "__c"))
+            .select(id_col, F.col("chunk_id").cast("bigint"),
+                    F.col("__c.start_tok").alias("start_tok"),
+                    F.size("__c.__ctoks").cast("bigint").alias("n_tok"),
+                    F.concat_ws(" ", F.col("__c.__ctoks"))
+                    .alias("chunk_text")))

@@ -3156,6 +3156,43 @@ def corpus_clean_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("corpus_clean_streaming")
 
 
+# Overlapping sliding-window chunking (packing.chunk_with_overlap):
+# the RAG/embedding-input regime — per-doc windows of chunk_tokens
+# whitespace tokens at the given stride, final chunk short, map-only.
+# The oracle rebuilds every chunk's TEXT, so tokenization, window
+# arithmetic, and reassembly are all value-checked.
+_CHUNK_T, _CHUNK_S = 32, 24
+
+
+@q("corpus_chunk_overlap", f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+c AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CASE WHEN len(tk) = 0 THEN 0
+              ELSE 1 + GREATEST(0, CAST(ceil((len(tk) - {_CHUNK_T})
+                   / CAST({_CHUNK_S} AS DOUBLE)) AS BIGINT)) END AS nc
+  FROM t),
+x AS (SELECT doc_id, tk, n, unnest(range(0, nc)) AS i FROM c)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * {_CHUNK_S} AS BIGINT) AS start_tok,
+       CAST(len(list_slice(tk, i * {_CHUNK_S} + 1,
+                           LEAST(i * {_CHUNK_S} + {_CHUNK_T}, n)))
+            AS BIGINT) AS n_tok,
+       array_to_string(list_slice(tk, i * {_CHUNK_S} + 1,
+                                  LEAST(i * {_CHUNK_S} + {_CHUNK_T}, n)), ' ')
+         AS chunk_text
+FROM x
+""")
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import chunk_with_overlap
+    d = _tp(spark, sf_dir, "documents")
+    return chunk_with_overlap(d, chunk_tokens=_CHUNK_T, stride=_CHUNK_S)
+
+
 # Embedding-space cluster analytics (IvfIndex.cluster_stats): the
 # corpus-cartography report over deterministic-IVF clusters — per
 # cluster: size, mean/max distance to centroid, dominant label. The
