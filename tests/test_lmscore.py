@@ -73,3 +73,32 @@ def test_score_against_frozen_model(spark, docs):
     b = {r["doc_id"]: r["avg_neg_logprob"]
          for r in score_against(docs, model).collect()}
     assert a == pytest.approx(b)
+
+
+def test_perplexity_buckets_per_group(spark):
+    from toy_vector_db_spark.operators.lmscore import perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [(1, "en", 1.0), (2, "en", 2.0), (3, "en", 3.0),
+         (4, "en", 4.0), (5, "en", 5.0), (6, "en", 6.0),
+         (7, "de", 1.0), (8, "de", 2.0)],
+        ["doc_id", "lang", "avg_neg_logprob"])
+    got = {r["doc_id"]: r["bucket"]
+           for r in perplexity_buckets(scored, 3, group_col="lang").collect()}
+    # en: 6 docs / 3 buckets = 2 each, ordered by score
+    assert [got[i] for i in (1, 2, 3, 4, 5, 6)] == [1, 1, 2, 2, 3, 3]
+    # de: 2 docs into 3 buckets -> first buckets get the rows
+    assert (got[7], got[8]) == (1, 2)
+
+
+def test_perplexity_buckets_tie_break_deterministic(spark):
+    from toy_vector_db_spark.operators.lmscore import perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [(10, 1.0), (11, 1.0), (12, 1.0)],
+        ["doc_id", "avg_neg_logprob"])
+    a = {r["doc_id"]: r["bucket"]
+         for r in perplexity_buckets(scored, 3).collect()}
+    assert a == {10: 1, 11: 2, 12: 3}  # equal scores fall to the id
+    with pytest.raises(ValueError):
+        perplexity_buckets(scored, 0)

@@ -74,6 +74,31 @@ def score_against(docs: DataFrame, model: DataFrame,
                  F.avg(-F.log(p)).alias("avg_neg_logprob")))
 
 
+def perplexity_buckets(scored: DataFrame, n_buckets: int = 3,
+                       group_col: str | None = None,
+                       score_col: str = "avg_neg_logprob",
+                       id_col: str = "doc_id") -> DataFrame:
+    """CCNet's final step: rank documents by LM score and cut into
+    ``n_buckets`` equal-frequency buckets (1 = best / most in-
+    distribution ... n = worst), optionally per group (CCNet buckets
+    per LANGUAGE — head/middle/tail at n_buckets=3). Standard SQL
+    NTILE over (score, id) — the id tiebreak makes the cut
+    deterministic, so the bucket assignment is value-checkable.
+
+    Scale note: NTILE needs each partition's rows ordered together —
+    one shuffle on ``group_col``. With no group column the window is
+    a single partition: fine for bounded score tables, but at corpus
+    scale pass the grouping (language/source) the recipe buckets by
+    anyway, or pre-aggregate to quantile BOUNDARIES and broadcast."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from pyspark.sql import Window
+    part = Window.partitionBy(group_col) if group_col else \
+        Window.partitionBy()
+    win = part.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    return scored.withColumn("bucket", F.ntile(n_buckets).over(win))
+
+
 def unigram_scores(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
                    alpha: float = 0.5) -> DataFrame:

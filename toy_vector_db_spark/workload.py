@@ -3156,6 +3156,41 @@ def corpus_clean_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("corpus_clean_streaming")
 
 
+# CCNet's final step (lmscore.perplexity_buckets): per-language
+# equal-frequency score buckets (1=head..3=tail). NTILE runs over the
+# ROUNDED score + doc_id so the total order — and therefore the exact
+# bucket assignment — is engine-independent (unrounded float ranks
+# could swap near-ties across engines; rounded ties fall to the id).
+@q("lm_perplexity_buckets", f"""
+WITH ti AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(string_split({_DD_NORM}, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''),
+counts AS (SELECT term, COUNT(*) AS c FROM ti GROUP BY term),
+scal AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM counts),
+scored AS (
+  SELECT doc_id,
+         ROUND(AVG(-ln((c + 0.5) / (n + 0.5 * v))), 4) AS score
+  FROM ti JOIN counts USING (term), scal
+  GROUP BY doc_id)
+SELECT s.doc_id, d.lang, s.score,
+       CAST(NTILE(3) OVER (PARTITION BY d.lang
+                           ORDER BY s.score ASC, s.doc_id ASC) AS INT)
+         AS bucket
+FROM scored s JOIN documents d USING (doc_id)
+""")
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.lmscore import perplexity_buckets, unigram_scores
+    d = _tp(spark, sf_dir, "documents")
+    scored = unigram_scores(d).select(
+        "doc_id", F.round("avg_neg_logprob", 4).alias("score"))
+    joined = scored.join(d.select("doc_id", "lang"), "doc_id")
+    return perplexity_buckets(joined, n_buckets=3, group_col="lang",
+                              score_col="score") \
+        .select("doc_id", "lang", "score", F.col("bucket").cast("int"))
+
+
 # Overlapping sliding-window chunking (packing.chunk_with_overlap):
 # the RAG/embedding-input regime — per-doc windows of chunk_tokens
 # whitespace tokens at the given stride, final chunk short, map-only.
