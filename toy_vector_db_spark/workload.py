@@ -3156,6 +3156,46 @@ def corpus_clean_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("corpus_clean_streaming")
 
 
+# Filter-funnel report (operators/funnel): ordered gate cascade with
+# per-rule attrition — the C4/Gopher-paper accounting table. One scan,
+# first-failing-rule index per row, one aggregate on that small int;
+# the oracle replays the cascade with conditional sums per rule.
+@q("corpus_filter_funnel", f"""
+WITH t AS (
+  SELECT length(trim(text)) > 0 AS r0,
+         (CASE WHEN trim(text) = '' THEN 0 ELSE len({_DD_TOKS}) END) >= 20 AS r1,
+         lang = 'en' AS r2
+  FROM documents)
+SELECT 0 AS rule_idx, 'nonempty' AS rule,
+       CAST(COUNT(*) AS BIGINT) AS n_evaluated,
+       CAST(SUM(CASE WHEN NOT r0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN r0 THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving
+FROM t
+UNION ALL
+SELECT 1, 'min_tokens',
+       CAST(SUM(CASE WHEN r0 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN r0 AND NOT r1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN r0 AND r1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM t
+UNION ALL
+SELECT 2, 'lang_en',
+       CAST(SUM(CASE WHEN r0 AND r1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN r0 AND r1 AND NOT r2 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN r0 AND r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT)
+FROM t
+""")
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import token_count
+    from .operators.funnel import funnel_report
+    d = _tp(spark, sf_dir, "documents")
+    rules = [
+        ("nonempty", F.length(F.trim(F.col("text"))) > 0),
+        ("min_tokens", token_count(F.col("text")) >= 20),
+        ("lang_en", F.col("lang") == "en"),
+    ]
+    return funnel_report(d, rules)
+
+
 # CCNet's final step (lmscore.perplexity_buckets): per-language
 # equal-frequency score buckets (1=head..3=tail). NTILE runs over the
 # ROUNDED score + doc_id so the total order — and therefore the exact
