@@ -107,3 +107,23 @@ def test_lm_score_stream_unseen_tokens_floor(spark, tmp_path):
     import math
     # floor: -ln(alpha / (N + alpha*V)) with N=2, V=2, alpha=0.5
     assert rows[0]["avg_neg_logprob"] == round(-math.log(0.5 / 3.0), 4)
+
+
+def test_contamination_report_lifts_onto_stream(spark):
+    """The BATCH decontam operator runs unchanged on a streaming train
+    side (map-side shingles, stream-static broadcast join, one
+    stateful agg) and the drained report equals the batch run."""
+    from toy_vector_db_spark.operators.decontam import contamination_report
+
+    batch = spark.read.parquet(
+        os.path.join("/root/testdata/sf0.001", "documents.parquet"))
+    ev = batch.filter("doc_id % 10 = 0")
+    tr_batch = batch.filter("doc_id % 10 <> 0")
+    src = read_document_stream(spark, DOCS_GLOB, max_files_per_trigger=None) \
+        .filter("doc_id % 10 <> 0")
+    run_available_now(contamination_report(src, ev, n=5),
+                      "t_decontam_stream")
+    got = {tuple(r) for r in spark.table("t_decontam_stream").collect()}
+    want = {tuple(r) for r in contamination_report(tr_batch, ev, n=5).collect()}
+    assert got == want and len(got) > 0
+    assert all(r[1] > 0 for r in got)  # every doc has shingles counted

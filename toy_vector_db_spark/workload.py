@@ -3156,6 +3156,37 @@ def corpus_clean_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("corpus_clean_streaming")
 
 
+# Streaming decontamination: contamination_report lifts onto a
+# document STREAM unchanged — its plan is map-side shingling, a
+# stream-static broadcast left join against the static eval shingle
+# set, and one stateful per-doc aggregate. All three decontam tiers
+# (broadcast, bloom, streaming) run under the SAME oracle.
+@q("decontam_streaming", _DECONTAM_ORACLE)
+def decontam_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.decontam import contamination_report
+    from .operators.sampling import train_test_split
+    from .streaming.corpus import read_document_stream
+    from .streaming.events import run_available_now
+    ev = train_test_split(_tp(spark, sf_dir, "documents"), "doc_id", 0.1) \
+        .filter("split = 'test'")
+    src = train_test_split(
+        read_document_stream(spark, os.path.join(sf_dir,
+                                                 "documents.parque[t]"),
+                             max_files_per_trigger=None),
+        "doc_id", 0.1).filter("split = 'train'")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        report = contamination_report(src, ev, n=5).select(
+            "doc_id", F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            "contaminated")
+        run_available_now(report, "decontam_streaming")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("decontam_streaming")
+
+
 # Filter-funnel report (operators/funnel): ordered gate cascade with
 # per-rule attrition — the C4/Gopher-paper accounting table. One scan,
 # first-failing-rule index per row, one aggregate on that small int;
