@@ -278,3 +278,60 @@ def test_knn_over_derived_vector_binds_embedding_once(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("sha2") == 1
     assert plan.count("md5") == 1
+
+
+def test_chunk_overlap_is_map_only(spark):
+    """Sliding-window chunking must be a pure scan: no keyed shuffle,
+    no aggregate — one generate (posexplode) over the projected scan.
+    (The RoundRobin Exchange is _tp's single-row-group rebalance, not
+    operator work.)"""
+    plan = plan_of(spark, "corpus_chunk_overlap")
+    assert "Exchange hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
+    assert "Generate" in plan
+
+
+def test_range_search_exact_is_map_only(spark):
+    from toy_vector_db_spark.operators.knn import range_search
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [0.0] * len(e.select("embedding").first()[0])
+    plan = range_search(e, q, 1.0)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # radius filter needs no shuffle
+
+
+def test_dsir_counts_join_is_broadcast(spark):
+    """The bucket-count model frame (<= buckets rows) must broadcast
+    back onto the instances — never a shuffle join on bucket. Audited
+    on importance_weights (selection_report checkpoints the weights,
+    hiding the upstream join from its own executed plan)."""
+    from pyspark.sql import functions as F
+
+    from toy_vector_db_spark.operators.dsir import importance_weights
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    w = importance_weights(d, F.col("lang") == "en", buckets=256)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_report_single_data_aggregate(spark):
+    """The funnel's only data-sized work is one partial+final agg on
+    the small rule index: exactly one pair of HashAggregates touching
+    the scan, and no document columns in the shuffle."""
+    plan = plan_of(spark, "corpus_filter_funnel")
+    # the checkpointed drops aggregate is the only data-derived input:
+    # the report plan itself never rescans the documents
+    assert "Scan parquet" not in plan
+    assert "SortMergeJoin" not in plan
+    # and the drops stage is one scan -> one partial+final aggregate
+    from pyspark.sql import functions as F
+
+    from toy_vector_db_spark.operators.funnel import _first_fail
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    rules = [("nonempty", F.length("text") > 0)]
+    stage = (d.select(_first_fail(rules).alias("__fail"))
+             .groupBy("__fail").agg(F.count(F.lit(1))))
+    splan = stage._jdf.queryExecution().executedPlan().toString()
+    assert splan.count("Scan parquet") == 1
+    assert splan.count("HashAggregate") == 2  # partial + final

@@ -49,8 +49,12 @@ def funnel_report(df: DataFrame,
     like a sequential pipeline), ``n_surviving`` feeds the next rule."""
     if not rules:
         raise ValueError("rules must be non-empty")
+    # localCheckpoint: ``drops`` (<= n_rules+1 rows) feeds BOTH the
+    # per-rule join and the total — without the cut each branch would
+    # re-scan the full table (caught by test_plans)
     drops = (df.select(_first_fail(rules).alias("__fail"))
-             .groupBy("__fail").agg(F.count(F.lit(1)).alias("n")))
+             .groupBy("__fail").agg(F.count(F.lit(1)).alias("n"))
+             .localCheckpoint(eager=True))
     # total + cumulative drops over the <= n_rules+1 row aggregate:
     # the window is tiny by construction (rule count, not data count)
     total = drops.agg(F.sum("n").alias("__total"))
