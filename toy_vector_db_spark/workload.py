@@ -3156,6 +3156,50 @@ def corpus_clean_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("corpus_clean_streaming")
 
 
+# Corpus vocabulary drift (operators/drift): JS-divergence attribution
+# between the en slice (reference) and the rest (candidate) — the
+# "did my new crawl shift, and which terms moved" QA report. The
+# oracle replays both vocab counts, the union join, smoothing, the
+# per-term JS contributions, and the top-k attribution order.
+@q("corpus_vocab_drift", f"""
+WITH ti AS (
+  SELECT doc_id, lang, t AS term
+  FROM (SELECT doc_id, lang,
+               unnest(string_split({_DD_NORM}, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''),
+a AS (SELECT term, COUNT(*) AS c_ref FROM ti WHERE lang = 'en'
+      GROUP BY term),
+b AS (SELECT term, COUNT(*) AS c_cand FROM ti WHERE lang <> 'en'
+      GROUP BY term),
+j AS (SELECT term, COALESCE(c_ref, 0) AS c_ref,
+             COALESCE(c_cand, 0) AS c_cand
+      FROM a FULL OUTER JOIN b USING (term)),
+s AS (SELECT SUM(c_ref) AS na, SUM(c_cand) AS nb, COUNT(*) AS v FROM j),
+d AS (
+  SELECT term, c_ref, c_cand,
+         (c_ref + 0.5) / (na + 0.5 * v) AS p,
+         (c_cand + 0.5) / (nb + 0.5 * v) AS q
+  FROM j, s)
+SELECT term, CAST(c_ref AS BIGINT) AS c_ref,
+       CAST(c_cand AS BIGINT) AS c_cand,
+       CASE WHEN q > p THEN 'cand' ELSE 'ref' END AS direction,
+       ROUND(0.5 * p * ln(p / ((p + q) / 2))
+           + 0.5 * q * ln(q / ((p + q) / 2)), 6) AS js_contrib
+FROM d
+ORDER BY 0.5 * p * ln(p / ((p + q) / 2))
+       + 0.5 * q * ln(q / ((p + q) / 2)) DESC, term ASC
+LIMIT 20
+""")
+def corpus_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.drift import top_divergent_terms
+    d = _tp(spark, sf_dir, "documents")
+    return top_divergent_terms(d.filter("lang = 'en'"),
+                               d.filter("lang <> 'en'"), k=20) \
+        .select("term", "c_ref", "c_cand", "direction",
+                F.round("js_contrib", 6).alias("js_contrib"))
+
+
 # Streaming decontamination: contamination_report lifts onto a
 # document STREAM unchanged — its plan is map-side shingling, a
 # stream-static broadcast left join against the static eval shingle
