@@ -52,3 +52,27 @@ def test_top_divergent_direction(corpora):
         top_divergent_terms(ref, cand, k=0)
     with pytest.raises(ValueError):
         term_divergence(ref, cand, alpha=0.0)
+
+
+def test_embedding_drift_identical_and_shifted(spark):
+    from toy_vector_db_spark.operators.drift import embedding_drift
+
+    ref = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 0, [1.0, 0.2]),
+         (3, 1, [0.0, 1.0])],
+        "vec_id long, label int, embedding array<double>")
+    same = embedding_drift(ref, ref).collect()
+    assert all(r["centroid_dist"] == pytest.approx(0.0, abs=1e-12)
+               for r in same)
+    assert all(r["centroid_cos"] == pytest.approx(1.0, rel=1e-12)
+               for r in same)
+    # shift label 1's vectors: drift shows up only there
+    cand = spark.createDataFrame(
+        [(4, 0, [1.0, 0.0]), (5, 0, [1.0, 0.2]),
+         (6, 1, [1.0, 0.0])],
+        "vec_id long, label int, embedding array<double>")
+    rows = {r["label"]: r for r in embedding_drift(ref, cand).collect()}
+    assert rows[0]["centroid_dist"] == pytest.approx(0.0, abs=1e-12)
+    assert rows[1]["centroid_dist"] == pytest.approx(2 ** 0.5, rel=1e-9)
+    assert rows[1]["centroid_cos"] == pytest.approx(0.0, abs=1e-12)
+    assert rows[1]["n_ref"] == 1 and rows[1]["n_cand"] == 1

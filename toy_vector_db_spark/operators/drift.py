@@ -89,6 +89,44 @@ def divergence_summary(ref: DataFrame, cand: DataFrame,
         .alias("n_terms_cand_only"))
 
 
+def embedding_drift(ref: DataFrame, cand: DataFrame,
+                    group_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space drift per group: how far each group's centroid
+    moved between a reference and a candidate embedding set —
+    (group, n_ref, n_cand, centroid_dist, centroid_cos). The vector
+    twin of the vocabulary report: catches representation shift the
+    token distribution can't see (same words, new embedding model or
+    new content mix).
+
+    Plan shape: each side reduces to group-cardinality centroids via
+    ``mean_vectors`` (shuffle carries (group, pos, partial) scalars,
+    never vectors), then the two tiny centroid frames broadcast-join
+    on the group key; the distance arithmetic is a per-row fold over
+    dim elements. Groups missing from either side are omitted (no
+    centroid to compare)."""
+    from ..functions.vector import mean_vectors
+    a = mean_vectors(ref, group_col, vec_col, "__ca") \
+        .withColumnRenamed("n_vectors", "n_ref")
+    b = mean_vectors(cand, group_col, vec_col, "__cb") \
+        .withColumnRenamed("n_vectors", "n_cand")
+    diff2 = F.aggregate(
+        F.zip_with("__ca", "__cb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda s, x: s + x)
+    dot = F.aggregate(F.zip_with("__ca", "__cb", lambda x, y: x * y),
+                      F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.transform("__ca", lambda x: x * x),
+                            F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform("__cb", lambda x: x * x),
+                            F.lit(0.0), lambda s, x: s + x))
+    cos = F.when((na == 0) | (nb == 0), F.lit(0.0)) \
+        .otherwise(dot / (na * nb))
+    return (a.join(F.broadcast(b), group_col)
+            .select(group_col, "n_ref", "n_cand",
+                    F.sqrt(diff2).alias("centroid_dist"),
+                    cos.alias("centroid_cos")))
+
+
 def top_divergent_terms(ref: DataFrame, cand: DataFrame, k: int = 20,
                         id_col: str = "doc_id", text_col: str = "text",
                         alpha: float = 0.5) -> DataFrame:

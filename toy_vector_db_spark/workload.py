@@ -2706,6 +2706,40 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors")
 
 
+# Embedding-space drift per label (drift.embedding_drift): centroid
+# shift between the even-id half (reference) and odd-id half
+# (candidate) of the embeddings table — representation-drift QA. The
+# oracle replays both per-(label,pos) means, the group join, and the
+# euclidean/cosine centroid comparison in exact float64.
+@q("embedding_drift_by_label", """
+WITH p AS (
+  SELECT label, vec_id % 2 = 0 AS is_ref,
+         unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos
+  FROM embeddings),
+a AS (SELECT label, pos, AVG(x) AS m, COUNT(*) AS n
+      FROM p WHERE is_ref GROUP BY label, pos),
+b AS (SELECT label, pos, AVG(x) AS m, COUNT(*) AS n
+      FROM p WHERE NOT is_ref GROUP BY label, pos),
+j AS (SELECT a.label, a.pos, a.m AS ma, b.m AS mb, a.n AS na, b.n AS nb
+      FROM a JOIN b ON a.label = b.label AND a.pos = b.pos)
+SELECT label, CAST(MIN(na) AS BIGINT) AS n_ref,
+       CAST(MIN(nb) AS BIGINT) AS n_cand,
+       ROUND(sqrt(SUM((ma - mb) * (ma - mb))), 6) AS centroid_dist,
+       ROUND(SUM(ma * mb) /
+             (sqrt(SUM(ma * ma)) * sqrt(SUM(mb * mb))), 6) AS centroid_cos
+FROM j GROUP BY label
+""")
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.drift import embedding_drift
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(e.filter("vec_id % 2 = 0"),
+                           e.filter("vec_id % 2 <> 0")) \
+        .select("label", "n_ref", "n_cand",
+                F.round("centroid_dist", 6).alias("centroid_dist"),
+                F.round("centroid_cos", 6).alias("centroid_cos"))
+
+
 # Salted join under a value oracle: event_type is the classic hot-key
 # column (5 values over the whole events table). salted_join spreads
 # each hot key over 8 shuffle partitions (operators/skew.py); salting
