@@ -241,3 +241,32 @@ def test_knn_join_ivf_arrow_matches_column_tier(spark):
         knn_join_ivf_arrow(queries, idx, k=0)
     with pytest.raises(ValueError):
         knn_join_ivf_arrow(queries, idx, nprobe=0)
+
+
+def test_knn_per_group_quota_and_order(spark):
+    from toy_vector_db_spark.operators.knn import knn_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a", [0.0, 0.0]), (2, "a", [1.0, 0.0]), (3, "a", [2.0, 0.0]),
+         (4, "b", [5.0, 0.0]), (5, "b", [6.0, 0.0])],
+        "vec_id long, label string, embedding array<float>")
+    rows = knn_per_group(df, [0.0, 0.0], "label", k=2,
+                         tie_col="vec_id").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["label"], []).append(r["vec_id"])
+    assert sorted(by["a"]) == [1, 2]   # 2 closest of 3
+    assert sorted(by["b"]) == [4, 5]   # group smaller than k kept whole
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        knn_per_group(df, [0.0, 0.0], "label", k=0)
+
+
+def test_knn_per_group_null_distance_excluded(spark):
+    from toy_vector_db_spark.operators.knn import knn_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a", [0.0, 0.0]), (2, "a", None)],
+        "vec_id long, label string, embedding array<float>")
+    rows = knn_per_group(df, [0.0, 0.0], "label", k=5).collect()
+    assert [r["vec_id"] for r in rows] == [1]

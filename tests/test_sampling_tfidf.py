@@ -148,3 +148,28 @@ def test_token_budget_validation(sourced_docs):
         token_budget_sample(sourced_docs, {})
     with pytest.raises(ValueError, match="negative"):
         token_budget_sample(sourced_docs, {"src0": -1})
+
+
+def test_sample_k_per_group_exact_quota_and_stability(spark):
+    from toy_vector_db_spark.operators.sampling import sample_k_per_group
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 40 else "small") for i in range(45)],
+        ["doc_id", "grp"])
+    got = sample_k_per_group(df, "doc_id", "grp", k=5).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["grp"], set()).add(r["doc_id"])
+    assert len(by["big"]) == 5
+    assert len(by["small"]) == 5  # exactly the whole small group
+    # growth stability: adding rows never ADDS a previously-excluded row
+    df2 = spark.createDataFrame(
+        [(i, "big" if i < 40 else "small") for i in range(60)],
+        ["doc_id", "grp"])
+    by2 = {}
+    for r in sample_k_per_group(df2, "doc_id", "grp", k=5).collect():
+        by2.setdefault(r["grp"], set()).add(r["doc_id"])
+    assert by2["big"] <= by["big"] | set(range(40, 60))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sample_k_per_group(df, "doc_id", "grp", k=0)

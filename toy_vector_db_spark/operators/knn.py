@@ -221,6 +221,33 @@ def range_search(df: DataFrame, query_vec: Sequence[float] | Column,
     return out
 
 
+def knn_per_group(df: DataFrame, query_vec: Sequence[float] | Column,
+                  group_col: str, k: int = DEFAULT_K,
+                  metric: str = "euclidean", vec_col: str = "embedding",
+                  dist_col: str = "distance",
+                  tie_col: str | None = None) -> DataFrame:
+    """Top-``k`` nearest rows to the query PER GROUP — "the k best
+    matches from every source/label/shard" (diversified retrieval; a
+    plain top-k would let one dense group crowd out the rest). One
+    map-side distance projection + one per-group window rank: the
+    shuffle is on the group key only, there is no global sort, and
+    each group's rank is a bounded per-partition pass. Rows with null
+    distance are excluded (the knn tier's contract)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+    q = query_vec if isinstance(query_vec, Column) else vector_lit(query_vec)
+    scored = df.withColumn(
+        dist_col, bind_once(F.col(vec_col), lambda v: distance(metric, v, q))
+    ).filter(F.col(dist_col).isNotNull())
+    order = [F.col(dist_col).asc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    win = Window.partitionBy(group_col).orderBy(*order)
+    return (scored.withColumn("__rk", F.row_number().over(win))
+            .filter(F.col("__rk") <= k).drop("__rk"))
+
+
 def _per_query_topk(pairs: DataFrame, k: int, dist_col: str,
                     two_phase: bool = True) -> DataFrame:
     """Reduce scored (__qid, __cid, dist) pairs to the k best per query.

@@ -132,6 +132,30 @@ def token_budget_sample(df: DataFrame, budgets: dict[str, int],
     return staged.filter(budget.isNotNull() & (F.col("cum_before") < budget))
 
 
+def sample_k_per_group(df: DataFrame, key: str, group_col: str,
+                       k: int, salt: str = "kpg") -> DataFrame:
+    """EXACT ``k`` rows per group (fewer if the group is smaller) —
+    the quota form of stratified sampling for when the spec is "N
+    examples per source/language", not a fraction. Membership is the
+    md5 rank within the group, so it is deterministic, engine-
+    reproducible, and STABLE under corpus growth in the hash-sample
+    sense: a row leaves the sample only when a new row hashes below
+    it, never by reshuffling.
+
+    One shuffle on the group key; the rank is a per-group window (no
+    global sort). Hot groups are bounded by the same skew treatments
+    as any keyed window (salt the group upstream if one group is half
+    the corpus)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    win = Window.partitionBy(group_col).orderBy(h.asc(),
+                                                F.col(key).asc())
+    return (df.withColumn("__rk", F.row_number().over(win))
+            .filter(F.col("__rk") <= k).drop("__rk"))
+
+
 def deterministic_shuffle(df: DataFrame, key: str,
                           salt: str = "shuffle") -> DataFrame:
     """Global reproducible shuffle for training-order randomization:

@@ -2706,6 +2706,53 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors")
 
 
+# Per-group top-k similarity (knn.knn_per_group): the k nearest
+# vectors to the query FROM EVERY label — diversified retrieval; one
+# distance map + one per-label window, shuffle on the label key only.
+@q("knn_per_label", f"""
+WITH qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+  WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT vec_id, label,
+         list_distance(CAST(embedding AS DOUBLE[]), q) AS dist
+  FROM embeddings, qv WHERE vec_id <> {QUERY_VEC_ID}),
+r AS (SELECT vec_id, label, dist,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY dist ASC, vec_id ASC) AS rk
+      FROM scored)
+SELECT vec_id, label, ROUND(dist, 4) AS distance
+FROM r WHERE rk <= 3
+""")
+def knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.knn import knn_per_group, lookup_vector
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = lookup_vector(e, "vec_id", QUERY_VEC_ID)
+    return knn_per_group(e.filter(F.col("vec_id") != QUERY_VEC_ID),
+                         qvec, "label", k=3, tie_col="vec_id") \
+        .select("vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
+# Exact-quota sampling (sampling.sample_k_per_group): N docs per
+# language by md5 rank — deterministic, growth-stable membership; one
+# shuffle on the group key, no global sort.
+@q("sample_k_per_lang", """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('kpg' || CAST(doc_id AS VARCHAR)) ASC,
+                    doc_id ASC) AS rk
+  FROM documents) t
+WHERE rk <= 25
+""")
+def sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import sample_k_per_group
+    d = _t(spark, sf_dir, "documents")
+    return sample_k_per_group(d, "doc_id", "lang", k=25) \
+        .select("doc_id", "lang")
+
+
 # Embedding-space drift per label (drift.embedding_drift): centroid
 # shift between the even-id half (reference) and odd-id half
 # (candidate) of the embeddings table — representation-drift QA. The
