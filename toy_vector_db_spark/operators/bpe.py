@@ -1,0 +1,119 @@
+"""BPE vocabulary induction (Sennrich et al., arXiv:1508.07909).
+
+The tokenizer-training step of a data pipeline, in its standard
+corpus-scale formulation: BPE never iterates over the corpus — it
+iterates over the WORD-FREQUENCY TABLE. One corpus-sized aggregation
+produces (word, freq); every merge round after that is vocab-sized
+work (count weighted adjacent symbol pairs, pick the most frequent
+pair, fuse its occurrences greedily left-to-right). That is exactly
+the shape that survives 100 TB: the driver loop runs ``n_merges``
+small jobs against a localCheckpoint-ed vocab frame, and the only
+driver-side data is the argmax pair per round (one row).
+
+The greedy left-to-right fuse is a per-word ``F.aggregate`` fold over
+the symbol array — sequential WITHIN a word (BPE's definition) but
+embarrassingly parallel across words. For "aaa" with pair (a,a) the
+fold yields [aa, a], matching the reference algorithm's non-
+overlapping scan.
+
+No end-of-word marker is appended (the common '</w>' variant) — the
+induced merges are within-word only; add the marker upstream by
+suffixing words if the variant is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_for_fingerprint
+
+SEP = "\x00"  # joins a symbol pair into one count key; never in text
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq): the corpus-sized step, run ONCE. Normalized
+    whitespace tokens, weighted by occurrence count."""
+    toks = F.split(normalize_for_fingerprint(F.col(text_col)), " ")
+    return (docs.select(F.explode(toks).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """array of 'a<SEP>b' for every adjacent symbol pair (overlapping
+    occurrences all counted, the BPE convention: 'aaa' -> 2x 'a a')."""
+    n = F.size(syms)
+    return F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(F.element_at(syms, i), F.lit(SEP),
+                           F.element_at(syms, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """(left, right, weight): adjacent-pair frequencies over a
+    (syms, freq) vocab frame — vocab-sized explode + one aggregate."""
+    return (vocab.select("freq", F.explode(_adjacent_pairs(F.col("syms")))
+                 .alias("__p"))
+            .groupBy("__p").agg(F.sum("freq").alias("weight"))
+            .select(F.split_part(F.col("__p"), F.lit(SEP), F.lit(1))
+                    .alias("left"),
+                    F.split_part(F.col("__p"), F.lit(SEP), F.lit(2))
+                    .alias("right"),
+                    "weight"))
+
+
+def _fuse(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) into 'ab' —
+    the sequential-within-a-word BPE fuse as a fold."""
+    merged = a + b
+    return F.aggregate(
+        syms, F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (s == b),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(merged)))
+        ).otherwise(F.concat(acc, F.array(s))))
+
+
+def learn_bpe(docs: DataFrame, n_merges: int,
+              text_col: str = "text") -> tuple[list[tuple[str, str]],
+                                               DataFrame]:
+    """Run ``n_merges`` BPE rounds; returns (merge list in order,
+    final (word, syms, freq) vocab frame). Ties on pair weight break
+    to the lexicographically smallest (left, right) so the induced
+    merges are deterministic and engine-reproducible. Each round
+    checkpoints the fused vocab (the frames are vocab-sized; without
+    the cut the fuse lineage would re-run every prior round)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    vocab = (word_freqs(docs, text_col)
+             .select("word", F.split(F.col("word"), "").alias("syms"),
+                     "freq")
+             .localCheckpoint(eager=True))
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (pair_counts(vocab)
+               .orderBy(F.col("weight").desc(), F.col("left").asc(),
+                        F.col("right").asc())
+               .limit(1).collect())
+        if not top:
+            break  # vocabulary fully fused
+        a, b = top[0]["left"], top[0]["right"]
+        merges.append((a, b))
+        vocab = (vocab.select("word",
+                              _fuse(F.col("syms"), a, b).alias("syms"),
+                              "freq")
+                 .localCheckpoint(eager=True))
+    return merges, vocab
+
+
+def segment(words: DataFrame, merges: list[tuple[str, str]],
+            word_col: str = "word") -> DataFrame:
+    """Apply a learned merge list to new words (tokenizer inference):
+    same greedy fuse, in merge order — map-only, no shuffle."""
+    syms = F.split(F.col(word_col), "")
+    for a, b in merges:
+        syms = _fuse(syms, a, b)
+    return words.withColumn("syms", syms)

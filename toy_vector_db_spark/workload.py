@@ -2706,6 +2706,41 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors")
 
 
+# BPE vocabulary induction (operators/bpe): the tokenizer-training
+# step. The corpus-sized part — word freqs + weighted adjacent
+# symbol-pair counts over the initial character vocab — carries a full
+# value oracle here (top 20 merge candidates, deterministic
+# tie-break); the iterative merge rounds are pytest-verified against
+# hand-computed BPE runs (the greedy fuse is not single-SQL-statement
+# expressible, so rounds beyond the first stay test-covered).
+@q("bpe_top_pairs", f"""
+WITH w AS (
+  SELECT t AS word, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split({_DD_NORM}, ' ')) AS t FROM documents)
+  WHERE t <> '' GROUP BY t),
+p AS (
+  SELECT freq, s[i] AS lsym, s[i + 1] AS rsym
+  FROM (SELECT freq, string_split(word, '') AS s FROM w),
+       UNNEST(range(1, greatest(len(s), 1))) AS t(i))
+SELECT lsym, rsym, CAST(SUM(freq) AS BIGINT) AS weight
+FROM p GROUP BY lsym, rsym
+ORDER BY weight DESC, lsym ASC, rsym ASC
+LIMIT 20
+""")
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import pair_counts, word_freqs
+    d = _tp(spark, sf_dir, "documents")
+    vocab = word_freqs(d).select(
+        "word", F.split(F.col("word"), "").alias("syms"), "freq")
+    return (pair_counts(vocab)
+            .select(F.col("left").alias("lsym"),
+                    F.col("right").alias("rsym"),
+                    F.col("weight").cast("bigint").alias("weight"))
+            .orderBy(F.col("weight").desc(), F.col("lsym").asc(),
+                     F.col("rsym").asc())
+            .limit(20))
+
+
 # Per-group top-k similarity (knn.knn_per_group): the k nearest
 # vectors to the query FROM EVERY label — diversified retrieval; one
 # distance map + one per-label window, shuffle on the label key only.
