@@ -3700,17 +3700,22 @@ _WINDOW = [
     # pushdown still proven by the pii/markup regexp tiers + pytest)
     "scan_project_limit", "filter_id_eq", "span_dedup_docs",
     "sql_meta_ne_dialect", "sql_nearest_filtered",
-    # agg / join / window / grammar / set ops (having_repeat_customers
-    # cycled out r4.6: GROUP BY + HAVING arithmetic re-proven inside
-    # agg_pricing_summary + orders_above_cust_avg)
+    # agg / join / window / grammar / set ops (r4.7: anti_join and
+    # top-n-window cycled out — the anti-join mechanism is re-proven
+    # inside the windowed decontam oracle, ranked windows inside
+    # lm_perplexity_buckets' NTILE and knn_per_label's row_number)
     "profile_orders", "agg_pricing_summary",
-    "join_region_revenue", "anti_join_no_orders", "window_topn_orders",
-    "orders_above_cust_avg", "set_ops_segments",
+    "join_region_revenue", "orders_above_cust_avg", "set_ops_segments",
+    # ranked/quantile windows + pipeline accounting (new r4.7)
+    "lm_perplexity_buckets", "corpus_filter_funnel",
     # temporal operators
     "asof_join_events", "events_sessionize",
-    # embedding pipeline (+ per-group vector aggregation, first window r4)
-    "embed_documents_values", "embed_ingest_roundtrip",
-    "search_text_documents", "embedding_centroids_by_label",
+    # embedding pipeline (r4.7: embed_documents_values out — the
+    # ingest roundtrip re-embeds the same corpus under a value oracle;
+    # centroids-by-label out — embedding_drift_by_label runs
+    # mean_vectors TWICE and value-checks the comparison on top)
+    "embed_ingest_roundtrip",
+    "search_text_documents", "embedding_drift_by_label",
     # text quality tier (text_stats cycled out r4.5: its exact
     # quality-score arithmetic is re-proven value-for-value inside the
     # corpus_clean_streaming oracle below)
@@ -3720,31 +3725,38 @@ _WINDOW = [
     # of dedup_semantic_ivf, whose oracle also re-proves det-IVF
     # assignment and connected components; crossdoc shared-shingle
     # stats new r4.5)
-    "dedup_exact_clusters", "dedup_minhash_pairs", "dedup_components",
+    # (dedup_exact_clusters cycled out r4.7 — the fingerprint groupBy
+    # is value-checked inside corpus_clean_streaming + clean_pipeline)
+    "dedup_minhash_pairs", "dedup_components",
     "dedup_semantic_ivf", "dedup_simhash_neighbors",
     "crossdoc_shared_shingles",
+    # corpus QA: vocab drift (new r4.7)
+    "corpus_vocab_drift",
     # sampling / splits / data selection (DSIR new r4.6)
     "mixture_token_budget", "dsir_select_en",
     # URL curation (new r4.6)
     "url_domain_stats",
-    # vocab / tfidf
-    "lm_unigram_scores", "tfidf_top_terms",
+    # vocab / tfidf / tokenizer induction (BPE new r4.7)
+    "lm_unigram_scores", "tfidf_top_terms", "bpe_top_pairs",
     # decontamination / PII / end-to-end clean (corpus_mix_report
     # cycled out r4.6: mixture accounting re-proven by
     # mixture_token_budget's running totals)
     "decontam_bloom_overlap", "pii_scrub",
     "corpus_clean_pipeline",
-    # training-window packing (first window r4)
-    "corpus_chunk_windows",
+    # training-window packing: the overlap regime replaces the
+    # concat-and-chunk slot r4.7 (that one was driver-green in r4; the
+    # overlap query additionally value-checks rebuilt chunk TEXT)
+    "corpus_chunk_overlap",
     # media plumbing
     "media_decode_stats",
     # events analytics (value_bands cycled out r4.6 — banded CASE agg
-    # re-proven inside events_rollup_streaming's batch twin)
-    "events_dau_error_gate",
-    # batch similarity joins: IVF / IVF-PQ (exact tier cycled out r4)
-    # (these also hard-signal det-IVF assignment + PQ ADC, so the
-    # ann_ivf_det/ann_ivfpq point-search twins could cycle out)
-    "knn_join_ivf_batch", "knn_join_ivfpq_batch",
+    # re-proven inside events_rollup_streaming's batch twin); user
+    # funnel new r4.7
+    "events_dau_error_gate", "events_user_funnel",
+    # batch similarity joins: IVF-PQ (exact tier cycled out r4; plain
+    # IVF join out r4.7 — IVF-PQ's oracle replays the same cluster
+    # equi-join plus ADC on top)
+    "knn_join_ivfpq_batch",
     # ANN index tiers: SQ8, the graph tier's recall gate, the
     # chooser-routed exact search, and (new r4.6) exact-pruned radius
     # search + cluster analytics — ann_lsh_topk cycled out r4.6 (LSH
