@@ -102,3 +102,31 @@ def test_perplexity_buckets_tie_break_deterministic(spark):
     assert a == {10: 1, 11: 2, 12: 3}  # equal scores fall to the id
     with pytest.raises(ValueError):
         perplexity_buckets(scored, 0)
+
+
+def test_bigram_instances_pairs(spark):
+    from toy_vector_db_spark.operators.lmscore import bigram_instances
+
+    d = spark.createDataFrame([(1, "a b c"), (2, "solo"), (3, "")],
+                              ["doc_id", "text"])
+    got = {(r["doc_id"], r["prev"], r["cur"])
+           for r in bigram_instances(d).collect()}
+    assert got == {(1, "a", "b"), (1, "b", "c")}
+
+
+def test_bigram_scores_order_sensitivity(spark):
+    """Same unigram bag, different order -> different bigram score;
+    the common order scores better (lower -ln p)."""
+    from toy_vector_db_spark.operators.lmscore import bigram_scores
+
+    d = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat sat"), (3, "sat the cat"),
+         (4, "cat sat the")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["avg_neg_logprob"]
+           for r in bigram_scores(d).collect()}
+    # docs 1/2 share the dominant order -> best scores
+    assert got[1] == pytest.approx(got[2])
+    assert got[1] < got[3] and got[1] < got[4]
+    with pytest.raises(ValueError):
+        bigram_scores(d, alpha=0)

@@ -28,7 +28,7 @@ model, where unseen tokens get the alpha / (N + alpha*V) floor.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_for_fingerprint
@@ -71,6 +71,62 @@ def score_against(docs: DataFrame, model: DataFrame,
             .crossJoin(F.broadcast(scalars))
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.avg(-F.log(p)).alias("avg_neg_logprob")))
+
+
+def bigram_instances(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, prev, cur): one row per adjacent token pair — built
+    map-side from the token array (no positional self-join). Docs with
+    fewer than 2 tokens contribute nothing."""
+    from ..functions.util import bind_once
+
+    def pairs(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.when(n >= 2, F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(F.element_at(toks, i).alias("prev"),
+                               F.element_at(toks, i + 1).alias("cur")))
+        ).otherwise(F.array().cast(
+            "array<struct<prev:string,cur:string>>"))
+
+    toks = F.filter(F.split(normalize_for_fingerprint(F.col(text_col)),
+                            " "), lambda t: t != "")
+    return (docs.select(F.col(id_col),
+                        F.explode(bind_once(toks, pairs)).alias("__p"))
+            .select(id_col, F.col("__p.prev").alias("prev"),
+                    F.col("__p.cur").alias("cur")))
+
+
+def bigram_scores(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  alpha: float = 0.5) -> DataFrame:
+    """(id, n_bigrams, avg_neg_logprob): mean -ln p(cur | prev) per
+    document under the corpus's own Laplace-smoothed bigram model —
+    the next rung of the CCNet quality ladder (catches scrambled or
+    repetitive word ORDER the unigram model scores as normal).
+
+    p(b|a) = (c(a,b) + alpha) / (c(a) + alpha * V), V = unigram vocab
+    size. Plan shape mirrors ``unigram_scores``: pair instances
+    exploded once and checkpointed; bigram counts one aggregate;
+    context (prev-token) counts + V derived FROM the bigram counts
+    (c(a) = sum over b of c(a,b) + a correction for the final token —
+    instead we count contexts directly from the pair frame, one more
+    small aggregate); instances join both count frames on their keys."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    bi = bigram_instances(docs, id_col, text_col).localCheckpoint(eager=True)
+    big_c = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__cb"))
+    ctx_c = bi.groupBy("prev").agg(F.count(F.lit(1)).alias("__ca"))
+    vocab = (token_instances(docs, id_col, text_col)
+             .agg(F.count_distinct(F.col("term")).alias("__v")))
+    p = (F.col("__cb") + F.lit(alpha)) \
+        / (F.col("__ca") + F.lit(alpha) * F.col("__v"))
+    return (bi.join(big_c, ["prev", "cur"])
+            .join(ctx_c, "prev")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.avg(-F.log(p)).alias("avg_neg_logprob")))
 
 

@@ -3579,6 +3579,36 @@ def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(d.select("doc_id", injected.alias("text")))
 
 
+# Bigram conditional LM scoring (lmscore.bigram_scores): the next
+# rung of the quality ladder — mean -ln p(cur|prev) under the
+# corpus's own smoothed bigram model; catches scrambled word ORDER
+# the unigram scorer can't. The oracle replays pair construction,
+# both count tables, vocab size, and the per-doc average.
+@q("lm_bigram_scores", f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split({_DD_NORM}, ' '), t -> t <> '') AS t
+  FROM documents),
+bi AS (
+  SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+  FROM tk, UNNEST(range(1, greatest(len(t), 1))) AS u(i)),
+bc AS (SELECT prev, cur, COUNT(*) AS cb FROM bi GROUP BY prev, cur),
+cc AS (SELECT prev, COUNT(*) AS ca FROM bi GROUP BY prev),
+vv AS (SELECT COUNT(DISTINCT x) AS v
+       FROM (SELECT unnest(t) AS x FROM tk))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-ln((cb + 0.5) / (ca + 0.5 * v))), 4) AS avg_neg_logprob
+FROM bi JOIN bc USING (prev, cur) JOIN cc USING (prev), vv
+GROUP BY doc_id
+""")
+def lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.lmscore import bigram_scores
+    d = _tp(spark, sf_dir, "documents")
+    return bigram_scores(d).select(
+        "doc_id", "n_bigrams",
+        F.round("avg_neg_logprob", 4).alias("avg_neg_logprob"))
+
+
 # Streaming frozen-model LM scoring (streaming/corpus.lm_score_stream):
 # the unigram model is fit OFFLINE on the batch corpus, then every doc
 # arriving on the stream is scored under it — the incremental-ingest
