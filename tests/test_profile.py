@@ -35,3 +35,32 @@ def test_profile_approximate_tier(table):
             for r in profile_table(table, approximate=True).collect()}
     # HLL++ on 4 tiny groups is exact in practice; bound it loosely
     assert 3 <= rows["id"]["n_distinct"] <= 5
+
+
+def test_numeric_quantiles_exact_and_grouped(spark):
+    from toy_vector_db_spark.operators.profile import numeric_quantiles
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b"), (None, "b")],
+        "x double, g string")
+    flat = {(r["q"]): r["value"]
+            for r in numeric_quantiles(df, ["x"], [0.0, 0.5, 1.0]).collect()}
+    assert flat == {0.0: 1.0, 0.5: 2.5, 1.0: 4.0}  # nulls ignored
+    by_g = {(r["g"], r["q"]): r["value"]
+            for r in numeric_quantiles(df, ["x"], [0.5],
+                                       group_col="g").collect()}
+    assert by_g == {("a", 0.5): 1.5, ("b", 0.5): 3.5}
+
+
+def test_numeric_quantiles_validation(spark):
+    import pytest as _pytest
+
+    from toy_vector_db_spark.operators.profile import numeric_quantiles
+
+    df = spark.createDataFrame([(1.0,)], ["x"])
+    with _pytest.raises(ValueError):
+        numeric_quantiles(df, [])
+    with _pytest.raises(ValueError):
+        numeric_quantiles(df, ["x"], [1.5])
+    with _pytest.raises(KeyError):
+        numeric_quantiles(df, ["nope"])

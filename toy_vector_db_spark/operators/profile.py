@@ -51,3 +51,38 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
     return row.selectExpr(
         f"stack({len(cols)}, {parts}) AS "
         "(col_name, n_nulls, n_distinct, min_value, max_value)")
+
+
+def numeric_quantiles(df: DataFrame, columns: list[str],
+                      quantiles: list[float] | None = None,
+                      group_col: str | None = None,
+                      approximate: bool = False) -> DataFrame:
+    """(group?, col_name, q, value): exact linear-interpolated
+    quantiles per numeric column (optionally per group) — the
+    distribution half of the profile (nulls/cardinality/range above;
+    spread here). One aggregate; each column's quantile list unpivots
+    plan-side via ``inline``.
+
+    ``approximate=True`` swaps exact ``percentile`` (full sort of each
+    column's values inside the aggregate — the oracle-able tier) for
+    ``approx_percentile`` (bounded-memory sketch, the 100 TB default).
+    Nulls are ignored, matching SQL quantile semantics."""
+    qs = quantiles or [0.25, 0.5, 0.75, 0.95]
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    if any(not 0 <= q <= 1 for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1], got {qs}")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise KeyError(f"no such column(s): {missing}")
+    qarr = "array(" + ",".join(f"{q}D" for q in qs) + ")"
+    fn = "approx_percentile" if approximate else "percentile"
+    aggs = [F.expr(f"{fn}({c}, {qarr})").alias(f"__q{i}")
+            for i, c in enumerate(columns)]
+    keys = [group_col] if group_col else []
+    row = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    structs = ", ".join(
+        f"named_struct('col_name', '{c}', 'q', {q}D, "
+        f"'value', __q{i}[{j}])"
+        for i, c in enumerate(columns) for j, q in enumerate(qs))
+    return row.selectExpr(*keys, f"inline(array({structs}))")

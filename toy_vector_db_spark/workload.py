@@ -3211,6 +3211,27 @@ _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
                  "o_orderpriority"]
 
 
+# Quantile profiling (profile.numeric_quantiles): exact interpolated
+# per-group quantiles — Spark `percentile` and DuckDB `quantile_cont`
+# share linear interpolation, so the values oracle exactly.
+@q("profile_order_quantiles", """
+WITH q AS (
+  SELECT o_orderstatus,
+         quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.95]) AS v
+  FROM orders GROUP BY o_orderstatus)
+SELECT o_orderstatus, 'o_totalprice' AS col_name,
+       CAST([0.25, 0.5, 0.75, 0.95][i] AS DOUBLE) AS q, ROUND(v[i], 4) AS value
+FROM q, UNNEST(range(1, 5)) AS t(i)
+""")
+def profile_order_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import numeric_quantiles
+    o = _t(spark, sf_dir, "orders")
+    return numeric_quantiles(o, ["o_totalprice"],
+                             [0.25, 0.5, 0.75, 0.95],
+                             group_col="o_orderstatus") \
+        .withColumn("value", F.round("value", 4))
+
+
 @q("profile_orders", _profile_oracle(_PROFILE_COLS))
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.profile import profile_table
