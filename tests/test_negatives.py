@@ -1,0 +1,60 @@
+from __future__ import annotations
+
+import pytest
+
+from toy_vector_db_spark.operators.negatives import (
+    hard_negative_join, in_batch_negatives,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(30)],
+        ["doc_id", "lang"])
+
+
+def test_in_batch_negatives_shape(docs):
+    rows = in_batch_negatives(docs, "doc_id", k=2, batches=4).collect()
+    assert all(r["anchor"] != r["negative"] for r in rows)
+    assert all(1 <= r["offset"] <= 2 for r in rows)
+    # each anchor has at most k negatives; most have exactly k
+    per = {}
+    for r in rows:
+        per[r["anchor"]] = per.get(r["anchor"], 0) + 1
+    assert max(per.values()) == 2
+    # deterministic across runs
+    again = in_batch_negatives(docs, "doc_id", k=2, batches=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_in_batch_label_mask(docs):
+    lbl = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    rows = in_batch_negatives(docs, "doc_id", k=3, batches=2,
+                              label_col="lang").collect()
+    assert len(rows) > 0
+    assert all(lbl[r["anchor"]] != lbl[r["negative"]] for r in rows)
+
+
+def test_hard_negatives_exclude_own_label(spark):
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 0, [0.99, 0.01]),
+         (3, 1, [0.9, 0.1]), (4, 1, [0.0, 1.0]), (5, 2, [0.5, 0.5])],
+        "vec_id long, label int, embedding array<double>")
+    rows = hard_negative_join(df, k=2).collect()
+    lbl = {1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+    assert all(lbl[r["query_id"]] != lbl[r["vec_id"]] for r in rows)
+    # anchor 1's hardest negative is 3 (closest different-label row),
+    # NOT its same-label near-duplicate 2
+    one = sorted((r for r in rows if r["query_id"] == 1),
+                 key=lambda r: r["distance"])
+    assert one[0]["vec_id"] == 3
+
+
+def test_validation(docs):
+    with pytest.raises(ValueError):
+        in_batch_negatives(docs, "doc_id", k=0)
+    with pytest.raises(ValueError):
+        in_batch_negatives(docs, "doc_id", k=1, batches=0)
+    with pytest.raises(ValueError):
+        hard_negative_join(docs, k=0)

@@ -1,0 +1,112 @@
+"""Negative sampling for contrastive / metric-learning training data.
+
+Two standard recipes over an embedding (or document) table:
+
+- ``in_batch_negatives``: the cheap tier — partition the corpus into
+  deterministic md5 "batches", order each batch by a second md5, and
+  pair every anchor with the next ``k`` rows of its batch (what a
+  contrastive trainer gets for free from co-batched examples, made
+  explicit and reproducible). Map-side hashing + ONE window per
+  batch; no distance computation at all.
+
+- ``hard_negative_join``: the quality tier — for every anchor, the
+  ``k`` NEAREST rows with a DIFFERENT label (hard negatives, the
+  pairs that actually move a contrastive loss). Exact tier below
+  broadcasts the corpus and reuses the two-phase per-query top-k;
+  at corpus sizes past broadcast range, swap the pair source for the
+  IVF cluster equi-join or BLAS cogroup tiers (operators/knn.py,
+  operators/pq.py) and keep the same label-mismatch filter — the
+  filter composes BEFORE top-k selection either way, which is the
+  correctness point (filter-then-rank, not rank-then-filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .knn import _per_query_topk
+from ..functions.distance import distance
+from ..functions.util import bind_once
+
+
+def in_batch_negatives(df: DataFrame, key: str, k: int = 4,
+                       batches: int = 64,
+                       label_col: str | None = None,
+                       salt: str = "negs") -> DataFrame:
+    """(anchor, negative, offset): each row paired with the next ``k``
+    rows of its md5-batch in md5 order (offset 1..k; tail rows of a
+    batch get fewer). With ``label_col``, same-label pairs are dropped
+    AFTER pairing (the in-batch convention: the batch is fixed, known
+    collisions are masked). Deterministic and engine-reproducible —
+    both the batch assignment and the in-batch order are md5-derived."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if batches < 1:
+        raise ValueError(f"batches must be >= 1, got {batches}")
+    from pyspark.sql import Window
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+              % batches)
+    base = df.select(F.col(key).alias("anchor"),
+                     *([F.col(label_col).alias("__albl")]
+                       if label_col else []),
+                     h.alias("__h"), bucket.alias("__b"))
+    win = Window.partitionBy("__b").orderBy(F.col("__h").asc(),
+                                            F.col("anchor").asc())
+    # window exprs can't sit inside a generator: materialize the k
+    # leads as columns first, then fold them into an array and explode
+    lead_cols = []
+    for i in range(1, k + 1):
+        lead_cols.append(F.lead("anchor", i).over(win).alias(f"__n{i}"))
+        if label_col:
+            lead_cols.append(F.lead("__albl", i).over(win)
+                             .alias(f"__nl{i}"))
+    staged = base.select("anchor",
+                         *(["__albl"] if label_col else []), *lead_cols)
+    leads = F.array(*[
+        F.struct(F.lit(i).alias("offset"),
+                 F.col(f"__n{i}").alias("negative"),
+                 *([F.col(f"__nl{i}").alias("__nlbl")]
+                   if label_col else []))
+        for i in range(1, k + 1)])
+    out = (staged.select("anchor",
+                         *(["__albl"] if label_col else []),
+                         F.explode(leads).alias("__n"))
+           .filter(F.col("__n.negative").isNotNull()))
+    if label_col:
+        out = out.filter(F.col("__n.__nlbl") != F.col("__albl"))
+    return out.select("anchor", F.col("__n.negative").alias("negative"),
+                      F.col("__n.offset").alias("offset"))
+
+
+def hard_negative_join(df: DataFrame, k: int = 4,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label",
+                       metric: str = "cosine",
+                       dist_col: str = "distance") -> DataFrame:
+    """(query_id, vec_id, distance): for every anchor, the ``k``
+    nearest rows whose label DIFFERS — exact tier (broadcast corpus +
+    two-phase per-query top-k; the label filter runs before ranking,
+    so near-duplicates of the anchor's own class can never crowd out
+    true negatives)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    corpus = F.broadcast(df.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec"),
+        F.col(label_col).alias("__clbl")))
+    pairs = (df.select(F.col(id_col).alias("__qid"),
+                       F.col(vec_col).alias("__qvec"),
+                       F.col(label_col).alias("__qlbl"))
+             .crossJoin(corpus)
+             .filter(F.col("__clbl") != F.col("__qlbl"))
+             .select("__qid", "__cid",
+                     bind_once(F.col("__cvec"),
+                               lambda v: distance(metric, v,
+                                                  F.col("__qvec")))
+                     .alias(dist_col))
+             .filter(F.col(dist_col).isNotNull()))
+    return (_per_query_topk(pairs, k, dist_col)
+            .withColumnRenamed("__qid", "query_id")
+            .withColumnRenamed("__cid", id_col))

@@ -2816,6 +2816,71 @@ def sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
 
 
+# Contrastive-training negative sampling (operators/negatives).
+# In-batch tier: md5 batches + next-k pairing, same-label masked; the
+# oracle replays batch assignment, in-batch order, the k LEADs, and
+# the mask.
+@q("negatives_in_batch", """
+WITH b AS (
+  SELECT doc_id, lang,
+         md5('negs' || CAST(doc_id AS VARCHAR)) AS h,
+         ('0x' || substr(md5('negs' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 16 AS bk
+  FROM documents),
+l AS (
+  SELECT doc_id AS anchor, lang,
+         LEAD(doc_id, 1) OVER w AS n1, LEAD(lang, 1) OVER w AS l1,
+         LEAD(doc_id, 2) OVER w AS n2, LEAD(lang, 2) OVER w AS l2,
+         LEAD(doc_id, 3) OVER w AS n3, LEAD(lang, 3) OVER w AS l3
+  FROM b WINDOW w AS (PARTITION BY bk ORDER BY h ASC, doc_id ASC))
+SELECT anchor, negative, CAST(off AS INT) AS "offset" FROM (
+  SELECT anchor, n1 AS negative, l1 AS nl, 1 AS off, lang FROM l
+  UNION ALL SELECT anchor, n2, l2, 2, lang FROM l
+  UNION ALL SELECT anchor, n3, l3, 3, lang FROM l)
+WHERE negative IS NOT NULL AND nl <> lang
+""")
+def negatives_in_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.negatives import in_batch_negatives
+    d = _t(spark, sf_dir, "documents")
+    return in_batch_negatives(d, "doc_id", k=3, batches=16,
+                              label_col="lang")
+
+
+# Hard-negative mining: for every anchor, the k nearest vectors with
+# a DIFFERENT label — filter-then-rank (label mismatch composes
+# BEFORE top-k selection), exact broadcast tier.
+@q("hard_negatives_topk", """
+WITH p AS (
+  SELECT a.vec_id AS query_id, c.vec_id, a.label AS ql, c.label AS cl,
+         CASE WHEN sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[]))) = 0
+                OR sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(a.embedding AS DOUBLE[]))) = 0
+              THEN 1.0
+              ELSE 1.0 - LEAST(GREATEST(
+                list_inner_product(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(a.embedding AS DOUBLE[]))
+                / (sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])))
+                 * sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(a.embedding AS DOUBLE[])))),
+                -1.0), 1.0) END AS dist
+  FROM embeddings a JOIN embeddings c ON a.label <> c.label),
+r AS (SELECT query_id, vec_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, vec_id ASC) AS rk
+      FROM p)
+SELECT query_id, vec_id, ROUND(dist, 4) AS distance
+FROM r WHERE rk <= 3
+""")
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.negatives import hard_negative_join
+    e = _t(spark, sf_dir, "embeddings")
+    return hard_negative_join(e, k=3) \
+        .select("query_id", "vec_id",
+                F.round("distance", 4).alias("distance"))
+
+
 # Embedding-space drift per label (drift.embedding_drift): centroid
 # shift between the even-id half (reference) and odd-id half
 # (candidate) of the embeddings table — representation-drift QA. The
