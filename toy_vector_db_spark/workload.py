@@ -2816,6 +2816,57 @@ def sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
 
 
+# Corpus data card (operators/datacard): the one-call dataset summary
+# (Datasheets-for-Datasets shape) — every scalar metric in ONE
+# aggregate, language mix in a second; the oracle replays all of it
+# including the quality formula and exact token quantiles.
+def _card_oracle() -> str:
+    stops = _dd_stoplist("en")
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len({_DD_TOKS}) END AS n_tok,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         len(list_filter({_DD_TOKS}, x -> list_contains({stops}, x))) AS stop_hits,
+         md5({_DD_NORM}) AS fp
+  FROM documents),
+s AS (
+  SELECT *,
+    0.4 * least(n_tok / 20.0, 1.0)
+  + 0.2 * (CASE WHEN n_tok > 0 AND CAST(n_chars AS DOUBLE) / n_tok >= 3.0
+                 AND CAST(n_chars AS DOUBLE) / n_tok <= 10.0 THEN 1.0 ELSE 0.5 END)
+  + 0.2 * least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 20.0, 1.0)
+  + 0.2 * least((CASE WHEN n_tok > 0 THEN CAST(stop_hits AS DOUBLE) / n_tok ELSE 0.0 END) * 4.0, 1.0)
+    AS quality
+  FROM t),
+a AS (
+  SELECT COUNT(*) AS docs, SUM(n_tok) AS toks,
+         SUM(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS emp,
+         COUNT(DISTINCT fp) AS fps, AVG(quality) AS q,
+         quantile_cont(n_tok, [0.25, 0.5, 0.75]) AS tq
+  FROM s)
+SELECT metric, ROUND(value, 4) AS value FROM (
+  SELECT 'n_docs' AS metric, CAST(docs AS DOUBLE) AS value FROM a
+  UNION ALL SELECT 'n_tokens', CAST(toks AS DOUBLE) FROM a
+  UNION ALL SELECT 'empty_rate', emp / CAST(docs AS DOUBLE) FROM a
+  UNION ALL SELECT 'exact_dup_rate', 1.0 - fps / CAST(docs AS DOUBLE) FROM a
+  UNION ALL SELECT 'mean_quality', q FROM a
+  UNION ALL SELECT 'tokens_p25', tq[1] FROM a
+  UNION ALL SELECT 'tokens_p50', tq[2] FROM a
+  UNION ALL SELECT 'tokens_p75', tq[3] FROM a
+  UNION ALL SELECT 'lang_share:' || lang,
+                   COUNT(*) / (SELECT CAST(docs AS DOUBLE) FROM a)
+            FROM t GROUP BY lang)
+"""
+
+
+@q("corpus_data_card", _card_oracle())
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.datacard import corpus_card
+    return corpus_card(_tp(spark, sf_dir, "documents"))
+
+
 # Contrastive-training negative sampling (operators/negatives).
 # In-batch tier: md5 batches + next-k pairing, same-label masked; the
 # oracle replays batch assignment, in-batch order, the k LEADs, and
