@@ -3871,10 +3871,15 @@ _WINDOW = [
     # top-n-window cycled out — the anti-join mechanism is re-proven
     # inside the windowed decontam oracle, ranked windows inside
     # lm_perplexity_buckets' NTILE and knn_per_label's row_number)
-    "profile_orders", "agg_pricing_summary",
+    # (r4.8: profile_orders swapped for profile_order_quantiles — the
+    # quantile tier exercises the same one-agg-unpivot shape PLUS
+    # exact percentile interpolation)
+    "profile_order_quantiles", "agg_pricing_summary",
     "join_region_revenue", "orders_above_cust_avg", "set_ops_segments",
     # ranked/quantile windows + pipeline accounting (new r4.7)
     "lm_perplexity_buckets", "corpus_filter_funnel",
+    # dataset reporting capstone + contrastive negatives (new r4.8)
+    "corpus_data_card", "hard_negatives_topk",
     # temporal operators
     "asof_join_events", "events_sessionize",
     # embedding pipeline (r4.7: embed_documents_values out — the
@@ -3883,10 +3888,11 @@ _WINDOW = [
     # mean_vectors TWICE and value-checks the comparison on top)
     "embed_ingest_roundtrip",
     "search_text_documents", "embedding_drift_by_label",
-    # text quality tier (text_stats cycled out r4.5: its exact
-    # quality-score arithmetic is re-proven value-for-value inside the
-    # corpus_clean_streaming oracle below)
-    "quality_repetition",
+    # text quality tier: quality_repetition cycled out r4.8 — the
+    # quality formula is value-checked inside corpus_data_card AND
+    # corpus_clean_streaming; repetition gates stay pytest-covered
+    # (bigram order scoring below is the sharper word-order signal)
+    "lm_bigram_scores",
     # dedup tier (+ simhash Hamming-ball degrees, first window r4;
     # dedup_cosine_blocked cycled out r4.5 — it is a literal component
     # of dedup_semantic_ivf, whose oracle also re-proves det-IVF
@@ -3903,8 +3909,11 @@ _WINDOW = [
     "mixture_token_budget", "dsir_select_en",
     # URL curation (new r4.6)
     "url_domain_stats",
-    # vocab / tfidf / tokenizer induction (BPE new r4.7)
-    "lm_unigram_scores", "tfidf_top_terms", "bpe_top_pairs",
+    # vocab / tfidf / tokenizer induction (BPE new r4.7;
+    # lm_unigram_scores cycled out r4.8 — the unigram model is
+    # replayed wholesale inside lm_perplexity_buckets AND shares
+    # lm_score_streaming's oracle)
+    "tfidf_top_terms", "bpe_top_pairs",
     # decontamination / PII / end-to-end clean (corpus_mix_report
     # cycled out r4.6: mixture accounting re-proven by
     # mixture_token_budget's running totals)
@@ -3929,8 +3938,11 @@ _WINDOW = [
     # search + cluster analytics — ann_lsh_topk cycled out r4.6 (LSH
     # banding still hard-signaled via dedup_minhash_pairs; the query
     # stays oracle-run)
+    # (embedding_cluster_stats cycled out r4.8: det-IVF assignment is
+    # value-checked by range_search_pruned + dedup_semantic_ivf, its
+    # agg/top-1-window mechanics by the data card + knn_per_label)
     "ann_sq8_topk", "ann_graph_recall_gate", "knn_search_auto",
-    "range_search_pruned", "embedding_cluster_stats",
+    "range_search_pruned",
     # structured streaming — rollup (watermark agg), dedup (file
     # sink), stream-stream join, search, and the corpus-clean registry
     # (new r4.5); sessionize cycled out after its r4 driver-green row
