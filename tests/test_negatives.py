@@ -58,3 +58,48 @@ def test_validation(docs):
         in_batch_negatives(docs, "doc_id", k=1, batches=0)
     with pytest.raises(ValueError):
         hard_negative_join(docs, k=0)
+
+
+def test_hard_negative_ivf_matches_exact_in_probed_clusters(spark):
+    """With nprobe == n_centroids (exhaustive probing) the IVF BLAS
+    tier must equal the exact tier exactly."""
+    from toy_vector_db_spark.operators.ann import IvfIndex
+
+    import random
+    rng = random.Random(7)
+    rows = [(i, i % 3, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    idx = IvfIndex.build_deterministic(df, n_centroids=4)
+    ivf = {(r["query_id"], r["vec_id"])
+           for r in hard_negative_join_ivf_helper(df, idx)}
+    exact = {(r["query_id"], r["vec_id"])
+             for r in hard_negative_join(df, k=3,
+                                         metric="euclidean").collect()}
+    assert ivf == exact
+
+
+def hard_negative_join_ivf_helper(df, idx):
+    from toy_vector_db_spark.operators.negatives import (
+        hard_negative_join_ivf,
+    )
+    return hard_negative_join_ivf(df, idx, k=3, nprobe=4).collect()
+
+
+def test_hard_negative_ivf_anchor_batch_never_materializes_cross(spark):
+    """Plan audit: the IVF tier's pair source is a cogroup, not a
+    cartesian/broadcast nested loop."""
+    from toy_vector_db_spark.operators.ann import IvfIndex
+    from toy_vector_db_spark.operators.negatives import (
+        hard_negative_join_ivf,
+    )
+    df = spark.createDataFrame(
+        [(i, i % 2, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, label int, embedding array<double>")
+    idx = IvfIndex.build_deterministic(df, n_centroids=2)
+    plan = hard_negative_join_ivf(df, idx, k=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapCoGroups" in plan

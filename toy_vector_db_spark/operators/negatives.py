@@ -80,23 +80,94 @@ def in_batch_negatives(df: DataFrame, key: str, k: int = 4,
                       F.col("__n.offset").alias("offset"))
 
 
+def hard_negative_join_ivf(df: DataFrame, index, k: int = 4,
+                           nprobe: int = 3,
+                           label_col: str = "label",
+                           metric: str = "euclidean",
+                           dist_col: str = "distance") -> DataFrame:
+    """The SCALE tier of hard-negative mining: IVF cluster pruning +
+    per-cluster BLAS scoring (the ``knn_join_ivf_arrow`` shape), with
+    the label mask applied INSIDE the matrix step (same-label
+    candidates are set to +inf before the local top-k, so the filter
+    still composes before ranking). Exact within the probed clusters;
+    the probe set is the documented IVF approximation, deterministic
+    under ``build_deterministic`` — so the whole tier value-oracles.
+    |corpus| x |corpus| never materializes: both sides meet only
+    within shared clusters, one shuffle each."""
+    import numpy as np
+    import pandas as pd
+
+    from .knn import probe_clusters_expr
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    pcol = index.PARTITION_COL
+    probes = probe_clusters_expr(index.centroids,
+                                 F.col(index.vec_col), nprobe)
+    q = df.select(F.col(index.id_col).alias("__qid"),
+                  F.col(index.vec_col).alias("__qvec"),
+                  F.col(label_col).alias("__qlbl"),
+                  F.explode(probes).alias(pcol))
+    corpus = index._live(index.table).select(
+        F.col(index.id_col).alias("__cid"),
+        F.col(index.vec_col).alias("__cvec"),
+        F.col(label_col).alias("__clbl"), pcol)
+
+    def score(key, qpdf, cpdf):
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame({"__qid": [], "__cid": [], dist_col: []})
+        from .knn import _np_dists
+        Q = np.stack(qpdf["__qvec"].map(
+            lambda v: np.asarray(v, dtype=np.float64)).values)
+        C = np.stack(cpdf["__cvec"].map(
+            lambda v: np.asarray(v, dtype=np.float64)).values)
+        D = _np_dists(Q, C, metric)
+        same = qpdf["__qlbl"].values[:, None] == cpdf["__clbl"].values[None, :]
+        D = np.where(same, np.inf, D)
+        cids = cpdf["__cid"].values
+        qids = qpdf["__qid"].values
+        out_q, out_c, out_d = [], [], []
+        for r in range(D.shape[0]):
+            order = np.lexsort((cids, D[r]))[:k]
+            order = order[np.isfinite(D[r, order])]
+            out_q.extend([qids[r]] * len(order))
+            out_c.extend(cids[order])
+            out_d.extend(D[r, order])
+        return pd.DataFrame({"__qid": out_q, "__cid": out_c,
+                             dist_col: out_d})
+
+    qid_t = dict(q.dtypes)["__qid"]
+    pairs = q.groupBy(pcol).cogroup(corpus.groupBy(pcol)).applyInPandas(
+        score, f"__qid {qid_t}, __cid {qid_t}, {dist_col} double")
+    topk = _per_query_topk(pairs, k, dist_col, two_phase=False)
+    return (topk.withColumnRenamed("__qid", "query_id")
+            .withColumnRenamed("__cid", index.id_col))
+
+
 def hard_negative_join(df: DataFrame, k: int = 4,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding",
                        label_col: str = "label",
                        metric: str = "cosine",
-                       dist_col: str = "distance") -> DataFrame:
+                       dist_col: str = "distance",
+                       anchors: DataFrame | None = None) -> DataFrame:
     """(query_id, vec_id, distance): for every anchor, the ``k``
     nearest rows whose label DIFFERS — exact tier (broadcast corpus +
     two-phase per-query top-k; the label filter runs before ranking,
     so near-duplicates of the anchor's own class can never crowd out
-    true negatives)."""
+    true negatives). ``anchors`` restricts the query side BEFORE the
+    pair product (the exact tier is |anchors| x |corpus| by
+    construction — bound the anchor batch here, or use
+    ``hard_negative_join_ivf`` for the all-anchors regime)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    src = anchors if anchors is not None else df
     corpus = F.broadcast(df.select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec"),
         F.col(label_col).alias("__clbl")))
-    pairs = (df.select(F.col(id_col).alias("__qid"),
+    pairs = (src.select(F.col(id_col).alias("__qid"),
                        F.col(vec_col).alias("__qvec"),
                        F.col(label_col).alias("__qlbl"))
              .crossJoin(corpus)

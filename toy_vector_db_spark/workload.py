@@ -2899,7 +2899,10 @@ def negatives_in_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Hard-negative mining: for every anchor, the k nearest vectors with
 # a DIFFERENT label — filter-then-rank (label mismatch composes
-# BEFORE top-k selection), exact broadcast tier.
+# BEFORE top-k selection). Exact broadcast tier, anchors BOUNDED to a
+# 50-query batch: the exact tier is |anchors| x |corpus| by
+# construction, so the benchmark query pins the anchor batch size
+# (the all-anchors regime belongs to hard_negatives_ivf below).
 @q("hard_negatives_topk", """
 WITH p AS (
   SELECT a.vec_id AS query_id, c.vec_id, a.label AS ql, c.label AS cl,
@@ -2916,7 +2919,8 @@ WITH p AS (
                  * sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]),
                                            CAST(a.embedding AS DOUBLE[])))),
                 -1.0), 1.0) END AS dist
-  FROM embeddings a JOIN embeddings c ON a.label <> c.label),
+  FROM embeddings a JOIN embeddings c ON a.label <> c.label
+  WHERE a.vec_id < 50),
 r AS (SELECT query_id, vec_id, dist,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY dist ASC, vec_id ASC) AS rk
@@ -2927,9 +2931,72 @@ FROM r WHERE rk <= 3
 def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.negatives import hard_negative_join
     e = _t(spark, sf_dir, "embeddings")
-    return hard_negative_join(e, k=3) \
+    return hard_negative_join(e, k=3,
+                              anchors=e.filter(F.col("vec_id") < 50)) \
         .select("query_id", "vec_id",
                 F.round("distance", 4).alias("distance"))
+
+
+# Hard negatives at corpus scale (negatives.hard_negative_join_ivf):
+# ALL anchors, IVF cluster pruning + per-cluster BLAS with the label
+# mask applied inside the matrix step. Deterministic centroids, so
+# the oracle replays probes, the label filter, and the ranking.
+def _hard_neg_ivf_oracle(n_centroids: int = 8, nprobe: int = 3,
+                         k: int = 3) -> str:
+    eu = ("sqrt(list_sum(list_transform(list_zip({x}, c), "
+          "pr -> (pr[1]-pr[2])*(pr[1]-pr[2]))))")
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+cent AS (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
+         FROM e ORDER BY h, vec_id LIMIT {n_centroids}),
+cents AS (SELECT list(v ORDER BY h, vec_id) AS cs FROM cent),
+assigned AS (
+  SELECT vec_id, label, v, list_position(ds, list_min(ds)) - 1 AS cluster
+  FROM (SELECT vec_id, label, v,
+          list_transform((SELECT cs FROM cents), c -> {eu.format(x='v')}) AS ds
+        FROM e)),
+probes AS (
+  SELECT query_id, qlbl, qv, i - 1 AS cluster
+  FROM (SELECT vec_id AS query_id, label AS qlbl, v AS qv,
+               unnest(list_transform((SELECT cs FROM cents),
+                                     c -> {eu.format(x='v')})) AS d,
+               generate_subscripts(list_transform((SELECT cs FROM cents),
+                                                  c -> {eu.format(x='v')}),
+                                   1) AS i
+        FROM e)
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, i)
+          <= {nprobe}),
+cand AS (
+  SELECT p.query_id, a.vec_id,
+         sqrt(list_sum(list_transform(list_zip(a.v, p.qv),
+              pr -> (pr[1]-pr[2])*(pr[1]-pr[2])))) AS dist
+  FROM assigned a JOIN probes p USING (cluster)
+  WHERE a.label <> p.qlbl)
+SELECT query_id, vec_id, ROUND(dist, 4) AS distance
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id)
+        <= {k}
+"""
+
+
+@q("hard_negatives_ivf", _hard_neg_ivf_oracle())
+def hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import IvfIndex
+    from .operators.negatives import hard_negative_join_ivf
+    e = _t(spark, sf_dir, "embeddings")
+    idx = IvfIndex.build_deterministic(e, n_centroids=8)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(min(int(prev), 32)) if prev.isdigit() else "32")
+    try:
+        out = hard_negative_join_ivf(e, idx, k=3, nprobe=3) \
+            .select("query_id", "vec_id",
+                    F.round("distance", 4).alias("distance"))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
 
 
 # Embedding-space drift per label (drift.embedding_drift): centroid
