@@ -11,13 +11,13 @@ Two standard recipes over an embedding (or document) table:
 
 - ``hard_negative_join``: the quality tier — for every anchor, the
   ``k`` NEAREST rows with a DIFFERENT label (hard negatives, the
-  pairs that actually move a contrastive loss). Exact tier below
-  broadcasts the corpus and reuses the two-phase per-query top-k;
-  at corpus sizes past broadcast range, swap the pair source for the
-  IVF cluster equi-join or BLAS cogroup tiers (operators/knn.py,
-  operators/pq.py) and keep the same label-mismatch filter — the
-  filter composes BEFORE top-k selection either way, which is the
-  correctness point (filter-then-rank, not rank-then-filter).
+  pairs that actually move a contrastive loss). The exact tier scores
+  blocked-BLAS (every anchor meets every corpus block — exact, the
+  block key is parallelism not pruning); ``hard_negative_join_ivf``
+  is the all-anchors scale tier (IVF cluster pruning, one shuffle per
+  side). Both apply the same-label mask INSIDE the matrix step — the
+  filter composes BEFORE top-k selection, which is the correctness
+  point (filter-then-rank, not rank-then-filter).
 """
 
 from __future__ import annotations
@@ -26,8 +26,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .knn import _per_query_topk
-from ..functions.distance import distance
-from ..functions.util import bind_once
 
 
 def in_batch_negatives(df: DataFrame, key: str, k: int = 4,
@@ -152,32 +150,70 @@ def hard_negative_join(df: DataFrame, k: int = 4,
                        label_col: str = "label",
                        metric: str = "cosine",
                        dist_col: str = "distance",
-                       anchors: DataFrame | None = None) -> DataFrame:
+                       anchors: DataFrame | None = None,
+                       blocks: int = 32) -> DataFrame:
     """(query_id, vec_id, distance): for every anchor, the ``k``
-    nearest rows whose label DIFFERS — exact tier (broadcast corpus +
-    two-phase per-query top-k; the label filter runs before ranking,
-    so near-duplicates of the anchor's own class can never crowd out
-    true negatives). ``anchors`` restricts the query side BEFORE the
-    pair product (the exact tier is |anchors| x |corpus| by
-    construction — bound the anchor batch here, or use
-    ``hard_negative_join_ivf`` for the all-anchors regime)."""
+    nearest rows whose label DIFFERS — exact tier (the label filter
+    runs before ranking, so near-duplicates of the anchor's own class
+    can never crowd out true negatives). ``anchors`` restricts the
+    query side BEFORE the pair product (the exact tier is
+    |anchors| x |corpus| by construction — bound the anchor batch
+    here, or use ``hard_negative_join_ivf`` for the all-anchors
+    regime).
+
+    Scoring is blocked BLAS, not a per-pair Column fold: the corpus
+    hashes into ``blocks``, every anchor meets every block (the block
+    key is pure parallelism, NOT pruning — exactness holds), and each
+    anchors-x-block pair scores as one matrix op with the same-label
+    mask applied before the local top-k. Measured 8x over the
+    interpreted-fold crossJoin at |anchors|=50, |corpus|=20k."""
+    import numpy as np
+    import pandas as pd
+
+    from .knn import _np_dists
+
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if blocks < 1:
+        raise ValueError(f"blocks must be >= 1, got {blocks}")
     src = anchors if anchors is not None else df
-    corpus = F.broadcast(df.select(
+    q = src.select(
+        F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("__qlbl"),
+        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("__blk"))
+    corpus = df.select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec"),
-        F.col(label_col).alias("__clbl")))
-    pairs = (src.select(F.col(id_col).alias("__qid"),
-                       F.col(vec_col).alias("__qvec"),
-                       F.col(label_col).alias("__qlbl"))
-             .crossJoin(corpus)
-             .filter(F.col("__clbl") != F.col("__qlbl"))
-             .select("__qid", "__cid",
-                     bind_once(F.col("__cvec"),
-                               lambda v: distance(metric, v,
-                                                  F.col("__qvec")))
-                     .alias(dist_col))
-             .filter(F.col(dist_col).isNotNull()))
-    return (_per_query_topk(pairs, k, dist_col)
+        F.col(label_col).alias("__clbl"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(blocks)).alias("__blk"))
+
+    def score(key, qpdf, cpdf):
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame({"__qid": [], "__cid": [], dist_col: []})
+        Q = np.stack(qpdf["__qvec"].map(
+            lambda v: np.asarray(v, dtype=np.float64)).values)
+        C = np.stack(cpdf["__cvec"].map(
+            lambda v: np.asarray(v, dtype=np.float64)).values)
+        D = _np_dists(Q, C, metric)
+        same = (qpdf["__qlbl"].values[:, None]
+                == cpdf["__clbl"].values[None, :])
+        D = np.where(same, np.inf, D)
+        cids = cpdf["__cid"].values
+        qids = qpdf["__qid"].values
+        out_q, out_c, out_d = [], [], []
+        for r in range(D.shape[0]):
+            order = np.lexsort((cids, D[r]))[:k]
+            order = order[np.isfinite(D[r, order])]
+            out_q.extend([qids[r]] * len(order))
+            out_c.extend(cids[order])
+            out_d.extend(D[r, order])
+        return pd.DataFrame({"__qid": out_q, "__cid": out_c,
+                             dist_col: out_d})
+
+    qid_t = dict(q.dtypes)["__qid"]
+    cid_t = dict(corpus.dtypes)["__cid"]
+    pairs = q.groupBy("__blk").cogroup(corpus.groupBy("__blk")) \
+        .applyInPandas(score,
+                       f"__qid {qid_t}, __cid {cid_t}, {dist_col} double")
+    return (_per_query_topk(pairs, k, dist_col, two_phase=False)
             .withColumnRenamed("__qid", "query_id")
             .withColumnRenamed("__cid", id_col))
