@@ -112,7 +112,13 @@ def learn_bpe(docs: DataFrame, n_merges: int,
 def segment(words: DataFrame, merges: list[tuple[str, str]],
             word_col: str = "word") -> DataFrame:
     """Apply a learned merge list to new words (tokenizer inference):
-    same greedy fuse, in merge order — map-only, no shuffle."""
+    same greedy fuse, in merge order — map-only, no shuffle.
+
+    Each merge nests one fold, so the expression tree grows linearly
+    with the merge list; past ~50 merges Janino falls back to
+    interpreted evaluation (correct, slower). For production-sized
+    merge tables (10k+), apply the merges in an Arrow-batched pandas
+    UDF holding the table as a dict instead — same map-only shape."""
     syms = F.split(F.col(word_col), "")
     for a, b in merges:
         syms = _fuse(syms, a, b)
