@@ -177,3 +177,19 @@ def test_simhash_hamming_pairs_and_neighbor_counts(spark, docs):
         simhash_hamming_pairs(docs, bands=4, max_hamming=4)
     with pytest.raises(ValueError, match="narrow hashes"):
         simhash_neighbor_counts(docs, bits=32)
+
+
+def test_source_overlap_matrix(spark):
+    from toy_vector_db_spark.operators.dedup import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "A", "shared one"), (2, "B", "Shared  one!"),  # same fp
+         (3, "A", "shared one"),   # dup within A: still ONE presence
+         (4, "B", "only in b"), (5, "C", "shared one"),
+         (6, "C", "unique c")],
+        ["doc_id", "source", "text"])
+    got = {(r["source_a"], r["source_b"]): r["n_shared_fingerprints"]
+           for r in source_overlap_matrix(docs).collect()}
+    # 'shared one' (normalization folds case/punct/space) lives in
+    # A, B, C -> all three pairs, one DISTINCT fingerprint each
+    assert got == {("A", "B"): 1, ("A", "C"): 1, ("B", "C"): 1}

@@ -558,3 +558,29 @@ def _dim_of(df: DataFrame, vec_col: str) -> int:
     if row is None:
         raise ValueError("empty corpus: cannot infer embedding dimension")
     return int(row[0])
+
+
+def source_overlap_matrix(df: DataFrame, source_col: str = "source",
+                          text_col: str = "text") -> DataFrame:
+    """Cross-source duplicate leakage: for every source pair (a < b),
+    how many DISTINCT normalized fingerprints appear in BOTH — the
+    curation report that tells you which feeds are re-crawls /
+    mirrors of each other before you weight them independently.
+
+    Plan shape: one fingerprint projection + distinct on
+    (fingerprint, source) — the frame shrinks to at most
+    |fingerprints| x |sources| — then a self-equi-join ON fingerprint
+    with a < b ordering (never a x b per document: per-source
+    presence is deduped FIRST, so a fingerprint contributes one row
+    per source pair regardless of how many raw docs carry it), and a
+    count per pair. Sources are a compact low-cardinality key; the
+    join shuffle carries (fingerprint, source) pairs only."""
+    fs = (df.select(fingerprint(F.col(text_col)).alias("__fp"),
+                    F.col(source_col).alias("__src"))
+          .distinct())
+    a = fs.select(F.col("__fp"), F.col("__src").alias("source_a"))
+    b = fs.select(F.col("__fp"), F.col("__src").alias("source_b"))
+    return (a.join(b, "__fp")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_fingerprints")))

@@ -3504,6 +3504,41 @@ def corpus_clean_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("corpus_clean_streaming")
 
 
+# Cross-source duplicate leakage (dedup.source_overlap_matrix): which
+# sources mirror each other, counted in DISTINCT shared fingerprints.
+# Per-source presence is deduped BEFORE the pair join, so a
+# fingerprint contributes one row per source pair no matter how many
+# raw docs carry it — the oracle replays exactly that.
+# (The synthetic corpus has no natural cross-source exact dups, so
+# docs with doc_id % 4 = 0 are rewritten to one of 7 shared
+# boilerplate templates (modulus coprime with the 20-source cycle, so
+# each template genuinely straddles sources) — mirrored-content injection, replayed by the
+# oracle — making the matrix genuinely discriminate.)
+@q("dedup_source_overlap", f"""
+WITH t AS (
+  SELECT source,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'shared boilerplate block ' || CAST(doc_id % 7 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents),
+fs AS (SELECT DISTINCT md5({_DD_NORM}) AS fp, source FROM t)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_fingerprints
+FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+""")
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import source_overlap_matrix
+    d = _tp(spark, sf_dir, "documents")
+    injected = d.select(
+        "source",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("shared boilerplate block "),
+                        (F.col("doc_id") % 7).cast("string")))
+        .otherwise(F.col("text")).alias("text"))
+    return source_overlap_matrix(injected)
+
+
 # Corpus vocabulary drift (operators/drift): JS-divergence attribution
 # between the en slice (reference) and the rest (candidate) — the
 # "did my new crawl shift, and which terms moved" QA report. The
