@@ -32,6 +32,7 @@ import os
 from collections.abc import Sequence
 
 import numpy as np
+import pandas as pd  # module-level: pandas_udf resolves string hints here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -370,9 +371,28 @@ class IvfIndex(_MaintainableIndex):
 
     @staticmethod
     def _assign_expr(centroids: np.ndarray, vec_col: str):
-        """Nearest-centroid id as a pure Column expression (ties -> the
-        lowest centroid index, matching SQL list_position-of-min)."""
+        """Nearest-centroid id as a Column (ties -> the lowest centroid
+        index, matching SQL list_position-of-min). Two tiers, same
+        semantics: a pure fold expression while the centroid count fits
+        whole-stage codegen, an Arrow-batched BLAS argmin above it
+        (sqrt(N)-sized builds; np.argmin also returns the FIRST minimum,
+        so duplicate-centroid ties resolve identically)."""
+        from .knn import (EXPR_MAX_CENTROIDS, _centroid_d2, _stack_vecs)
         v = F.col(vec_col).cast("array<double>")
+        if len(centroids) > EXPR_MAX_CENTROIDS:
+            import pandas as pd
+            C = np.asarray(centroids, dtype=np.float64)
+            cn = (C ** 2).sum(1)
+
+            @F.pandas_udf("int")
+            def _assign(batch: pd.Series) -> pd.Series:
+                if not len(batch):
+                    return pd.Series([], dtype="int32")
+                X = _stack_vecs(batch)
+                d2 = _centroid_d2(X, C, cn)
+                return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+            return _assign(v)
         dists = F.array(*[
             F.sqrt(F.aggregate(
                 F.zip_with(v, F.lit([float(x) for x in c]),

@@ -51,6 +51,18 @@ EXACT_MAX_ROWS = 200_000
 EXACT_RECALL = 0.999
 
 
+def ivf_nlist(n_rows: int) -> int:
+    """The classic IVF sizing rule, nlist ~ 4*sqrt(n) (public faiss
+    index-selection guidance): per-cluster occupancy stays ~sqrt(n)/4,
+    so a query's probe-candidate volume grows as sqrt(n) instead of
+    n/nlist-fixed — the property that keeps all-anchors regimes
+    (``hard_negative_join_ivf``, ``knn_join_ivf_arrow``) off the N^2
+    cliff: total scored pairs are O(n^1.5), not O(n^2). Every caller
+    that sizes an IVF build from a corpus count should route through
+    this ONE rule so the scaling discipline can't drift per call site."""
+    return max(8, int(4 * math.sqrt(max(1, n_rows))))
+
+
 @dataclass(frozen=True)
 class SearchPlan:
     """A chosen tier plus the parameters to run it with."""
@@ -89,7 +101,7 @@ def choose_search_tier(n_rows: int, dim: int, k: int,
                     f"over the {memory_budget_bytes >> 20} MiB budget")
         return SearchPlan(tier, {"k": k, "metric": metric}, why)
 
-    nlist = max(8, int(4 * math.sqrt(n_rows)))
+    nlist = ivf_nlist(n_rows)
     nprobe = max(1, math.ceil(nlist * (0.02 + 0.2 * recall_target)))
 
     # PQ codes (ADC) support faiss's two metrics — euclidean and inner
@@ -167,7 +179,7 @@ def choose_join_tier(n_queries: int, n_corpus: int, dim: int, k: int,
                     "comfort cap — pass recall_target < 1 to allow "
                     "the pruned tiers")
         return SearchPlan("exact-broadcast", {"k": k}, why)
-    nlist = max(8, int(4 * math.sqrt(max(1, n_corpus))))
+    nlist = ivf_nlist(n_corpus)
     nprobe = max(1, math.ceil(nlist * (0.02 + 0.2 * recall_target)))
     params = {"k": k, "n_centroids": nlist, "nprobe": nprobe}
     if n_queries > broadcast_max_queries:

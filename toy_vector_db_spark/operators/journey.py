@@ -60,8 +60,12 @@ def event_funnel(events: DataFrame, steps: Sequence[str],
             prev_ok = F.lit(True) if k == 0 else \
                 (F.element_at(acc, k) >= 0) & \
                 (e["t"] > F.element_at(acc, k))
+            # float(within), not int(): event epochs are whole seconds
+            # but the window itself may be fractional — int() would
+            # floor within=0.9 to a 0-second window and silently
+            # reject every later step
             win_ok = F.lit(True) if (within is None or k == 0) else \
-                (e["t"] <= F.element_at(acc, 1) + F.lit(int(within)))
+                (e["t"] <= F.element_at(acc, 1) + F.lit(float(within)))
             hit = (F.element_at(acc, k + 1) < 0) & \
                 (e["y"] == steps[k]) & prev_ok & win_ok
             out = F.when(hit, F.concat(

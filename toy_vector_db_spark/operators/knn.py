@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd  # module-level: pandas_udf resolves string hints here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -307,14 +308,60 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = DEFAULT_K,
                        F.col(dist_col))
 
 
+#: per-centroid Column expressions stop being the right tier past this
+#: many centroids: the generated code grows linearly with nlist (janino
+#: method-size limits force interpreted fallback) and each row pays an
+#: O(nlist*dim) expression walk. Above it, one Arrow-batched BLAS
+#: matmul against the (broadcast-sized) centroid matrix does the same
+#: work vectorized. 32 keeps every fixed-nlist oracle query on the
+#: bit-exact fold path; sqrt(N)-sized builds take the BLAS tier.
+EXPR_MAX_CENTROIDS = 32
+
+
+def _centroid_d2(X, C, cn):
+    """Squared euclidean row-x-centroid distances, BLAS expansion form
+    (||x||^2 + ||c||^2 - 2 x.c). Cancellation can leave tiny negatives
+    — harmless for the argmin/argsort consumers here."""
+    import numpy as np
+    return (X ** 2).sum(1)[:, None] + cn[None, :] - 2.0 * (X @ C.T)
+
+
+def _stack_vecs(batch):
+    import numpy as np
+    return np.stack(batch.map(
+        lambda v: np.asarray(v, dtype=np.float64)).values)
+
+
 def probe_clusters_expr(centroids, qvec_col: Column, nprobe: int) -> Column:
     """Each row's ``nprobe`` nearest centroid indexes as an
     ``array<int>`` Column — the distributed analogue of
     ``IvfIndex.probe_clusters``. Orders by (centroid distance,
     centroid index): struct sort gives the same total order as the
     deterministic-IVF oracle's ``ORDER BY d, i``. The centroid matrix
-    is broadcast-sized by construction, inlined as literals."""
+    is broadcast-sized by construction — inlined as literals on the
+    expression tier, shipped once in the UDF closure on the Arrow tier
+    (> EXPR_MAX_CENTROIDS, where a stable argsort over one BLAS matmul
+    replaces nlist generated-code branches; ties still break by
+    centroid index)."""
+    import numpy as np
     qv = qvec_col.cast("array<double>")
+    if len(centroids) > EXPR_MAX_CENTROIDS:
+        import pandas as pd
+        C = np.asarray(centroids, dtype=np.float64)
+        cn = (C ** 2).sum(1)
+        take = min(nprobe, len(centroids))
+
+        @F.pandas_udf("array<int>")
+        def _probe(batch: pd.Series) -> pd.Series:
+            if not len(batch):
+                return pd.Series([], dtype=object)
+            X = _stack_vecs(batch)
+            d2 = _centroid_d2(X, C, cn)
+            # stable argsort == ORDER BY (d, centroid index)
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :take]
+            return pd.Series(list(idx.astype(np.int32)))
+
+        return _probe(qv)
     cdist = F.array(*[
         F.struct(
             F.sqrt(F.aggregate(

@@ -107,18 +107,37 @@ def bigram_scores(docs: DataFrame, id_col: str = "doc_id",
     repetitive word ORDER the unigram model scores as normal).
 
     p(b|a) = (c(a,b) + alpha) / (c(a) + alpha * V), V = unigram vocab
-    size. Plan shape mirrors ``unigram_scores``: pair instances
-    exploded once and checkpointed; bigram counts one aggregate;
-    context (prev-token) counts + V derived FROM the bigram counts
-    (c(a) = sum over b of c(a,b) + a correction for the final token —
-    instead we count contexts directly from the pair frame, one more
-    small aggregate); instances join both count frames on their keys."""
+    size. Plan shape mirrors ``unigram_scores`` with ONE corpus scan:
+    the text parse lands in a checkpointed token-ARRAY frame, the pair
+    explode (also checkpointed, so it runs once for its three
+    consumers) and the vocab count BOTH read from that cut — V needs
+    the token arrays, not a second pass over the raw text, because
+    tokens whose only occurrence is a 1-token doc appear in no bigram.
+    Bigram counts one aggregate; context (prev-token) counts one more
+    small aggregate; instances join both count frames on their keys."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
-    bi = bigram_instances(docs, id_col, text_col).localCheckpoint(eager=True)
+    def pairs(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.when(n >= 2, F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(F.element_at(toks, i).alias("prev"),
+                               F.element_at(toks, i + 1).alias("cur")))
+        ).otherwise(F.array().cast(
+            "array<struct<prev:string,cur:string>>"))
+
+    toks = F.filter(F.split(normalize_for_fingerprint(F.col(text_col)),
+                            " "), lambda t: t != "")
+    arr = docs.select(F.col(id_col), toks.alias("__toks")) \
+        .localCheckpoint(eager=True)
+    bi = (arr.select(F.col(id_col),
+                     F.explode(pairs(F.col("__toks"))).alias("__p"))
+          .select(id_col, F.col("__p.prev").alias("prev"),
+                  F.col("__p.cur").alias("cur"))
+          .localCheckpoint(eager=True))
     big_c = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__cb"))
     ctx_c = bi.groupBy("prev").agg(F.count(F.lit(1)).alias("__ca"))
-    vocab = (token_instances(docs, id_col, text_col)
+    vocab = (arr.select(F.explode("__toks").alias("term"))
              .agg(F.count_distinct(F.col("term")).alias("__v")))
     p = (F.col("__cb") + F.lit(alpha)) \
         / (F.col("__ca") + F.lit(alpha) * F.col("__v"))

@@ -137,8 +137,9 @@ def hard_negative_join_ivf(df: DataFrame, index, k: int = 4,
                              dist_col: out_d})
 
     qid_t = dict(q.dtypes)["__qid"]
+    cid_t = dict(corpus.dtypes)["__cid"]
     pairs = q.groupBy(pcol).cogroup(corpus.groupBy(pcol)).applyInPandas(
-        score, f"__qid {qid_t}, __cid {qid_t}, {dist_col} double")
+        score, f"__qid {qid_t}, __cid {cid_t}, {dist_col} double")
     topk = _per_query_topk(pairs, k, dist_col, two_phase=False)
     return (topk.withColumnRenamed("__qid", "query_id")
             .withColumnRenamed("__cid", index.id_col))

@@ -142,6 +142,12 @@ def sample_k_per_group(df: DataFrame, key: str, group_col: str,
     sense: a row leaves the sample only when a new row hashes below
     it, never by reshuffling.
 
+    Requires ``key`` to be UNIQUE within each group: both sort keys
+    (md5(salt+key), then key) collapse for rows sharing a key value,
+    so duplicate keys make the tie-break — and therefore sample
+    membership — engine-dependent. Deduplicate or synthesize a unique
+    key first if the frame can carry repeats.
+
     One shuffle on the group key; the rank is a per-group window (no
     global sort). Hot groups are bounded by the same skew treatments
     as any keyed window (salt the group upstream if one group is half

@@ -2941,15 +2941,22 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ALL anchors, IVF cluster pruning + per-cluster BLAS with the label
 # mask applied inside the matrix step. Deterministic centroids, so
 # the oracle replays probes, the label filter, and the ranking.
-def _hard_neg_ivf_oracle(n_centroids: int = 8, nprobe: int = 3,
-                         k: int = 3) -> str:
+# nlist scales as chooser.ivf_nlist (4*sqrt(N), truncated) on BOTH
+# sides — per-anchor candidate volume is then ~nprobe*sqrt(N)/4, so
+# total mining work is O(N^1.5) instead of the O(N^2) a fixed nlist
+# gives an all-anchors regime (the r4 verdict's one superlinear edge).
+def _hard_neg_ivf_oracle(nprobe: int = 3, k: int = 3) -> str:
     eu = ("sqrt(list_sum(list_transform(list_zip({x}, c), "
           "pr -> (pr[1]-pr[2])*(pr[1]-pr[2]))))")
     return f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
-cent AS (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
-         FROM e ORDER BY h, vec_id LIMIT {n_centroids}),
+nl AS (SELECT GREATEST(8, CAST(FLOOR(4 * SQRT(COUNT(*))) AS INT)) AS nc
+       FROM e),
+cent AS (SELECT v, h, vec_id
+         FROM (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id FROM e)
+         QUALIFY row_number() OVER (ORDER BY h, vec_id)
+                 <= (SELECT nc FROM nl)),
 cents AS (SELECT list(v ORDER BY h, vec_id) AS cs FROM cent),
 assigned AS (
   SELECT vec_id, label, v, list_position(ds, list_min(ds)) - 1 AS cluster
@@ -2983,9 +2990,12 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id)
 @q("hard_negatives_ivf", _hard_neg_ivf_oracle())
 def hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import IvfIndex
+    from .operators.chooser import ivf_nlist
     from .operators.negatives import hard_negative_join_ivf
     e = _t(spark, sf_dir, "embeddings")
-    idx = IvfIndex.build_deterministic(e, n_centroids=8)
+    # size nlist from the corpus count (one footer-served count job)
+    # so candidate volume stays ~sqrt(N) per anchor at any scale
+    idx = IvfIndex.build_deterministic(e, n_centroids=ivf_nlist(e.count()))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
                    str(min(int(prev), 32)) if prev.isdigit() else "32")
