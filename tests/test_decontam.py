@@ -107,3 +107,55 @@ def test_bloom_filter_size_and_validation(spark):
     import pytest
     with pytest.raises(ValueError, match="multiple of 64"):
         build_shingle_bloom(ev, m_bits=100)
+
+
+def test_sharded_tier_matches_exact_report(spark):
+    from toy_vector_db_spark.operators.decontam import (
+        contamination_report_sharded)
+    train, ev = _dfs(spark)
+    a = sorted(map(tuple, contamination_report(train, ev, n=5).collect()))
+    b = sorted(map(tuple, contamination_report_sharded(
+        train, ev, n=5, n_shards=4).collect()))
+    assert a == b
+
+
+def test_sharded_tier_matches_under_heavy_fpp(spark):
+    # a filter this tiny (64 bits/shard, 1 probe) false-positives
+    # constantly — the exact verify join must still keep the report
+    # identical to the broadcast tier
+    from toy_vector_db_spark.operators.decontam import (
+        contamination_report_sharded)
+    train, ev = _dfs(spark)
+    a = sorted(map(tuple, contamination_report(train, ev, n=5).collect()))
+    b = sorted(map(tuple, contamination_report_sharded(
+        train, ev, n=5, n_shards=2, m_bits=64, k=1).collect()))
+    assert a == b
+
+
+def test_sharded_tier_never_broadcasts_eval_side(spark):
+    # the verify semi-join must be a shuffle join — broadcasting the
+    # eval hash set is exactly what this tier exists to avoid; the
+    # ONLY broadcast allowed is the bounded filter frame (shard join)
+    from toy_vector_db_spark.operators.decontam import (
+        contamination_report_sharded)
+    train, ev = _dfs(spark)
+    plan = contamination_report_sharded(
+        train, ev, n=5, n_shards=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    import re
+    semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert semi, plan
+    assert all("Broadcast" not in ln for ln in semi), semi
+
+
+def test_sharded_bloom_build_is_bounded_and_valid(spark):
+    from toy_vector_db_spark.operators.decontam import build_sharded_bloom
+    import pytest
+    _, ev = _dfs(spark)
+    filt = build_sharded_bloom(ev, n=5, n_shards=4).collect()
+    assert 1 <= len(filt) <= 4
+    assert all(0 <= r["__s"] < 4 for r in filt)
+    with pytest.raises(ValueError):
+        build_sharded_bloom(ev, m_bits=63)
+    with pytest.raises(ValueError):
+        build_sharded_bloom(ev, n_shards=0)

@@ -156,3 +156,68 @@ def test_loaded_layout_hop_prunes_partitions(spark, emb, idx, tmp_path):
     # search over the loaded layout still answers correctly
     q = _qvec(emb, 6)
     assert back.search(q, k=3).collect()[0]["vec_id"] == 6
+
+
+def test_batch_search_matches_single_walks(emb, idx):
+    # same seeds, same walk -> batch results must equal per-query
+    # search() id sets (both converge identically on this corpus)
+    q = (emb.filter(F.col("vec_id").isin(1, 5, 9))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    got = idx.search_batch(q, k=10, ef=48, max_hops=6).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for vid in (1, 5, 9):
+        single = {r["vec_id"] for r in
+                  idx.search(_qvec(emb, vid), k=10, ef=48).collect()}
+        assert by_q[vid] == single, vid
+
+
+def test_batch_search_job_bound(emb, idx):
+    # the amortization contract: <= max_hops fetch jobs for the WHOLE
+    # batch (single-query search would pay |batch| * hops)
+    q = (emb.filter(F.col("vec_id") < 50)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    out = idx.search_batch(q, k=5, ef=32, max_hops=4)
+    assert out.count() == 50 * 5
+    assert idx.last_jobs <= 4
+
+
+def test_batch_search_empty_and_validation(spark, idx):
+    import pytest
+    empty = spark.createDataFrame(
+        [], "query_id bigint, query_vec array<double>")
+    assert idx.search_batch(empty).count() == 0
+    with pytest.raises(ValueError):
+        idx.search_batch(empty, k=0)
+
+
+def test_coarse_entries_cut_hops_keep_recall(emb):
+    # seeding from the sqrt(N) sample must not LOSE recall, and the
+    # walk from near-answer seeds converges in <= the flat-entry hops
+    flat = KnnGraphIndex.build(emb, m=8)
+    coarse = KnnGraphIndex.build(emb, m=8).with_coarse_entries()
+    assert coarse._coarse is not None
+    flat_hops = coarse_hops = 0
+    for vid in (1, 5, 9):
+        q = _qvec(emb, vid)
+        exact = {r["vec_id"] for r in
+                 knn(emb, q, k=10, tie_col="vec_id").collect()}
+        af = {r["vec_id"] for r in flat.search(q, k=10, ef=48).collect()}
+        flat_hops += flat.last_hops
+        ac = {r["vec_id"] for r in coarse.search(q, k=10, ef=48).collect()}
+        coarse_hops += coarse.last_hops
+        assert len(exact & ac) >= len(exact & af) - 1, vid
+    assert coarse_hops <= flat_hops
+
+
+def test_coarse_cache_invalidated_on_mutation(spark, emb):
+    idx2 = KnnGraphIndex.build(emb, m=8).with_coarse_entries()
+    assert idx2._coarse is not None
+    assert idx2.delete([1])._coarse is None
+    new = spark.createDataFrame(
+        [(9001, 1, [0.5] * 64)], "vec_id bigint, label bigint, "
+        "embedding array<double>")
+    assert idx2.add(new)._coarse is None

@@ -150,6 +150,103 @@ def contamination_report_bloom(train: DataFrame, eval_df: DataFrame,
             .withColumn("contaminated", F.col("n_shared") >= min_shared))
 
 
+def build_sharded_bloom(eval_df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 5,
+                        n_shards: int = 64, m_bits: int = 1 << 16,
+                        k: int = 4) -> DataFrame:
+    """Bloom filter as a (shard, word->bits map) DATAFRAME — the form
+    for eval sets past what a plan-literal array (a few hundred KiB)
+    or a broadcast row set can carry. Each distinct eval shingle hash
+    routes to ONE shard (seeded xxhash64 mod n_shards) and sets k bits
+    in that shard's private m_bits array; the per-shard arrays stay
+    sparse maps (only SET 64-bit words are kept), assembled entirely
+    executor-side by a (shard, word) bit_or aggregate + one map_from_
+    entries — nothing ever reaches the driver. Total filter size is
+    bounded by n_shards * m_bits / 8 bytes REGARDLESS of eval rows;
+    size (n_shards, m_bits) for ~1.2 bytes per eval shingle at 1% FPP."""
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    ev = shingle_hash_set(eval_df, id_col, text_col, n) \
+        .select("shingle_hash").distinct()
+    shard = F.pmod(F.xxhash64(F.concat(F.lit("shard:"),
+                                       F.col("shingle_hash"))),
+                   F.lit(n_shards)).cast("int")
+    pos = ev.select(shard.alias("__s"), F.explode(F.array(
+        *_bloom_positions(F.col("shingle_hash"), m_bits, k))).alias("p"))
+    words = (pos.select("__s", F.expr("p div 64").alias("w"),
+                        F.expr("shiftleft(1L, cast(p % 64 AS INT))")
+                        .alias("m"))
+             .groupBy("__s", "w").agg(F.bit_or("m").alias("bits")))
+    return words.groupBy("__s").agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits")))
+        .alias("__bm"))
+
+
+def contamination_report_sharded(train: DataFrame, eval_df: DataFrame,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text", n: int = 5,
+                                 min_shared: int = 1,
+                                 n_shards: int = 64,
+                                 m_bits: int = 1 << 16,
+                                 k: int = 4) -> DataFrame:
+    """The genuinely-large-eval-set tier (the BASELINE.md caveat on
+    the other tiers, made real): the eval side is NEVER broadcast and
+    never inlined in the plan. Three parts, same exact answer as
+    ``contamination_report`` (the shared DuckDB oracle value-checks
+    all tiers):
+
+    1. ``build_sharded_bloom`` — a bounded (shard, bit-word map)
+       filter frame, built by aggregation only;
+    2. probe — train shingles compute their shard + k bit positions
+       map-side, meet the filter via a broadcast join ON SHARD KEY
+       (broadcasting the COMPACT filter, n_shards rows bounded by
+       construction, is the point — the raw eval rows are what must
+       not broadcast), and the k-bit test is a pure Column predicate,
+       so the full train scan stays map-only and only the ~FPP-sized
+       survivor set continues;
+    3. exact verification — survivors semi-join the distinct eval
+       hashes as a SHUFFLE (merge-hinted) equi-join on shingle_hash:
+       md5 keys are uniform, no skew, and the left side is already
+       pruned to survivors. False positives cost verify work, never
+       correctness.
+    """
+    filt = build_sharded_bloom(eval_df, id_col, text_col, n,
+                               n_shards, m_bits, k)
+    tr = shingle_hash_set(train, id_col, text_col, n)
+    shard = F.pmod(F.xxhash64(F.concat(F.lit("shard:"),
+                                       F.col("shingle_hash"))),
+                   F.lit(n_shards)).cast("int")
+    probes = _bloom_positions(F.col("shingle_hash"), m_bits, k)
+    tr_p = tr.select(id_col, "shingle_hash", shard.alias("__s"),
+                     *[p.alias(f"__p{i}") for i, p in enumerate(probes)])
+    joined = tr_p.join(F.broadcast(filt), "__s", "left")
+
+    def bit_set(i):
+        word = F.coalesce(
+            F.element_at(F.col("__bm"), F.expr(f"__p{i} div 64")),
+            F.lit(0).cast("long"))
+        return word.bitwiseAND(
+            F.expr(f"shiftleft(1L, cast(__p{i} % 64 AS INT))")) != 0
+
+    maybe = bit_set(0)
+    for i in range(1, k):
+        maybe = maybe & bit_set(i)
+
+    survivors = joined.filter(maybe).select(id_col, "shingle_hash")
+    ev = (shingle_hash_set(eval_df, id_col, text_col, n)
+          .select("shingle_hash").distinct())
+    hits = (survivors
+            .join(ev.hint("merge"), "shingle_hash", "left_semi")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared")))
+    totals = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (totals.join(hits, id_col, "left")
+            .select(id_col, "n_shingles",
+                    F.coalesce("n_shared", F.lit(0)).alias("n_shared"))
+            .withColumn("contaminated", F.col("n_shared") >= min_shared))
+
+
 def decontaminate(train: DataFrame, eval_df: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   n: int = 5, min_shared: int = 1,

@@ -124,6 +124,11 @@ class KnnGraphIndex(_MaintainableIndex):
         self.edge_buckets = edge_buckets
         self._deleted = None
         self._entries = None        # cached [(id, vec)] driver-side
+        self._coarse = None         # optional coarse entry layer
+        #: observability: hop/job counts of the LAST search call —
+        #: scale assertions (tests, tools/scale_up.py) read these
+        self.last_hops = 0
+        self.last_jobs = 0
 
     # -- build ----------------------------------------------------------
 
@@ -189,6 +194,62 @@ class KnnGraphIndex(_MaintainableIndex):
             self._entries = [(r[0], list(r[1])) for r in rows]
         return self._entries
 
+    def with_coarse_entries(self, n_coarse: int | None = None
+                            ) -> "KnnGraphIndex":
+        """Attach a COARSE ENTRY LAYER — the HNSW upper-layer descent
+        (hnsw.go:439-521's top-down phase) collapsed into one level: a
+        det_sample of ~4*sqrt(N) nodes (the IVF sizing rule) is held
+        driver-side, and each search seeds its beam with the n_entry
+        nearest SAMPLED nodes instead of the fixed pseudo-random
+        entries. Seeding from ~sqrt(N)-dense coverage starts the walk
+        near the answer, so the base layer needs fewer hops — the whole
+        point of HNSW's hierarchy, at the cost of one in-memory scan
+        over the sample (exactly how faiss scans its coarse quantizer).
+        Bounded: at N=1e9 the sample is ~126k rows * dim doubles.
+        Returns self (mutates the cache; cheap to re-derive)."""
+        import numpy as np
+
+        from .chooser import ivf_nlist
+        live = self._live(self.table)
+        if n_coarse is None:
+            n_coarse = ivf_nlist(live.count())
+        rows = (live.select(self.id_col, self.vec_col)
+                .orderBy(F.md5(F.col(self.id_col).cast("string")),
+                         F.col(self.id_col))
+                .limit(n_coarse).collect())
+        ids = [r[0] for r in rows]
+        mat = np.stack([np.asarray(list(r[1]), dtype=np.float64)
+                        for r in rows])
+        self._coarse = (ids, mat)
+        return self
+
+    def _seed_entries(self, q, dead: set) -> list:
+        """Beam seeds for one query vector: nearest n_entry coarse
+        nodes when the coarse layer is attached, else the fixed
+        deterministic entry points."""
+        import numpy as np
+
+        from .knn import _np_dists
+        if self._coarse is not None:
+            ids, mat = self._coarse
+            d = _np_dists(q[None, :], mat, self.metric)[0]
+            order = np.argsort(d, kind="stable")
+            out = []
+            for j in order:
+                if ids[j] not in dead:
+                    out.append((float(d[j]), ids[j]))
+                    if len(out) >= self.n_entry:
+                        break
+            if out:
+                return out
+        entries = [(i, v) for i, v in self._entry_points()
+                   if i not in dead]
+        if not entries:
+            return []
+        d0 = _np_query_dists([v for _, v in entries], q, self.metric)
+        return sorted(zip((float(x) for x in d0),
+                          (i for i, _ in entries)))
+
     def _deleted_ids(self) -> set:
         """Tombstones as a driver set for the walk (bounded: tombstone
         debt is delete volume, not corpus size — compact() folds it)."""
@@ -212,16 +273,16 @@ class KnnGraphIndex(_MaintainableIndex):
         #                  max(efSearch, k) the same way)
         q = np.asarray(list(qvec), dtype=np.float64)
         dead = self._deleted_ids()
-        entries = [(i, v) for i, v in self._entry_points() if i not in dead]
         live = self._live(self.table)
-        if not entries:
+        seeds = self._seed_entries(q, dead)
+        if not seeds:
             return live.withColumn("distance",
                                    F.lit(None).cast("double")).limit(0)
-        d0 = _np_query_dists([v for _, v in entries], q, self.metric)
         # beam: (dist, id) best-ef seen; visited: nodes already expanded
-        beam = sorted(zip((float(x) for x in d0),
-                          (i for i, _ in entries)))[:ef]
+        beam = seeds[:ef]
         visited: set = set()
+        self.last_hops = 0
+        self.last_jobs = 0
         for _ in range(max_hops):
             frontier = [i for _, i in beam if i not in visited]
             if not frontier:
@@ -240,6 +301,8 @@ class KnnGraphIndex(_MaintainableIndex):
                 hop = hop.filter(F.col("src_bucket").isin(buckets))
             fetched = (hop.filter(F.col("src").isin(frontier))
                        .select("dst", "dst_vec").distinct().collect())
+            self.last_hops += 1
+            self.last_jobs += 1
             cand = [(r["dst"], r["dst_vec"]) for r in fetched
                     if r["dst"] not in seen]
             if not cand:
@@ -258,6 +321,110 @@ class KnnGraphIndex(_MaintainableIndex):
                         distance(self.metric, F.col(self.vec_col), qlit))
         return res.orderBy(F.col("distance").asc_nulls_last(),
                            F.col(self.id_col).asc()).limit(k)
+
+    def search_batch(self, queries: DataFrame, k: int = 10,
+                     ef: int = DEFAULT_EF, max_hops: int = 6,
+                     query_id_col: str = "query_id",
+                     query_vec_col: str = "query_vec") -> DataFrame:
+        """The ``knn_join``-shaped form of the beam walk: advance MANY
+        query beams per Spark job — each hop runs ONE bounded edge
+        fetch for the UNION of every still-walking query's frontier,
+        so a 100-query batch costs <= max_hops jobs total instead of
+        100 * max_hops (the single-query ``search``'s per-hop driver
+        round-trip, amortized; ``last_jobs`` records the actual count).
+
+        Driver state is query state, never corpus-sized: Q * ef beam
+        entries plus an adjacency cache of expanded nodes (<= visited
+        * 2m edges, vectors included — the same rows ``search`` fetches,
+        kept so overlapping walks never refetch a node). A hop's fetch
+        collects <= |union frontier| * 2m edge rows. For corpus-sized
+        query sets chunk the batch, or use the IVF join tiers
+        (knn_join_ivf_arrow) whose state lives executor-side.
+
+        Returns (query_id, vec_id, distance) like the other join tiers,
+        distances in the shared _np_dists float64 semantics."""
+        import numpy as np
+
+        from .knn import _np_dists
+
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        ef = max(ef, k)
+        spark = self.table.sparkSession
+        qrows = queries.select(query_id_col, query_vec_col).collect()
+        qid_t = dict(queries.dtypes)[query_id_col]
+        id_t = dict(self.table.dtypes)[self.id_col]
+        schema = (f"{query_id_col} {qid_t}, {self.id_col} {id_t}, "
+                  "distance double")
+        if not qrows:
+            return spark.createDataFrame([], schema)
+        dead = self._deleted_ids()
+        qs = [(r[0], np.asarray(list(r[1]), dtype=np.float64))
+              for r in qrows]
+        beams: dict = {}
+        visited: dict = {}
+        for qid, qv in qs:
+            beams[qid] = self._seed_entries(qv, dead)[:ef]
+            visited[qid] = set()
+        active = {qid for qid, _ in qs if beams[qid]}
+        adj: dict = {}  # src -> [(dst, vec)] cache across hops/queries
+        self.last_hops = 0
+        self.last_jobs = 0
+        for _ in range(max_hops):
+            frontiers = {}
+            for qid in list(active):
+                fr = [i for _, i in beams[qid] if i not in visited[qid]]
+                if fr:
+                    frontiers[qid] = fr
+                else:
+                    active.discard(qid)  # every beam member expanded
+            if not frontiers:
+                break
+            need = sorted({i for fr in frontiers.values() for i in fr
+                           if i not in adj})
+            self.last_hops += 1
+            if need:
+                hop = self.edges
+                if "src_bucket" in hop.columns:
+                    buckets = sorted({_src_bucket_py(i, self.edge_buckets)
+                                      for i in need})
+                    hop = hop.filter(F.col("src_bucket").isin(buckets))
+                fetched = (hop.filter(F.col("src").isin(need))
+                           .select("src", "dst", "dst_vec").collect())
+                self.last_jobs += 1
+                for i in need:
+                    adj[i] = []
+                for r in fetched:
+                    adj[r["src"]].append(
+                        (r["dst"],
+                         np.asarray(list(r["dst_vec"]),
+                                    dtype=np.float64)))
+            qmap = dict(qs)
+            for qid, fr in frontiers.items():
+                visited[qid].update(fr)
+                seen = (visited[qid] | {i for _, i in beams[qid]}
+                        | dead)
+                cand, cvecs, cseen = [], [], set()
+                for src in fr:
+                    for dst, dvec in adj.get(src, ()):
+                        if dst not in seen and dst not in cseen:
+                            cseen.add(dst)
+                            cand.append(dst)
+                            cvecs.append(dvec)
+                if not cand:
+                    active.discard(qid)
+                    continue
+                d = _np_dists(qmap[qid][None, :], np.stack(cvecs),
+                              self.metric)[0]
+                before = {i for _, i in beams[qid]}
+                beams[qid] = sorted(
+                    beams[qid] + list(zip((float(x) for x in d),
+                                          cand)))[:ef]
+                if {i for _, i in beams[qid]} == before:
+                    active.discard(qid)  # hop admitted nothing
+        out = [(qid, i, d) for qid, _ in qs
+               for d, i in beams[qid][:k]]
+        return spark.createDataFrame(out, schema)
 
     # -- maintenance (reference Add/Delete semantics) -------------------
 
@@ -300,11 +467,13 @@ class KnnGraphIndex(_MaintainableIndex):
                       "dst", "left_anti"))
         out.edges = base.unionByName(delta).distinct()
         out._entries = None  # corpus changed; re-derive entry points
+        out._coarse = None   # (copy.copy shares the cache otherwise)
         return out
 
     def delete(self, ids):
         out = super().delete(ids)
         out._entries = None  # an entry point may now be tombstoned
+        out._coarse = None   # ditto for coarse seeds (shared via copy)
         return out
 
     def compact(self):

@@ -2152,6 +2152,46 @@ def ann_graph_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "query_id bigint, recall_ok boolean")
 
 
+# Batch graph-ANN join (graph.search_batch + coarse entry layer):
+# 20 beams advance together — ONE bounded edge fetch per hop serves
+# the whole batch (last_jobs <= max_hops, asserted in-query), and the
+# coarse layer seeds each beam from a ~4*sqrt(N) det_sample instead
+# of fixed entries. Recall-gated the same way as ann_graph_recall_gate
+# (ANN isn't hash-stable; the booleans are): each query's top-10 must
+# hit >= 0.6 of the exact top-10, and the job bound must hold — if
+# EITHER breaks, a FALSE row flips the value hash.
+@q("knn_join_graph_batch", """
+SELECT CAST(v AS BIGINT) AS query_id, TRUE AS recall_ok
+FROM generate_series(0, 19) AS t(v)
+ORDER BY query_id
+""")
+def knn_join_graph_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import KnnGraphIndex
+    from .operators.knn import knn_join
+    e = _t(spark, sf_dir, "embeddings")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(min(int(prev), 32)) if prev.isdigit() else "32")
+    try:
+        idx = KnnGraphIndex.build(e, m=8).with_coarse_entries()
+        q = (e.filter(F.col("vec_id") < 20)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("query_vec")))
+        approx = idx.search_batch(q, k=KNN_K, ef=64, max_hops=6)
+        exact = knn_join(q, e, k=KNN_K)
+        jobs_ok = idx.last_jobs <= 6
+        a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+        x = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+        rows = []
+        for qid in range(20):
+            hits = len({p for p in a if p[0] == qid}
+                       & {p for p in x if p[0] == qid})
+            rows.append((qid, jobs_ok and hits / KNN_K >= 0.6))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.createDataFrame(rows, "query_id bigint, recall_ok boolean")
+
+
 # Hourly rollup over the events table (batch equivalent of the
 # streaming windowed aggregation in streaming/events.py). Buckets are
 # epoch-aligned on the instant, so tz-independent; emitted as BIGINT
@@ -2368,6 +2408,25 @@ def decontam_bloom_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = train_test_split(_tp(spark, sf_dir, "documents"), "doc_id", 0.1)
     return contamination_report_bloom(d.filter("split = 'train'"),
                                       d.filter("split = 'test'"), n=5) \
+        .select("doc_id",
+                F.col("n_shingles").cast("bigint").alias("n_shingles"),
+                F.col("n_shared").cast("bigint").alias("n_shared"),
+                "contaminated")
+
+
+# The sharded tier is the no-broadcast-of-eval regime: bounded
+# (shard, bit-word map) filter frame + shuffle semi-join verification.
+# Same exact-answer contract, so the SAME oracle again — four tiers,
+# one truth (test_decontam additionally asserts the eval side never
+# broadcasts in this tier's plan).
+@q("decontam_sharded_overlap", _DECONTAM_ORACLE)
+def decontam_sharded_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.decontam import contamination_report_sharded
+    from .operators.sampling import train_test_split
+    d = train_test_split(_tp(spark, sf_dir, "documents"), "doc_id", 0.1)
+    return contamination_report_sharded(d.filter("split = 'train'"),
+                                        d.filter("split = 'test'"), n=5,
+                                        n_shards=16) \
         .select("doc_id",
                 F.col("n_shingles").cast("bigint").alias("n_shingles"),
                 F.col("n_shared").cast("bigint").alias("n_shared"),
