@@ -240,3 +240,70 @@ def test_fuzz_float_roundtrip(f):
 def test_fuzz_string_roundtrip(s):
     from toy_vector_db_spark.sources.gobcodec import _Reader, _enc_string
     assert _Reader(_enc_string(s)).read_string() == s
+
+
+def test_hnsw_export_roundtrip(spark, tmp_path):
+    # closing the one-way graph interop: OUR graph index -> HNSW-shaped
+    # gob -> generic decode shows the reference's Load schema -> graph
+    # re-import carries the identical edges and vectors
+    from pyspark.sql import functions as F
+
+    from toy_vector_db_spark.operators.graph import KnnGraphIndex
+    from toy_vector_db_spark.sources.gobcodec import write_gob_hnsw_index
+    from toy_vector_db_spark.workload import _t
+
+    emb = _t(spark, "/root/testdata/sf0.001", "embeddings") \
+        .filter(F.col("vec_id") < 60)
+    idx = KnnGraphIndex.build(emb, m=4)
+    path = str(tmp_path / "graph.gob")
+    n = write_gob_hnsw_index(idx, path)
+    assert n == 60
+
+    with open(path, "rb") as f:
+        data = GobDecoder(f.read()).decode()
+    # the decoded shape is exactly what hnsw.go:602-652 Load expects
+    assert set(data) <= {"Nodes", "EntryPoint", "CurrentMaxLevel",
+                         "Config", "Metric"}
+    assert data["Metric"] == "euclidean"
+    assert data["Config"]["M"] == 4
+    assert data["Config"]["EfConstruction"] == 200
+    assert data["EntryPoint"] in data["Nodes"]
+    node = data["Nodes"][data["EntryPoint"]]
+    assert node["Vector"]["Dimension"] == 64
+    assert len(node["Edges"]) == 1          # level 0 only
+    assert not node.get("Deleted", False)
+
+    # graph re-import: same topology, same vectors
+    back, metric = read_gob_hnsw_index(spark, path)
+    assert metric == "euclidean"
+    orig_edges = {(str(r["src"]), str(r["dst"]))
+                  for r in idx.edges.select("src", "dst").collect()}
+    back_edges = {(r["src"], r["dst"])
+                  for r in back.edges.select("src", "dst").collect()}
+    assert back_edges == orig_edges
+    assert back.table.count() == 60
+    # and the re-imported graph still answers searches
+    q = list(emb.filter("vec_id = 3").select("embedding").first()[0])
+    got = back.search(q, k=5).collect()
+    assert got and got[0]["id"] == "3"
+
+
+def test_hnsw_export_skips_tombstones(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from toy_vector_db_spark.operators.graph import KnnGraphIndex
+    from toy_vector_db_spark.sources.gobcodec import write_gob_hnsw_index
+    from toy_vector_db_spark.workload import _t
+
+    emb = _t(spark, "/root/testdata/sf0.001", "embeddings") \
+        .filter(F.col("vec_id") < 30)
+    idx = KnnGraphIndex.build(emb, m=4).delete([1, 2])
+    path = str(tmp_path / "graph_del.gob")
+    assert write_gob_hnsw_index(idx, path) == 28
+    with open(path, "rb") as f:
+        data = GobDecoder(f.read()).decode()
+    assert "1" not in data["Nodes"] and "2" not in data["Nodes"]
+    # no dangling links to the dropped nodes either
+    for node in data["Nodes"].values():
+        for level in node.get("Edges", []):
+            assert "1" not in level and "2" not in level

@@ -23,12 +23,20 @@ suffixing words if the variant is needed.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string hints here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_for_fingerprint
 
 SEP = "\x00"  # joins a symbol pair into one count key; never in text
+
+#: nested-fold expression trees stop being the right tier past this
+#: many merges: each merge nests one F.aggregate, and past ~50 levels
+#: Janino abandons codegen for interpreted evaluation (correct but
+#: slow) with pathological analysis times toward 1k. Above it the
+#:  Arrow tier applies the SAME in-order greedy fuse in a pandas UDF.
+EXPR_MAX_MERGES = 50
 
 
 def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -109,16 +117,53 @@ def learn_bpe(docs: DataFrame, n_merges: int,
     return merges, vocab
 
 
+def _segment_word_py(w: str, merges: list[tuple[str, str]]) -> list[str]:
+    """In-order greedy fuse of one word — the exact Python twin of
+    folding ``_fuse`` once per merge (property-tested equivalent).
+    The symbol-set guard skips merges whose parts can't occur, so a
+    production-sized merge table costs ~active merges per word, not
+    the full list length."""
+    syms = list(w) if w else [""]  # F.split("", "") -> [""]
+    symset = set(syms)
+    for a, b in merges:
+        if a not in symset or b not in symset:
+            continue
+        merged, ns, i, n = a + b, [], 0, len(syms)
+        changed = False
+        while i < n:
+            if syms[i] == a and i + 1 < n and syms[i + 1] == b:
+                ns.append(merged)
+                i += 2
+                changed = True
+            else:
+                ns.append(syms[i])
+                i += 1
+        if changed:
+            syms = ns
+            symset = set(syms)
+    return syms
+
+
 def segment(words: DataFrame, merges: list[tuple[str, str]],
             word_col: str = "word") -> DataFrame:
     """Apply a learned merge list to new words (tokenizer inference):
-    same greedy fuse, in merge order — map-only, no shuffle.
+    same greedy fuse, in merge order — map-only, no shuffle, on either
+    tier.
 
-    Each merge nests one fold, so the expression tree grows linearly
-    with the merge list; past ~50 merges Janino falls back to
-    interpreted evaluation (correct, slower). For production-sized
-    merge tables (10k+), apply the merges in an Arrow-batched pandas
-    UDF holding the table as a dict instead — same map-only shape."""
+    Each merge nests one fold expression, so up to EXPR_MAX_MERGES the
+    whole segmentation stays a codegen'd Column; production-sized merge
+    tables (1k-10k+) switch to an Arrow-batched pandas UDF holding the
+    merge list in its closure and applying the identical in-order
+    greedy fuse per word (tier equivalence property-tested in
+    test_bpe) — the per-word symbol-set guard makes dead merges ~free."""
+    if len(merges) > EXPR_MAX_MERGES:
+        mlist = [(str(a), str(b)) for a, b in merges]
+
+        @F.pandas_udf("array<string>")
+        def _seg(batch: pd.Series) -> pd.Series:
+            return batch.map(lambda w: _segment_word_py(w, mlist))
+
+        return words.withColumn("syms", _seg(F.col(word_col)))
     syms = F.split(F.col(word_col), "")
     for a, b in merges:
         syms = _fuse(syms, a, b)

@@ -427,6 +427,154 @@ def write_gob_flat_index(df: DataFrame, path: str, metric: str = "euclidean",
     return n
 
 
+def write_gob_hnsw_index(index, path: str,
+                         ef_construction: int = 200,
+                         ef_search: int = 50) -> int:
+    """Export a ``KnnGraphIndex`` as a reference-loadable HNSW gob
+    snapshot (hnsw.go Load, :602-652) — closing the graph-interop
+    round trip (import has existed since ``read_gob_hnsw_index``).
+    Returns the node count.
+
+    Shape mapping: every node lands on level 0 (our graph is the
+    flattened analogue; the reference walks whatever levels the
+    snapshot carries, and level-0-only is a valid HNSW state), the
+    stored edge distances are recomputed from the vectors with the
+    index's own metric (the reference keeps them in
+    ``Edges[level][neighbor]``), EntryPoint is our first deterministic
+    entry id, and Config carries our ``m`` with the reference's
+    documented defaults for the rest (LevelMult = 1/ln(M),
+    DefaultHNSWConfig hnsw.go:44-53). Zero-valued gob fields (Level=0,
+    Deleted=false — tombstones are compacted away first) are omitted
+    per the wire spec.
+
+    Same scale contract as the flat exporter: a gob file is a single
+    sequential artifact, so rows stream driver-side; use the parquet
+    layout for engine-native persistence."""
+    import math
+
+    from ..functions.distance import distance
+
+    T_FLOATS, T_META, T_VEC, T_EDGEMAP, T_EDGES, T_CFG, T_NODE, \
+        T_NODEMAP, T_IDX = range(_FIRST_USER_ID, _FIRST_USER_ID + 9)
+    header = b"".join([
+        _typedef_msg(T_FLOATS, 1,
+                     _enc_struct([(0, _enc_common("", T_FLOATS)),
+                                  (1, _enc_int(FLOAT))])),
+        _typedef_msg(T_META, 3,
+                     _enc_struct([(0, _enc_common("", T_META)),
+                                  (1, _enc_int(STRING)),
+                                  (2, _enc_int(STRING))])),
+        _typedef_msg(T_VEC, 2,
+                     _enc_struct([(0, _enc_common("Vector", T_VEC)),
+                                  (1, _enc_field_list(
+                                      [("ID", STRING),
+                                       ("Values", T_FLOATS),
+                                       ("Dimension", INT),
+                                       ("Metadata", T_META)]))])),
+        # map[string]float32 — one level's neighbor -> distance
+        _typedef_msg(T_EDGEMAP, 3,
+                     _enc_struct([(0, _enc_common("", T_EDGEMAP)),
+                                  (1, _enc_int(STRING)),
+                                  (2, _enc_int(FLOAT))])),
+        # []map[string]float32 — Edges, indexed by level
+        _typedef_msg(T_EDGES, 1,
+                     _enc_struct([(0, _enc_common("", T_EDGES)),
+                                  (1, _enc_int(T_EDGEMAP))])),
+        _typedef_msg(T_CFG, 2,
+                     _enc_struct([(0, _enc_common("HNSWConfig", T_CFG)),
+                                  (1, _enc_field_list(
+                                      [("M", INT),
+                                       ("EfConstruction", INT),
+                                       ("EfSearch", INT),
+                                       ("MaxLevel", INT),
+                                       ("LevelMult", FLOAT)]))])),
+        _typedef_msg(T_NODE, 2,
+                     _enc_struct([(0, _enc_common("Node", T_NODE)),
+                                  (1, _enc_field_list(
+                                      [("Vector", T_VEC),
+                                       ("Edges", T_EDGES),
+                                       ("Level", INT),
+                                       ("Deleted", BOOL)]))])),
+        _typedef_msg(T_NODEMAP, 3,
+                     _enc_struct([(0, _enc_common("", T_NODEMAP)),
+                                  (1, _enc_int(STRING)),
+                                  (2, _enc_int(T_NODE))])),
+        _typedef_msg(T_IDX, 2,
+                     _enc_struct([(0, _enc_common("indexData", T_IDX)),
+                                  (1, _enc_field_list(
+                                      [("Nodes", T_NODEMAP),
+                                       ("EntryPoint", STRING),
+                                       ("CurrentMaxLevel", INT),
+                                       ("Config", T_CFG),
+                                       ("Metric", STRING)]))])),
+    ])
+
+    compacted = index.compact()
+    id_col, vec_col = index.id_col, index.vec_col
+    from pyspark.sql import functions as F
+    src_v = compacted.table.select(F.col(id_col).alias("src"),
+                                   F.col(vec_col).alias("__src_vec"))
+    scored = (compacted.edges.join(src_v, "src")
+              .select("src", "dst",
+                      distance(index.metric, F.col("__src_vec"),
+                               F.col("dst_vec")).alias("__d")))
+    adj: dict = {}
+    for r in scored.toLocalIterator():
+        adj.setdefault(str(r["src"]), []).append(
+            (str(r["dst"]), float(r["__d"])))
+
+    def enc_vector(vid: str, values) -> bytes:
+        fields = [(0, _enc_string(vid))] if vid else []
+        vals = [float(x) for x in (values or [])]
+        if vals:
+            fields.append((1, _enc_uint(len(vals))
+                           + b"".join(_enc_float(v) for v in vals)))
+            fields.append((2, _enc_int(len(vals))))
+        return _enc_struct(fields)
+
+    def enc_node(vid: str, values) -> bytes:
+        fields = [(0, enc_vector(vid, values))]
+        level0 = sorted(adj.get(vid, []))
+        if level0:
+            emap = _enc_uint(len(level0))
+            for dst, d in level0:
+                emap += _enc_string(dst) + _enc_float(d)
+            fields.append((1, _enc_uint(1) + emap))  # one level
+        # Level=0 and Deleted=false are zero values: omitted
+        return _enc_struct(fields)
+
+    n = 0
+    chunks: list[bytes] = []
+    for row in (compacted.table.select(id_col, vec_col)
+                .toLocalIterator()):
+        vid = str(row[0])
+        chunks.append(_enc_string(vid))
+        chunks.append(enc_node(vid, row[1]))
+        n += 1
+    m = int(index.m) or 16
+    cfg = _enc_struct([
+        (0, _enc_int(m)),
+        (1, _enc_int(int(ef_construction))),
+        (2, _enc_int(int(ef_search))),
+        # MaxLevel=0 omitted (zero value)
+        (4, _enc_float(1.0 / math.log(m) if m > 1 else 1.0)),
+    ])
+    idx_fields = []
+    if n:
+        idx_fields.append((0, _enc_uint(n) + b"".join(chunks)))
+        entry = index._entry_points()
+        if entry:
+            idx_fields.append((1, _enc_string(str(entry[0][0]))))
+    # CurrentMaxLevel=0 omitted (zero value)
+    idx_fields.append((3, cfg))
+    if index.metric:
+        idx_fields.append((4, _enc_string(index.metric)))
+    value = _enc_int(T_IDX) + _enc_struct(idx_fields)
+    with open(path, "wb") as f:
+        f.write(header + _enc_uint(len(value)) + value)
+    return n
+
+
 # ---------------------------------------------------------------------------
 # DataFrame importers
 # ---------------------------------------------------------------------------
