@@ -135,17 +135,36 @@ class KnnGraphIndex(_MaintainableIndex):
     @classmethod
     def build(cls, df: DataFrame, m: int = DEFAULT_M,
               metric: str = "euclidean", id_col: str = "vec_id",
-              vec_col: str = "embedding", n_centroids: int = 8,
-              nprobe: int = 3,
+              vec_col: str = "embedding", n_centroids: int | None = None,
+              nprobe: int | None = None,
               n_entry: int = DEFAULT_ENTRIES) -> "KnnGraphIndex":
         """Batch k-NN-graph construction. The self-join runs on the
         BLAS cogroup tier over a deterministic IVF partitioning so the
         build is (a) never an all-pairs crossJoin and (b) reproducible
         — same corpus, same graph. ``nprobe`` trades build cost for
         edge quality exactly like efConstruct trades insert cost for
-        link quality in the reference."""
+        link quality in the reference.
+
+        Default sizing makes the build LINEAR in N: n_centroids follows
+        the 4*sqrt(N) chooser rule and nprobe widens so every node sees
+        a ~constant candidate pool (max(64, 8*(m+1)) — an efConstruct-
+        style effort knob) — so per-node work is O(pool), total O(N),
+        where a fixed 8-centroid partitioning made the self-join
+        quadratic (each node scored against 3N/8 candidates)."""
+        import math
+
+        from .chooser import ivf_nlist
         from .knn import knn_join_ivf_arrow
 
+        if n_centroids is None or nprobe is None:
+            n = df.count()
+            if n_centroids is None:
+                n_centroids = ivf_nlist(n)
+            if nprobe is None:
+                pool = max(64, 8 * (m + 1))
+                nprobe = min(n_centroids,
+                             max(3, math.ceil(pool * n_centroids
+                                              / max(1, n))))
         ivf = IvfIndex.build_deterministic(df, n_centroids=n_centroids,
                                            id_col=id_col, vec_col=vec_col)
         q = df.select(F.col(id_col).alias("query_id"),

@@ -447,17 +447,22 @@ def knn_join_ivf_arrow(queries: DataFrame, index, k: int = DEFAULT_K,
             lambda v: np.asarray(v, dtype=np.float64)).values)
         C = np.stack(cpdf["__cvec"].map(
             lambda v: np.asarray(v, dtype=np.float64)).values)
-        D = _np_dists(Q, C, metric)
         cids = cpdf["__cid"].values
         qids = qpdf["__qid"].values
         # local top-k per query, ties -> ascending corpus id (the same
-        # total order as the struct-sort merge and the SQL oracle)
+        # total order as the struct-sort merge and the SQL oracle).
+        # The query side scores in chunks bounding the D matrix to
+        # ~4e7 cells (~320 MB f64): a skewed/under-partitioned cluster
+        # degrades to more matmul calls, never to an OOM.
         out_q, out_c, out_d = [], [], []
-        for r in range(D.shape[0]):
-            idx = np.lexsort((cids, D[r]))[:k]
-            out_q.extend([qids[r]] * len(idx))
-            out_c.extend(cids[idx])
-            out_d.extend(D[r, idx])
+        step = max(1, int(4e7) // max(1, len(C)))
+        for s in range(0, len(Q), step):
+            D = _np_dists(Q[s:s + step], C, metric)
+            for r in range(D.shape[0]):
+                idx = np.lexsort((cids, D[r]))[:k]
+                out_q.extend([qids[s + r]] * len(idx))
+                out_c.extend(cids[idx])
+                out_d.extend(D[r, idx])
         return pd.DataFrame({"__qid": out_q, "__cid": out_c,
                              dist_col: out_d})
 

@@ -121,18 +121,25 @@ def hard_negative_join_ivf(df: DataFrame, index, k: int = 4,
             lambda v: np.asarray(v, dtype=np.float64)).values)
         C = np.stack(cpdf["__cvec"].map(
             lambda v: np.asarray(v, dtype=np.float64)).values)
-        D = _np_dists(Q, C, metric)
-        same = qpdf["__qlbl"].values[:, None] == cpdf["__clbl"].values[None, :]
-        D = np.where(same, np.inf, D)
         cids = cpdf["__cid"].values
         qids = qpdf["__qid"].values
+        qlbl = qpdf["__qlbl"].values
+        clbl = cpdf["__clbl"].values
         out_q, out_c, out_d = [], [], []
-        for r in range(D.shape[0]):
-            order = np.lexsort((cids, D[r]))[:k]
-            order = order[np.isfinite(D[r, order])]
-            out_q.extend([qids[r]] * len(order))
-            out_c.extend(cids[order])
-            out_d.extend(D[r, order])
+        # chunk the query side (same D-matrix memory bound as
+        # knn_join_ivf_arrow): the label mask still applies INSIDE the
+        # matrix step, before the local top-k
+        step = max(1, int(4e7) // max(1, len(C)))
+        for s in range(0, len(Q), step):
+            D = _np_dists(Q[s:s + step], C, metric)
+            same = qlbl[s:s + step, None] == clbl[None, :]
+            D = np.where(same, np.inf, D)
+            for r in range(D.shape[0]):
+                order = np.lexsort((cids, D[r]))[:k]
+                order = order[np.isfinite(D[r, order])]
+                out_q.extend([qids[s + r]] * len(order))
+                out_c.extend(cids[order])
+                out_d.extend(D[r, order])
         return pd.DataFrame({"__qid": out_q, "__cid": out_c,
                              dist_col: out_d})
 
