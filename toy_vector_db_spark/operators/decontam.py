@@ -150,31 +150,34 @@ def contamination_report_bloom(train: DataFrame, eval_df: DataFrame,
             .withColumn("contaminated", F.col("n_shared") >= min_shared))
 
 
-def build_sharded_bloom(eval_df: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text", n: int = 5,
-                        n_shards: int = 64, m_bits: int = 1 << 16,
-                        k: int = 4) -> DataFrame:
-    """Bloom filter as a (shard, word->bits map) DATAFRAME — the form
-    for eval sets past what a plan-literal array (a few hundred KiB)
-    or a broadcast row set can carry. Each distinct eval shingle hash
-    routes to ONE shard (seeded xxhash64 mod n_shards) and sets k bits
-    in that shard's private m_bits array; the per-shard arrays stay
-    sparse maps (only SET 64-bit words are kept), assembled entirely
-    executor-side by a (shard, word) bit_or aggregate + one map_from_
-    entries — nothing ever reaches the driver. Total filter size is
-    bounded by n_shards * m_bits / 8 bytes REGARDLESS of eval rows;
-    size (n_shards, m_bits) for ~1.2 bytes per eval shingle at 1% FPP."""
-    if m_bits % 64:
-        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
-    if n_shards < 1:
-        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    ev = shingle_hash_set(eval_df, id_col, text_col, n) \
-        .select("shingle_hash").distinct()
-    shard = F.pmod(F.xxhash64(F.concat(F.lit("shard:"),
-                                       F.col("shingle_hash"))),
-                   F.lit(n_shards)).cast("int")
-    pos = ev.select(shard.alias("__s"), F.explode(F.array(
-        *_bloom_positions(F.col("shingle_hash"), m_bits, k))).alias("p"))
+#: auto-sizing targets ~this many eval hashes per shard. The probe's
+#: per-row cost is a Spark map element_at — a LINEAR scan of the
+#: shard's word map — so shard maps must stay small: 64 hashes set
+#: <= min(4*64, m_bits/64) words, and with the default m_bits (1<<12,
+#: 64 words) the scan is <= 64 entries while fill stays ~6% (FPP
+#: ~1.3e-5 at k=4). Oversized shards were measured QUADRATIC-ish:
+#: 16 shards at the 10x probe point put ~47k entries in each map and
+#: the probe column alone cost ~10 s.
+HASHES_PER_SHARD = 64
+
+
+def _shard_expr(hash_col, n_shards: int):
+    return F.pmod(F.xxhash64(F.concat(F.lit("shard:"), hash_col)),
+                  F.lit(n_shards)).cast("int")
+
+
+def _bloom_from_hashes(ev: DataFrame, n_shards: int, m_bits: int,
+                       k: int) -> DataFrame:
+    """(shard, word->bits map) filter frame from a distinct
+    shingle-hash frame — assembled entirely executor-side by a
+    (shard, word) bit_or aggregate + one map_from_entries; nothing
+    reaches the driver. Total capacity n_shards * m_bits bits, sized
+    independent of eval rows; the per-shard maps stay SPARSE (only
+    set words are kept)."""
+    pos = ev.select(_shard_expr(F.col("shingle_hash"),
+                                n_shards).alias("__s"),
+                    F.explode(F.array(*_bloom_positions(
+                        F.col("shingle_hash"), m_bits, k))).alias("p"))
     words = (pos.select("__s", F.expr("p div 64").alias("w"),
                         F.expr("shiftleft(1L, cast(p % 64 AS INT))")
                         .alias("m"))
@@ -184,12 +187,37 @@ def build_sharded_bloom(eval_df: DataFrame, id_col: str = "doc_id",
         .alias("__bm"))
 
 
+def build_sharded_bloom(eval_df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 5,
+                        n_shards: int | None = None,
+                        m_bits: int = 1 << 12,
+                        k: int = 4) -> DataFrame:
+    """Bloom filter as a (shard, word->bits map) DATAFRAME — the form
+    for eval sets past what a plan-literal array (a few hundred KiB)
+    or a broadcast row set can carry. Each distinct eval shingle hash
+    routes to ONE shard (seeded xxhash64 mod n_shards) and sets k bits
+    in that shard's private m_bits array. ``n_shards=None`` auto-sizes
+    to ~HASHES_PER_SHARD eval hashes per shard (one count job), which
+    keeps both FPP and the per-probe map scan bounded at ANY eval
+    size; pass it explicitly to pin the layout."""
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    if n_shards is not None and n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    ev = shingle_hash_set(eval_df, id_col, text_col, n) \
+        .select("shingle_hash").distinct()
+    if n_shards is None:
+        import math
+        n_shards = max(16, math.ceil(ev.count() / HASHES_PER_SHARD))
+    return _bloom_from_hashes(ev, n_shards, m_bits, k)
+
+
 def contamination_report_sharded(train: DataFrame, eval_df: DataFrame,
                                  id_col: str = "doc_id",
                                  text_col: str = "text", n: int = 5,
                                  min_shared: int = 1,
-                                 n_shards: int = 64,
-                                 m_bits: int = 1 << 16,
+                                 n_shards: int | None = None,
+                                 m_bits: int = 1 << 12,
                                  k: int = 4) -> DataFrame:
     """The genuinely-large-eval-set tier (the BASELINE.md caveat on
     the other tiers, made real): the eval side is NEVER broadcast and
@@ -212,14 +240,21 @@ def contamination_report_sharded(train: DataFrame, eval_df: DataFrame,
        pruned to survivors. False positives cost verify work, never
        correctness.
     """
-    filt = build_sharded_bloom(eval_df, id_col, text_col, n,
-                               n_shards, m_bits, k)
+    # the distinct eval hash set feeds BOTH the filter build and the
+    # exact verification join — checkpoint so the eval shingle explode
+    # runs once (it is eval-set-sized, bounded executor-side state)
+    ev = (shingle_hash_set(eval_df, id_col, text_col, n)
+          .select("shingle_hash").distinct()
+          .localCheckpoint(eager=True))
+    if n_shards is None:
+        import math
+        n_shards = max(16, math.ceil(ev.count() / HASHES_PER_SHARD))
+    filt = _bloom_from_hashes(ev, n_shards, m_bits, k)
     tr = shingle_hash_set(train, id_col, text_col, n)
-    shard = F.pmod(F.xxhash64(F.concat(F.lit("shard:"),
-                                       F.col("shingle_hash"))),
-                   F.lit(n_shards)).cast("int")
     probes = _bloom_positions(F.col("shingle_hash"), m_bits, k)
-    tr_p = tr.select(id_col, "shingle_hash", shard.alias("__s"),
+    tr_p = tr.select(id_col, "shingle_hash",
+                     _shard_expr(F.col("shingle_hash"),
+                                 n_shards).alias("__s"),
                      *[p.alias(f"__p{i}") for i, p in enumerate(probes)])
     joined = tr_p.join(F.broadcast(filt), "__s", "left")
 
@@ -235,8 +270,6 @@ def contamination_report_sharded(train: DataFrame, eval_df: DataFrame,
         maybe = maybe & bit_set(i)
 
     survivors = joined.filter(maybe).select(id_col, "shingle_hash")
-    ev = (shingle_hash_set(eval_df, id_col, text_col, n)
-          .select("shingle_hash").distinct())
     hits = (survivors
             .join(ev.hint("merge"), "shingle_hash", "left_semi")
             .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared")))

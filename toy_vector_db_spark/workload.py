@@ -2424,9 +2424,13 @@ def decontam_sharded_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.decontam import contamination_report_sharded
     from .operators.sampling import train_test_split
     d = train_test_split(_tp(spark, sf_dir, "documents"), "doc_id", 0.1)
+    # auto-sized shards (~64 eval hashes each): keeps the per-probe
+    # map scan AND the FPP bounded at any eval size — a pinned small
+    # n_shards measured quadratic-ish at the 10x probe point (the map
+    # element_at is a linear scan of the shard's word list)
     return contamination_report_sharded(d.filter("split = 'train'"),
-                                        d.filter("split = 'test'"), n=5,
-                                        n_shards=16) \
+                                        d.filter("split = 'test'"),
+                                        n=5) \
         .select("doc_id",
                 F.col("n_shingles").cast("bigint").alias("n_shingles"),
                 F.col("n_shared").cast("bigint").alias("n_shared"),
@@ -4028,101 +4032,51 @@ def dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # knn exact — represented by the Matryoshka two-stage query since
-    # r4.5 (its rerank stage IS the exact full-dim ranking, plus the
-    # prefix-search capability); plain knn_cosine cycled out, still
-    # oracle-run, and exact search stays hard-signaled via
-    # knn_search_auto + search_text_documents
-    "knn_matryoshka_topk",
-    # scan / filter / SQL dialect (filter_like cycled out r4.6 — LIKE
-    # pushdown still proven by the pii/markup regexp tiers + pytest)
-    "scan_project_limit", "filter_id_eq", "span_dedup_docs",
-    "sql_meta_ne_dialect", "sql_nearest_filtered",
-    # agg / join / window / grammar / set ops (r4.7: anti_join and
-    # top-n-window cycled out — the anti-join mechanism is re-proven
-    # inside the windowed decontam oracle, ranked windows inside
-    # lm_perplexity_buckets' NTILE and knn_per_label's row_number)
-    # (r4.8: profile_orders swapped for profile_order_quantiles — the
-    # quantile tier exercises the same one-agg-unpivot shape PLUS
-    # exact percentile interpolation)
-    "profile_order_quantiles", "agg_pricing_summary",
-    "join_region_revenue", "orders_above_cust_avg", "set_ops_segments",
-    # ranked/quantile windows + pipeline accounting (new r4.7)
-    "lm_perplexity_buckets", "corpus_filter_funnel",
-    # dataset reporting capstone + contrastive negatives (new r4.8)
-    "corpus_data_card", "hard_negatives_topk",
-    # temporal operators
-    "asof_join_events", "events_sessionize",
-    # embedding pipeline (r4.7: embed_documents_values out — the
-    # ingest roundtrip re-embeds the same corpus under a value oracle;
-    # centroids-by-label out — embedding_drift_by_label runs
-    # mean_vectors TWICE and value-checks the comparison on top)
-    "embed_ingest_roundtrip",
-    "search_text_documents", "embedding_drift_by_label",
-    # text quality tier: quality_repetition cycled out r4.8 — the
-    # quality formula is value-checked inside corpus_data_card AND
-    # corpus_clean_streaming; repetition gates stay pytest-covered
-    # (bigram order scoring below is the sharper word-order signal)
-    "lm_bigram_scores",
-    # dedup tier (+ simhash Hamming-ball degrees, first window r4;
-    # dedup_cosine_blocked cycled out r4.5 — it is a literal component
-    # of dedup_semantic_ivf, whose oracle also re-proves det-IVF
-    # assignment and connected components; crossdoc shared-shingle
-    # stats new r4.5)
-    # (dedup_exact_clusters cycled out r4.7 — the fingerprint groupBy
-    # is value-checked inside corpus_clean_streaming + clean_pipeline)
-    "dedup_minhash_pairs", "dedup_components",
-    "dedup_semantic_ivf", "dedup_simhash_neighbors",
-    "crossdoc_shared_shingles",
-    # corpus QA: vocab drift (new r4.7)
-    "corpus_vocab_drift",
-    # sampling / splits / data selection (DSIR new r4.6)
-    "mixture_token_budget", "dsir_select_en",
-    # URL curation (new r4.6)
-    "url_domain_stats",
-    # vocab / tfidf / tokenizer induction (BPE new r4.7;
-    # lm_unigram_scores cycled out r4.8 — the unigram model is
-    # replayed wholesale inside lm_perplexity_buckets AND shares
-    # lm_score_streaming's oracle)
-    "tfidf_top_terms", "bpe_top_pairs",
-    # decontamination / PII / end-to-end clean (corpus_mix_report
-    # cycled out r4.6: mixture accounting re-proven by
-    # mixture_token_budget's running totals)
-    "decontam_bloom_overlap", "pii_scrub",
-    "corpus_clean_pipeline",
-    # training-window packing: the overlap regime replaces the
-    # concat-and-chunk slot r4.7 (that one was driver-green in r4; the
-    # overlap query additionally value-checks rebuilt chunk TEXT)
-    "corpus_chunk_overlap",
-    # media plumbing
-    "media_decode_stats",
-    # events analytics (value_bands cycled out r4.6 — banded CASE agg
-    # re-proven inside events_rollup_streaming's batch twin); user
-    # funnel new r4.7
-    "events_dau_error_gate", "events_user_funnel",
-    # batch similarity joins: IVF-PQ (exact tier cycled out r4; plain
-    # IVF join out r4.7 — IVF-PQ's oracle replays the same cluster
-    # equi-join plus ADC on top)
-    "knn_join_ivfpq_batch",
-    # ANN index tiers: SQ8, the graph tier's recall gate, the
-    # chooser-routed exact search, and (new r4.6) exact-pruned radius
-    # search + cluster analytics — ann_lsh_topk cycled out r4.6 (LSH
-    # banding still hard-signaled via dedup_minhash_pairs; the query
-    # stays oracle-run)
-    # (embedding_cluster_stats cycled out r4.8: det-IVF assignment is
-    # value-checked by range_search_pruned + dedup_semantic_ivf, its
-    # agg/top-1-window mechanics by the data card + knn_per_label)
-    "ann_sq8_topk", "ann_graph_recall_gate", "knn_search_auto",
-    "range_search_pruned",
-    # structured streaming — rollup (watermark agg), dedup (file
-    # sink), stream-stream join, search, and the corpus-clean registry
-    # (new r4.5); sessionize cycled out after its r4 driver-green row
-    # (applyInPandasWithState still pytest- and oracle-covered)
-    "events_rollup_streaming", "events_dedup_streaming",
-    "events_followups_streaming", "corpus_clean_streaming",
-    "knn_search_streaming",
-    # streaming frozen-model scoring (new r4.6)
-    "lm_score_streaming",
+    # --- r5 rotation: the r4 verdict's #1 item — every query that has
+    # never earned a driver-green CORRECTNESS row runs in THIS window
+    # (28 queries, cumulative driver coverage r1-r5 = the whole
+    # registry), plus this round's two new queries, plus 20 keepers:
+    # one per core family AND every query whose mechanism changed this
+    # round (graph build sizing, chooser routing, lmscore single-scan,
+    # journey window fix, sqrt(N) hard-negative mining).
+    #
+    # never-driver-verified until now (28):
+    "knn_join_ivfpq_rerank_batch", "knn_join_ivf_allpairs",
+    "knn_join_auto_batch", "hard_negatives_ivf", "negatives_in_batch",
+    "ann_pq_ip_topk", "ann_pq_rerank_topk", "ann_hamming_topk",
+    "ann_ivf_topk", "embedding_cluster_stats",
+    "embedding_centroids_by_label", "knn_per_label",
+    "dedup_minhash_signatures_arrow", "dedup_source_overlap",
+    "decontam_streaming", "events_sessionize_streaming",
+    "events_hourly_rollup", "events_value_percentiles_gate",
+    "events_dau_approx", "skew_salted_join", "cube_order_stats",
+    "cust_running_revenue", "sample_weighted_quality",
+    "sample_k_per_lang", "corpus_chunk_windows", "text_strip_markup",
+    "lm_unigram_scores", "profile_orders",
+    # new this round (2): the no-broadcast decontam tier and the
+    # batch graph-ANN join (hop/job-bounded, recall-gated)
+    "decontam_sharded_overlap", "knn_join_graph_batch",
+    # keepers (20) — family representatives & changed-mechanism rows:
+    "knn_matryoshka_topk",        # exact knn capstone (two-stage MRL)
+    "scan_project_limit",         # scan/projection/limit + pushdown
+    "sql_nearest_filtered",       # NEAREST TO dialect + WHERE
+    "ann_graph_recall_gate",      # graph tier — BUILD SIZING CHANGED r5
+    "knn_search_auto",            # chooser — ivf_nlist ROUTING NEW r5
+    "lm_bigram_scores",           # lmscore — single-scan rewrite r5
+    "events_user_funnel",         # journey — float-window fix r5
+    "embed_ingest_roundtrip",     # embedding + file-store sink
+    "search_text_documents",      # embed+knn end-to-end
+    "dedup_minhash_pairs",        # MinHash-LSH banding
+    "dedup_components",           # connected components
+    "dedup_semantic_ivf",         # SemDeDup (IVF blocking + closure)
+    "span_dedup_docs",            # span-level dedup (Lee et al.)
+    "decontam_bloom_overlap",     # Bloom tier (same oracle as sharded)
+    "corpus_clean_pipeline",      # end-to-end clean registry
+    "mixture_token_budget",       # token-budget mixture sampling
+    "dsir_select_en",             # DSIR importance resampling
+    "bpe_top_pairs",              # BPE induction (segment tier r5)
+    "events_rollup_streaming",    # streaming watermark rollup
+    "corpus_clean_streaming",     # streaming corpus clean
 ]
 
 
