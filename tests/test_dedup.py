@@ -72,6 +72,33 @@ def test_minhash_no_verify_returns_candidates(docs):
     assert cands.count() >= 2
 
 
+def test_minhash_bucket_cap_star_fallback(spark):
+    """Degenerate-bucket guard: identical texts all share every band
+    bucket, so an over-cap family must emit STAR candidates (every
+    member vs the smallest id — linear) instead of all pairs
+    (quadratic); under-cap behavior is unchanged (cap is a no-op)."""
+    fam = spark.createDataFrame(
+        [(i, "the same exact boilerplate text repeated verbatim here")
+         for i in range(10)], ["doc_id", "text"])
+    capped = {(r["id_a"], r["id_b"])
+              for r in minhash_lsh_pairs(fam, verify=False,
+                                         max_bucket=4).collect()}
+    # star: 9 pairs, all anchored at doc 0
+    assert capped == {(0, i) for i in range(1, 10)}
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in minhash_lsh_pairs(fam, verify=False).collect()}
+    assert len(uncapped) == 45      # 10*9/2 — the quadratic shape
+    big_cap = {(r["id_a"], r["id_b"])
+               for r in minhash_lsh_pairs(fam, verify=False,
+                                          max_bucket=64).collect()}
+    assert big_cap == uncapped      # cap above bucket size: no-op
+    # verification still runs on star candidates (identical texts ->
+    # jaccard 1.0 on every surviving pair)
+    verified = minhash_lsh_pairs(fam, threshold=0.5, max_bucket=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in verified} == capped
+    assert all(r["jaccard"] == 1.0 for r in verified)
+
+
 def test_simhash_identical_for_same_text(spark, docs):
     rows = docs.select("doc_id", simhash(F.col("text")).alias("s")).collect()
     by_id = {r["doc_id"]: r["s"] for r in rows}

@@ -87,6 +87,54 @@ def hard_negative_join_ivf_helper(df, idx):
     return hard_negative_join_ivf(df, idx, k=3, nprobe=4).collect()
 
 
+def test_hard_negative_ivf_cluster_cap_binds_deterministically(spark):
+    """cluster_cap subsamples each probed cluster to the md5(id)-
+    smallest members BEFORE scoring: results must equal running the
+    uncapped tier against the pre-filtered corpus (the replayable
+    det_sample semantics), and per-anchor candidates are bounded."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from toy_vector_db_spark.operators.ann import IvfIndex
+    from toy_vector_db_spark.operators.negatives import (
+        hard_negative_join_ivf,
+    )
+
+    import random
+    rng = random.Random(11)
+    rows = [(i, i % 3, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    idx = IvfIndex.build_deterministic(df, n_centroids=3)
+    cap = 5
+    capped = {(r["query_id"], r["vec_id"], r["distance"])
+              for r in hard_negative_join_ivf(df, idx, k=3, nprobe=3,
+                                              cluster_cap=cap).collect()}
+    # replay the cap in plain python: per cluster, keep the cap
+    # md5(id)-smallest members, then run the uncapped tier on an index
+    # whose table is restricted to the kept ids
+    assigned = idx.table.select("vec_id", "__cluster").collect()
+    by_cluster: dict[int, list[int]] = {}
+    for r in assigned:
+        by_cluster.setdefault(r["__cluster"], []).append(r["vec_id"])
+    kept_ids = set()
+    for cid, ids in by_cluster.items():
+        ranked = sorted(ids, key=lambda i: (
+            hashlib.md5(str(i).encode()).hexdigest(), i))
+        kept_ids.update(ranked[:cap])
+    import copy
+    idx2 = copy.copy(idx)
+    idx2.table = idx.table.filter(F.col("vec_id").isin(list(kept_ids)))
+    expect = {(r["query_id"], r["vec_id"], r["distance"])
+              for r in hard_negative_join_ivf(df, idx2, k=3,
+                                              nprobe=3).collect()}
+    assert capped == expect
+    # at least one cluster was actually over the cap (the test bites)
+    assert any(len(v) > cap for v in by_cluster.values())
+
+
 def test_hard_negative_ivf_anchor_batch_never_materializes_cross(spark):
     """Plan audit: the IVF tier's pair source is a cogroup, not a
     cartesian/broadcast nested loop."""

@@ -165,7 +165,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 8,
                       bands: int = 4, shingle_k: int = 3,
                       threshold: float | None = 0.5,
-                      verify: bool = True) -> DataFrame:
+                      verify: bool = True,
+                      max_bucket: int | None = None) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash.
 
     Plan shape: project (id, band_keys[, shingles]) -> explode bands ->
@@ -173,6 +174,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     distinct pairs -> optional exact-Jaccard verification against the
     re-derived shingle sets (semi-joined, not shuffled with the bands).
     Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_bucket`` is the degenerate-bucket guard for corpora whose
+    duplicate families grow with corpus size (boilerplate, mirrored
+    pages): a bucket of b ids otherwise emits b*(b-1)/2 candidates
+    from ONE task — quadratic work and the one executor-OOM shape in
+    the operator. Buckets larger than the cap fall back to STAR
+    candidates (every member paired with the bucket's smallest id,
+    b-1 pairs), which keeps candidate volume linear in bucket size.
+    Verification still runs on star candidates; the documented trade
+    is candidate recall — a pair both of whose members sit only in
+    over-cap buckets is seen only through the bucket minimum. Pick
+    the cap above the largest bucket an executor should expand
+    (64-256); ``None`` disables the guard.
     """
     from ..sources.tables import ensure_parallelism
     rows_per_band = num_perm // bands
@@ -197,6 +211,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         ids, lambda x, i: F.transform(
             F.slice(ids, i + 2, F.size(ids)),
             lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    if max_bucket is not None:
+        # star fallback: sort_array put the smallest id first, so
+        # element_at(ids, 1) is the star center — b-1 candidates
+        # instead of b*(b-1)/2 for over-cap buckets
+        star = F.transform(
+            F.slice(ids, 2, F.size(ids) - 1),
+            lambda y: F.struct(F.element_at(ids, 1).alias("id_a"),
+                               y.alias("id_b")))
+        combos = F.when(F.size(ids) <= max_bucket, combos).otherwise(star)
     pairs = (buckets.select(F.explode(combos).alias("__p"))
              .select(F.col("__p.id_a"), F.col("__p.id_b"))
              .distinct())

@@ -82,7 +82,8 @@ def hard_negative_join_ivf(df: DataFrame, index, k: int = 4,
                            nprobe: int = 3,
                            label_col: str = "label",
                            metric: str = "euclidean",
-                           dist_col: str = "distance") -> DataFrame:
+                           dist_col: str = "distance",
+                           cluster_cap: int | None = None) -> DataFrame:
     """The SCALE tier of hard-negative mining: IVF cluster pruning +
     per-cluster BLAS scoring (the ``knn_join_ivf_arrow`` shape), with
     the label mask applied INSIDE the matrix step (same-label
@@ -91,7 +92,19 @@ def hard_negative_join_ivf(df: DataFrame, index, k: int = 4,
     the probe set is the documented IVF approximation, deterministic
     under ``build_deterministic`` — so the whole tier value-oracles.
     |corpus| x |corpus| never materializes: both sides meet only
-    within shared clusters, one shuffle each."""
+    within shared clusters, one shuffle each.
+
+    ``cluster_cap`` bounds PER-ANCHOR candidate volume for the
+    all-anchors mining regime: each probed cluster is deterministically
+    subsampled to its ``cluster_cap`` members with the smallest
+    md5(id) (the ``det_sample`` idiom — any SQL engine replays it), so
+    per-anchor work is nprobe*cap regardless of corpus size and total
+    work is O(N) instead of the O(N^1.5) that ivf_nlist occupancy
+    (~sqrt(N)/4 per cluster) gives uncapped. The trade is documented
+    mining recall: negatives are the hardest within the SAMPLED pool,
+    not the full probed clusters — acceptable for contrastive mining,
+    where candidate diversity matters more than exact rank. ``None``
+    keeps the exact-within-probes semantics."""
     import numpy as np
     import pandas as pd
 
@@ -101,6 +114,8 @@ def hard_negative_join_ivf(df: DataFrame, index, k: int = 4,
         raise ValueError(f"k must be >= 1, got {k}")
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if cluster_cap is not None and cluster_cap < 1:
+        raise ValueError(f"cluster_cap must be >= 1, got {cluster_cap}")
     pcol = index.PARTITION_COL
     probes = probe_clusters_expr(index.centroids,
                                  F.col(index.vec_col), nprobe)
@@ -112,6 +127,12 @@ def hard_negative_join_ivf(df: DataFrame, index, k: int = 4,
         F.col(index.id_col).alias("__cid"),
         F.col(index.vec_col).alias("__cvec"),
         F.col(label_col).alias("__clbl"), pcol)
+    if cluster_cap is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy(pcol).orderBy(
+            F.md5(F.col("__cid").cast("string")), F.col("__cid"))
+        corpus = (corpus.withColumn("__r", F.row_number().over(w))
+                  .filter(F.col("__r") <= cluster_cap).drop("__r"))
 
     def score(key, qpdf, cpdf):
         if not len(qpdf) or not len(cpdf):

@@ -23,8 +23,14 @@ Scale design (100 TB): the only all-to-all movement is the hash
 shuffle of (id, vector) rows on cluster id; pair generation is
 cluster-local BLAS; components iterate on the (usually tiny) pair
 graph. Cluster count is the knob that bounds per-executor work —
-size n_clusters so n/k vectors fit one Arrow group, exactly the
-IVF-bucket contract ``cosine_near_dup_blocked`` documents.
+``n_clusters=None`` (the default) sizes it by the one shared IVF
+rule, ``chooser.ivf_nlist`` (~4*sqrt(n)), so per-cluster occupancy
+stays ~sqrt(n)/4 and total pair work is O(n^1.5) instead of the
+O(n^2/k) a pinned k degenerates to as the corpus grows (measured:
+the pinned-8 form went 38x for the second 10x decade on the derived
+set; auto-sized it tracks the suite's sublinear envelope). Pass an
+explicit n_clusters only when the block count must match an
+external partitioning.
 """
 
 from __future__ import annotations
@@ -33,18 +39,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .ann import IvfIndex
+from .chooser import ivf_nlist
 from .components import connected_components
 from .dedup import cosine_near_dup_blocked
 
 
-def semantic_clusters(df: DataFrame, n_clusters: int = 8,
+def semantic_clusters(df: DataFrame, n_clusters: int | None = None,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       deterministic: bool = True) -> DataFrame:
     """Rows of ``df`` plus a ``__cluster`` int column (nearest
-    centroid). ``deterministic=True`` uses md5-sampled init-only
-    centroids (any SQL engine reproduces them — the value-oracle
-    path); ``False`` trains KMeans on a bounded sample (better
-    blocking on strongly clustered data, not bit-reproducible)."""
+    centroid). ``n_clusters=None`` auto-sizes via ``ivf_nlist``
+    (one footer-served count job). ``deterministic=True`` uses
+    md5-sampled init-only centroids (any SQL engine reproduces them —
+    the value-oracle path); ``False`` trains KMeans on a bounded
+    sample (better blocking on strongly clustered data, not
+    bit-reproducible)."""
+    if n_clusters is None:
+        n_clusters = ivf_nlist(df.count())
     if deterministic:
         idx = IvfIndex.build_deterministic(df, n_centroids=n_clusters,
                                            id_col=id_col, vec_col=vec_col)
@@ -54,7 +65,7 @@ def semantic_clusters(df: DataFrame, n_clusters: int = 8,
     return idx.table
 
 
-def semantic_dup_pairs(df: DataFrame, n_clusters: int = 8,
+def semantic_dup_pairs(df: DataFrame, n_clusters: int | None = None,
                        threshold: float = 0.95,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        deterministic: bool = True) -> DataFrame:
@@ -69,7 +80,7 @@ def semantic_dup_pairs(df: DataFrame, n_clusters: int = 8,
                                    vec_col=vec_col, threshold=threshold)
 
 
-def semantic_dedup(df: DataFrame, n_clusters: int = 8,
+def semantic_dedup(df: DataFrame, n_clusters: int | None = None,
                    threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    deterministic: bool = True) -> DataFrame:

@@ -943,22 +943,42 @@ def dedup_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # signatures, so even the LSH *candidate generation* is replicated
 # value-for-value — a strong oracle over the whole pipeline.
 def _minhash_pairs_oracle(num_perm: int = 8, bands: int = 4, k: int = 3,
-                          threshold: float = 0.5) -> str:
+                          threshold: float = 0.5,
+                          max_bucket: int | None = None) -> str:
     r = num_perm // bands
     mins = ", ".join(
         f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min')"
         for i in range(num_perm))
     band_key = " || '|' || ".join(["CAST(b AS VARCHAR)"]
                                   + [f"sig[{r}*b + {i} + 1]" for i in range(r)])
+    if max_bucket is None:
+        pairs_cte = """
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),"""
+    else:
+        # replay of the Spark side's degenerate-bucket guard: all
+        # pairs while |bucket| <= cap, star pairs (vs the bucket min)
+        # above it
+        pairs_cte = f"""
+bstat AS (SELECT band, COUNT(*) AS n, MIN(doc_id) AS m
+          FROM bands GROUP BY band),
+pairs AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    JOIN bstat ON bstat.band = a.band
+    WHERE bstat.n <= {max_bucket}
+    UNION ALL
+    SELECT bstat.m AS id_a, b.doc_id AS id_b
+    FROM bands b JOIN bstat ON bstat.band = b.band
+    WHERE bstat.n > {max_bucket} AND b.doc_id > bstat.m)),"""
     return f"""
 WITH s AS (SELECT doc_id, {_dd_shingles(k)} AS sh FROM documents),
 sig AS (SELECT doc_id, sh, [{mins}] AS sig FROM s),
 bands AS (
   SELECT doc_id, unnest(list_transform(range(0, {bands}), b -> {band_key})) AS band
-  FROM sig),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+  FROM sig),{pairs_cte}
 scored AS (
   SELECT id_a, id_b,
          CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 1.0
@@ -971,12 +991,17 @@ SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM scored WHERE j >= {threshold}
 """
 
 
-@q("dedup_minhash_pairs", _minhash_pairs_oracle())
+@q("dedup_minhash_pairs", _minhash_pairs_oracle(max_bucket=64))
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_lsh_pairs
     d = _t(spark, sf_dir, "documents")
+    # max_bucket=64: the degenerate-bucket guard (star candidates past
+    # the cap) — testdata buckets stay under it, so the value oracle
+    # also proves the guard formula; on the derived sets it binds
+    # (duplicate families scale with replicas) and keeps candidate
+    # volume linear in bucket size
     pairs = minhash_lsh_pairs(d, num_perm=8, bands=4, shingle_k=3,
-                              threshold=0.5)
+                              threshold=0.5, max_bucket=64)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -1455,16 +1480,23 @@ def knn_join_auto_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cluster equi-join, and the per-query ranked top-k. The Spark plan is
 # a broadcast hash EQUI-join on the cluster id (plan-asserted) — the
 # scale path that replaces knn_join's nested-loop at 100 TB.
-def _knn_join_ivf_oracle(n_centroids: int = 8, nprobe: int = 3,
+def _knn_join_ivf_oracle(n_centroids: int | None = 8, nprobe: int = 3,
                          k: int = 5,
                          where: str = "WHERE vec_id IN (1, 2, 3, 4, 5)"
                          ) -> str:
+    # n_centroids=None replays the Spark side's ivf_nlist auto-sizing
+    # (GREATEST(8, FLOOR(4*sqrt(count))) — the one chooser rule), for
+    # the all-anchors regimes where a pinned nlist is an N^2 cliff.
     eu = ("sqrt(list_sum(list_transform(list_zip({x}, c), "
           "pr -> (pr[1]-pr[2])*(pr[1]-pr[2]))))")
+    nc = (str(n_centroids) if n_centroids is not None
+          else "(SELECT GREATEST(8, CAST(FLOOR(4 * SQRT(COUNT(*))) AS INT))"
+               " FROM e)")
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cent AS (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
-         FROM e ORDER BY h, vec_id LIMIT {n_centroids}),
+cent AS (SELECT v, h, vec_id
+         FROM (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id FROM e)
+         QUALIFY row_number() OVER (ORDER BY h, vec_id) <= {nc}),
 cents AS (SELECT list(v ORDER BY h, vec_id) AS cs FROM cent),
 assigned AS (
   SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cluster
@@ -1860,12 +1892,17 @@ def knn_join_ivfpq_rerank_batch(spark: SparkSession,
 # row gets its 3 nearest (self included, rank 1 at distance 0 — kept:
 # it proves the join saw every row). Full value oracle: the batch
 # IVF-join oracle with the query filter dropped.
-@q("knn_join_ivf_allpairs", _knn_join_ivf_oracle(k=3, where=""))
+@q("knn_join_ivf_allpairs", _knn_join_ivf_oracle(n_centroids=None, k=3,
+                                                 where=""))
 def knn_join_ivf_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import IvfIndex
+    from .operators.chooser import ivf_nlist
     from .operators.knn import knn_join_ivf_arrow
     e = _t(spark, sf_dir, "embeddings")
-    idx = IvfIndex.build_deterministic(e, n_centroids=8)
+    # all-anchors regime: nlist ~ 4*sqrt(N) keeps total scored pairs
+    # O(N^1.5) — pinned-8 is N^2/8 (measured 61x for the second 10x
+    # decade on the derived set before this sizing)
+    idx = IvfIndex.build_deterministic(e, n_centroids=ivf_nlist(e.count()))
     queries = e.select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec"))
     return knn_join_ivf_arrow(queries, idx, k=3, nprobe=3,
@@ -3008,7 +3045,8 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sides — per-anchor candidate volume is then ~nprobe*sqrt(N)/4, so
 # total mining work is O(N^1.5) instead of the O(N^2) a fixed nlist
 # gives an all-anchors regime (the r4 verdict's one superlinear edge).
-def _hard_neg_ivf_oracle(nprobe: int = 3, k: int = 3) -> str:
+def _hard_neg_ivf_oracle(nprobe: int = 3, k: int = 3,
+                         cluster_cap: int | None = None) -> str:
     eu = ("sqrt(list_sum(list_transform(list_zip({x}, c), "
           "pr -> (pr[1]-pr[2])*(pr[1]-pr[2]))))")
     return f"""
@@ -3037,11 +3075,15 @@ probes AS (
         FROM e)
   QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, i)
           <= {nprobe}),
+capped AS (
+  SELECT vec_id, label, v, cluster FROM assigned{'' if cluster_cap is None else f'''
+  QUALIFY row_number() OVER (PARTITION BY cluster
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {cluster_cap}'''}),
 cand AS (
   SELECT p.query_id, a.vec_id,
          sqrt(list_sum(list_transform(list_zip(a.v, p.qv),
               pr -> (pr[1]-pr[2])*(pr[1]-pr[2])))) AS dist
-  FROM assigned a JOIN probes p USING (cluster)
+  FROM capped a JOIN probes p USING (cluster)
   WHERE a.label <> p.qlbl)
 SELECT query_id, vec_id, ROUND(dist, 4) AS distance
 FROM cand
@@ -3050,20 +3092,24 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id)
 """
 
 
-@q("hard_negatives_ivf", _hard_neg_ivf_oracle())
+@q("hard_negatives_ivf", _hard_neg_ivf_oracle(cluster_cap=64))
 def hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import IvfIndex
     from .operators.chooser import ivf_nlist
     from .operators.negatives import hard_negative_join_ivf
     e = _t(spark, sf_dir, "embeddings")
     # size nlist from the corpus count (one footer-served count job)
-    # so candidate volume stays ~sqrt(N) per anchor at any scale
+    # so cluster occupancy stays ~sqrt(N)/4; cluster_cap=64 then bounds
+    # PER-ANCHOR candidates to nprobe*64 regardless of N (total O(N)) —
+    # occupancy crosses the cap past ~65k vectors, where the uncapped
+    # tier's O(N^1.5) showed up as 12.4x wall for the second 10x decade
     idx = IvfIndex.build_deterministic(e, n_centroids=ivf_nlist(e.count()))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
                    str(min(int(prev), 32)) if prev.isdigit() else "32")
     try:
-        out = hard_negative_join_ivf(e, idx, k=3, nprobe=3) \
+        out = hard_negative_join_ivf(e, idx, k=3, nprobe=3,
+                                     cluster_cap=64) \
             .select("query_id", "vec_id",
                     F.round("distance", 4).alias("distance"))
         out = out.localCheckpoint(eager=True)
@@ -3296,7 +3342,11 @@ def crossdoc_shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # blocking key, within-cluster cosine pairs, one survivor (smallest
 # id) per connected near-dup group. DuckDB reproduces the centroid
 # sample, cluster assignment, pair set, and the transitive closure.
-def _semdedup_oracle(n_clusters: int = 8, threshold: float = 0.5) -> str:
+def _semdedup_oracle(threshold: float = 0.5) -> str:
+    # n_clusters is auto-sized by the ONE ivf_nlist rule (~4*sqrt(n),
+    # chooser.py) on the Spark side; the nl CTE replays the identical
+    # GREATEST(8, FLOOR(4*sqrt(count))) arithmetic so the blocking —
+    # and therefore the pair set and closure — matches at any scale.
     eu = ("sqrt(list_sum(list_transform(list_zip({x}, c), "
           "p -> (p[1]-p[2])*(p[1]-p[2]))))")
     sim = ("CASE WHEN sqrt(list_inner_product(a.v, a.v)) = 0"
@@ -3306,8 +3356,12 @@ def _semdedup_oracle(n_clusters: int = 8, threshold: float = 0.5) -> str:
            " * sqrt(list_inner_product(b.v, b.v))), -1.0), 1.0) END")
     return f"""
 WITH RECURSIVE e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cent AS (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
-         FROM e ORDER BY h, vec_id LIMIT {n_clusters}),
+nl AS (SELECT GREATEST(8, CAST(FLOOR(4 * SQRT(COUNT(*))) AS INT)) AS nc
+       FROM e),
+cent AS (SELECT v, h, vec_id
+         FROM (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id FROM e)
+         QUALIFY row_number() OVER (ORDER BY h, vec_id)
+                 <= (SELECT nc FROM nl)),
 cents AS (SELECT list(v ORDER BY h, vec_id) AS cs FROM cent),
 assigned AS (
   SELECT vec_id, label, v, list_position(ds, list_min(ds)) - 1 AS cluster
@@ -3338,7 +3392,9 @@ SELECT vec_id, label FROM e WHERE vec_id NOT IN (SELECT node FROM losers)
 def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.semdedup import semantic_dedup
     e = _tp(spark, sf_dir, "embeddings")
-    return semantic_dedup(e, n_clusters=8, threshold=0.5) \
+    # n_clusters=None -> ivf_nlist(count): blocking scales as 4*sqrt(N)
+    # (pair work O(N^1.5)); the oracle's nl CTE replays the same rule
+    return semantic_dedup(e, n_clusters=None, threshold=0.5) \
         .select("vec_id", "label")
 
 
