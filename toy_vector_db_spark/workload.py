@@ -1010,22 +1010,39 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collapses all three). Spark runs iterative min-label propagation;
 # the oracle computes the same fixpoint with a recursive CTE.
 def _components_oracle(num_perm: int = 8, bands: int = 4, k: int = 3,
-                       threshold: float = 0.5) -> str:
+                       threshold: float = 0.5,
+                       max_bucket: int | None = None) -> str:
     r = num_perm // bands
     mins = ", ".join(
         f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min')"
         for i in range(num_perm))
     band_key = " || '|' || ".join(["CAST(b AS VARCHAR)"]
                                   + [f"sig[{r}*b + {i} + 1]" for i in range(r)])
+    if max_bucket is None:
+        cand_cte = """
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands_t a JOIN bands_t b ON a.band = b.band AND a.doc_id < b.doc_id),"""
+    else:
+        cand_cte = f"""
+bstat AS (SELECT band, COUNT(*) AS n, MIN(doc_id) AS m
+          FROM bands_t GROUP BY band),
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands_t a JOIN bands_t b ON a.band = b.band AND a.doc_id < b.doc_id
+    JOIN bstat ON bstat.band = a.band
+    WHERE bstat.n <= {max_bucket}
+    UNION ALL
+    SELECT bstat.m AS id_a, b.doc_id AS id_b
+    FROM bands_t b JOIN bstat ON bstat.band = b.band
+    WHERE bstat.n > {max_bucket} AND b.doc_id > bstat.m)),"""
     return f"""
 WITH RECURSIVE s AS (SELECT doc_id, {_dd_shingles(k)} AS sh FROM documents),
 sig AS (SELECT doc_id, sh, [{mins}] AS sig FROM s),
 bands_t AS (
   SELECT doc_id, unnest(list_transform(range(0, {bands}), b -> {band_key})) AS band
-  FROM sig),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands_t a JOIN bands_t b ON a.band = b.band AND a.doc_id < b.doc_id),
+  FROM sig),{cand_cte}
 pairs AS (
   SELECT id_a, id_b FROM cand
   JOIN s sa ON sa.doc_id = cand.id_a
@@ -1046,13 +1063,18 @@ FROM reach GROUP BY node
 """
 
 
-@q("dedup_components", _components_oracle())
+@q("dedup_components", _components_oracle(max_bucket=64))
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.components import connected_components
     from .operators.dedup import minhash_lsh_pairs
     d = _tp(spark, sf_dir, "documents")
+    # max_bucket: the same degenerate-bucket guard as
+    # dedup_minhash_pairs — star candidates keep an over-cap bucket's
+    # edge set linear, and a star still connects the whole bucket, so
+    # component structure is preserved wherever verification keeps the
+    # star edges (the documented trade)
     pairs = minhash_lsh_pairs(d, num_perm=8, bands=4, shingle_k=3,
-                              threshold=0.5)
+                              threshold=0.5, max_bucket=64)
     return connected_components(pairs) \
         .select("node", F.col("component").cast("bigint").alias("component"))
 
@@ -1186,7 +1208,8 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _clean_pipeline_oracle(q_threshold: float = 0.6, num_perm: int = 8,
                            bands: int = 4, k: int = 3,
-                           j_threshold: float = 0.5) -> str:
+                           j_threshold: float = 0.5,
+                           max_bucket: int | None = None) -> str:
     r = num_perm // bands
     mins = ", ".join(
         f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min')"
@@ -1230,9 +1253,21 @@ WITH corpus AS (
 ), bands_t AS (
   SELECT doc_id, unnest(list_transform(range(0, {bands}), b -> {band_key})) AS band
   FROM sig
-), pairs AS (
+){'''
+, bstat AS (SELECT band, COUNT(*) AS n, MIN(doc_id) AS m
+            FROM bands_t GROUP BY band)''' if max_bucket is not None else ''}
+, pairs AS ({f'''
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands_t a JOIN bands_t b ON a.band = b.band AND a.doc_id < b.doc_id
+    JOIN bstat ON bstat.band = a.band
+    WHERE bstat.n <= {max_bucket}
+    UNION ALL
+    SELECT bstat.m AS id_a, b.doc_id AS id_b
+    FROM bands_t b JOIN bstat ON bstat.band = b.band
+    WHERE bstat.n > {max_bucket} AND b.doc_id > bstat.m)''' if max_bucket is not None else '''
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands_t a JOIN bands_t b ON a.band = b.band AND a.doc_id < b.doc_id
+  FROM bands_t a JOIN bands_t b ON a.band = b.band AND a.doc_id < b.doc_id'''}
 ), verified AS (
   SELECT id_a, id_b FROM pairs
   JOIN s sa ON sa.doc_id = pairs.id_a
@@ -1246,7 +1281,7 @@ FROM dedup WHERE doc_id NOT IN (SELECT id_b FROM verified)
 """
 
 
-@q("corpus_clean_pipeline", _clean_pipeline_oracle())
+@q("corpus_clean_pipeline", _clean_pipeline_oracle(max_bucket=64))
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import text_stats_struct
     from .operators.dedup import exact_dedup, minhash_lsh_pairs
@@ -1266,7 +1301,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session don't accumulate cached partitions.
     deduped = exact_dedup(kept).localCheckpoint(eager=False)
     losers = minhash_lsh_pairs(deduped, num_perm=8, bands=4, shingle_k=3,
-                               threshold=0.5) \
+                               threshold=0.5, max_bucket=64) \
         .select(F.col("id_b").alias("doc_id")).distinct()
     return deduped.join(losers, "doc_id", "left_anti") \
         .select("doc_id", F.round("quality", 4).alias("quality"))
