@@ -2584,6 +2584,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same oracle SQL as events_hourly_rollup.
 # ---------------------------------------------------------------------------
 
+def _stream_partitions(spark: SparkSession, sf_dir: str,
+                       table: str = "events") -> str:
+    """Shuffle-partition count for a bounded streaming drain: one state
+    store spins up per shuffle partition, so small drains want few
+    (pinned 8 originally), but a PINNED count is the same latent-scale
+    bug as a pinned blocking constant — at the 100x derived point the
+    sessionizer pushed 1.25M rows through each of 8 state partitions
+    while 24 cores idled (13x wall per 10x data). Size to ~250k rows
+    per partition (footer-served count), floor 8, cap 32: small drains
+    keep their 8, the 100x point gets full parallelism. A real
+    deployment sizes this to key cardinality once — the checkpoint
+    pins it thereafter."""
+    n = _t(spark, sf_dir, table).count()
+    return str(min(32, max(8, n // 250_000)))
+
+
 @q("events_rollup_streaming", """
 SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_epoch,
        event_type,
@@ -2601,11 +2617,11 @@ def events_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the streaming twin of _t's conversion
     src = read_event_stream(spark, os.path.join(sf_dir, "events.parque[t]"),
                             max_files_per_trigger=None)
-    # one state store spins up per shuffle partition; for a bounded
-    # drain of one file, 8 is plenty (a real deployment sizes this to
-    # the key cardinality, and the checkpoint pins it thereafter)
+    # state stores spin up one per shuffle partition; sized from the
+    # source row count (see _stream_partitions)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   _stream_partitions(spark, sf_dir))
     try:
         run_available_now(hourly_rollup_stream(src), "events_rollup_streaming")
     finally:
@@ -2637,10 +2653,10 @@ def events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(src, os.path.join(tmp, "b.parquet"))
     deduped = dedup_stream(read_event_stream(spark, tmp, None)) \
         .select("event_id", "user_id", "event_type", "value")
-    # one state store per shuffle partition; 8 is plenty for a
-    # bounded drain (same sizing note as events_rollup_streaming)
+    # state stores sized from the source row count (_stream_partitions)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   _stream_partitions(spark, sf_dir))
     try:
         run_available_now_to_parquet(deduped, os.path.join(tmp, "out"),
                                      os.path.join(tmp, "ckpt"))
@@ -2666,7 +2682,8 @@ def events_followups_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     lhs = read_event_stream(spark, glob, max_files_per_trigger=None)
     rhs = read_event_stream(spark, glob, max_files_per_trigger=None)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   _stream_partitions(spark, sf_dir))
     try:
         run_available_now(followup_pairs_stream(lhs, rhs, gap_minutes=30),
                           "events_followups_streaming_t", "append")
@@ -2708,7 +2725,8 @@ def events_sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = read_event_stream(spark, os.path.join(sf_dir, "events.parque[t]"),
                             max_files_per_trigger=None)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   _stream_partitions(spark, sf_dir))
     try:
         run_available_now(sessionize_stream_windows(src, gap_minutes=30),
                           "events_sessionize_streaming_t")
@@ -3659,7 +3677,8 @@ def corpus_clean_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(sf_dir, "documents.parque[t]"),
         max_files_per_trigger=None)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   _stream_partitions(spark, sf_dir))
     try:
         run_available_now(clean_report_stream(src, 0.6),
                           "corpus_clean_streaming")
@@ -3766,7 +3785,8 @@ def decontam_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
                              max_files_per_trigger=None),
         "doc_id", 0.1).filter("split = 'train'")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   _stream_partitions(spark, sf_dir))
     try:
         report = contamination_report(src, ev, n=5).select(
             "doc_id", F.col("n_shingles").cast("bigint").alias("n_shingles"),
@@ -4041,7 +4061,8 @@ def lm_score_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(sf_dir, "documents.parque[t]"),
         max_files_per_trigger=None)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   _stream_partitions(spark, sf_dir))
     try:
         run_available_now(lm_score_stream(src, model), "lm_score_streaming")
     finally:
