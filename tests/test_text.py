@@ -188,3 +188,22 @@ def test_chunk_with_overlap_validation(spark):
         chunk_with_overlap(docs, chunk_tokens=4, stride=5)
     with _pytest.raises(ValueError):
         chunk_with_overlap(docs, chunk_tokens=4, stride=0)
+
+
+def test_chunk_windows_exchange_carries_scalars_only(spark):
+    """Plan audit: tokenization must run BEFORE the per-group exchange
+    — once, in parallel — so the shuffle carries (id, group, n_tok)
+    scalars, never document text, and the |groups|-partition window
+    stage is integer-only. (The regression shape: referencing the raw
+    token_count expression in the window select shipped text through
+    the exchange and re-split every doc on a handful of cores — 31x
+    wall for 10x data.)"""
+    from toy_vector_db_spark.operators.packing import chunk_windows
+
+    docs = spark.createDataFrame(
+        [(i, "some words here", "en") for i in range(10)],
+        ["doc_id", "text", "lang"])
+    plan = chunk_windows(docs, budget=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # tokenization appears exactly once (the pre-exchange project)
+    assert plan.count("split(trim(lower(text") == 1

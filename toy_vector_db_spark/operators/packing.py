@@ -43,19 +43,27 @@ def chunk_windows(df: DataFrame, budget: int = DEFAULT_WINDOW_TOKENS,
     start_window is where the NEXT token would land."""
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
-    n_tok = token_count(F.col(text_col))
+    # Tokenize BEFORE the per-group exchange: referencing the raw
+    # token_count expression inside the window select made Catalyst
+    # ship the full text column through the exchange and re-split
+    # every document inside the window stage — which has only
+    # |groups| effective partitions, so the whole corpus re-tokenized
+    # on a handful of cores (measured 31x wall for 10x data; with this
+    # pre-projection the exchange carries three scalars and the window
+    # stage is integer-only).
+    base = df.select(F.col(id_col), F.col(group_col),
+                     token_count(F.col(text_col)).alias("n_tok"))
     w = Window.partitionBy(group_col).orderBy(id_col) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = F.sum(n_tok).over(w)
-    start_off = (cum - n_tok).cast("bigint")
+    cum = F.sum("n_tok").over(w)
+    start_off = (cum - F.col("n_tok")).cast("bigint")
     end_off = cum.cast("bigint")  # exclusive
     # bigint `div`, not floor(double division): offsets are exact over
     # the full bigint range, while float64 loses integer precision past
     # 2^53 — real territory for a 100 TB per-group token stream
     b = int(budget)
-    staged = df.select(
-        F.col(id_col), F.col(group_col),
-        n_tok.alias("n_tok"),
+    staged = base.select(
+        F.col(id_col), F.col(group_col), F.col("n_tok"),
         start_off.alias("start_off"),
         (end_off - 1).alias("__last_off"))
     return staged.select(
