@@ -57,6 +57,19 @@ def main() -> None:
 
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + [n for n in qs if n not in HEADLINE]
+    # Optional subset (comma-separated names): lets a long sweep run in
+    # chunks of fresh sessions. A single 128-query session accumulates
+    # JVM/checkpoint/python-worker pressure that first inflates late
+    # queries (measured, BASELINE.md wave-2 note) and at the 100x
+    # derived scale eventually crashed a reused python worker — chunked
+    # fresh sessions measure the steady state a real cluster job sees.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in qs]
+        if unknown:
+            print(f"bench: unknown query names {unknown}", file=sys.stderr)
+        names = [n for n in names if n in set(wanted)]
 
     # warm-up: JVM, codegen, parquet footers
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()

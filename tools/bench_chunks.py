@@ -1,0 +1,73 @@
+"""Run the full bench suite in chunks of fresh sessions.
+
+Why: one 128-query session accumulates JVM + checkpoint-block +
+reused-python-worker pressure. At sf0.1 that inflates late queries
+(BASELINE.md wave-2 note: lm_perplexity_buckets 32.8 s in-suite vs
+6.3 s fresh); at the 100x derived scale it crashed a reused python
+worker outright 48 queries in. Chunked fresh sessions measure the
+steady state a real cluster job sees — each chunk still gets the
+warm-up + best-of-2 protocol from bench.py itself.
+
+Usage:
+    python tools/bench_chunks.py [sf_dir] [chunk_size]
+
+Prints each chunk's per-query line as it lands, then ONE merged
+summary pair in bench.py's exact format.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10_derived"
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    merged: dict[str, float] = {}
+    for i in range(0, len(names), chunk):
+        sub = names[i:i + chunk]
+        env = dict(os.environ,
+                   SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_ONLY=",".join(sub))
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, cwd=REPO, capture_output=True, text=True)
+        got = None
+        for line in proc.stdout.splitlines():
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue
+            if "queries" in obj:
+                got = obj["queries"]
+        if got is None:
+            print(f"chunk {i // chunk}: FAILED\n{proc.stderr[-2000:]}",
+                  file=sys.stderr)
+            for n in sub:
+                merged[n] = -1.0
+            continue
+        merged.update(got)
+        print(f"chunk {i // chunk} ({len(sub)} queries): "
+              f"{round(sum(v for v in got.values() if v >= 0), 1)}s",
+              file=sys.stderr)
+
+    total = round(sum(v for v in merged.values() if v >= 0), 3)
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    print(json.dumps({"queries": merged}, separators=(",", ":")))
+    print(json.dumps({"metric": "workload_total", "value": total,
+                      "unit": "sec", "sf": sf, "protocol": "chunked"},
+                     separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
