@@ -66,6 +66,33 @@ def test_minhash_arrow_tier_bit_identical(spark, docs):
     assert col_tier == arrow_tier
 
 
+def test_minhash_lsh_arrow_tier_same_pairs(docs):
+    """The full LSH pipeline routed through the Arrow signature tier
+    must produce exactly the Column tier's verified pairs (signatures
+    are bit-identical, so bands/buckets/jaccard are too)."""
+    col = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+           for r in minhash_lsh_pairs(docs, threshold=0.3,
+                                      sig_tier="column").collect()}
+    arr = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+           for r in minhash_lsh_pairs(docs, threshold=0.3,
+                                      sig_tier="arrow").collect()}
+    assert col == arr and col
+
+
+def test_minhash_auto_tier_thresholds(docs):
+    """auto routes by corpus size: below the crossover it must build
+    the Column-fold plan (no mapInPandas/ArrowEval), above it the
+    Arrow plan — decided from n_docs without an extra count job."""
+    small = minhash_lsh_pairs(docs, verify=False, n_docs=100)
+    big = minhash_lsh_pairs(docs, verify=False, n_docs=1_000_000)
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    big_plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in small_plan
+    assert "MapInPandas" in big_plan
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, sig_tier="nope")
+
+
 def test_minhash_no_verify_returns_candidates(docs):
     cands = minhash_lsh_pairs(docs, verify=False)
     assert cands.columns == ["id_a", "id_b"]

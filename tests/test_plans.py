@@ -110,6 +110,26 @@ def test_minhash_pairs_no_self_join_recompute(spark):
     assert "SortMergeJoin" not in plan.split("ObjectHashAggregate")[0]
 
 
+def test_minhash_verify_never_broadcasts_shingle_arrays(spark):
+    """The verification join's broadcast side must be the narrow
+    (pair, member-id, side) frame — never the full-corpus shingle
+    arrays (the old two-join shape let Catalyst broadcast them off a
+    post-projection size estimate: a driver-OOM shape at real scale)."""
+    df = spark_queries()["dedup_minhash_pairs"](spark, SF)
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # formatted detail blocks: "(N) BroadcastExchange ...\nInput [..]: [cols]"
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    bcast = [b for b in blocks if re.match(r"\(\d+\) BroadcastExchange", b)]
+    assert bcast, "expected the narrow membership side to broadcast here"
+    for b in bcast:
+        assert "__sh" not in b, f"shingle arrays reached a broadcast:\n{b}"
+
+
 def test_knn_join_cross_is_broadcast_bounded(spark):
     # the one intentional cross product (query set x corpus) must run
     # as a broadcast of the small query side, never a CartesianProduct

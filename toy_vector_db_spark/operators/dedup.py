@@ -161,19 +161,45 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0.0, F.lit(1.0)).otherwise(inter / union)
 
 
+# Crossover for sig_tier="auto": below this corpus size the Column
+# fold wins (measured sf0.1 / 5k docs: 0.26-0.57 s vs 0.69-1.3 s —
+# Arrow transfer costs more than the md5s); above it the Arrow tier
+# wins even JIT-warm (measured 500k docs: ~8.5 s vs ~22 s — the
+# interpreted HOF fold scales worse than hashlib's C loop). The two
+# tiers are bit-identical (parity test in test_dedup.py), so the
+# choice never changes results, only the plan.
+_SIG_ARROW_MIN_DOCS = 50_000
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 8,
                       bands: int = 4, shingle_k: int = 3,
                       threshold: float | None = 0.5,
                       verify: bool = True,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = None,
+                      sig_tier: str = "auto",
+                      n_docs: int | None = None) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash.
 
-    Plan shape: project (id, band_keys[, shingles]) -> explode bands ->
-    self-join on band key (shuffle carries only ids + band strings) ->
-    distinct pairs -> optional exact-Jaccard verification against the
-    re-derived shingle sets (semi-joined, not shuffled with the bands).
-    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    Plan shape: project (id, band_keys) -> explode bands -> groupBy
+    bucket (shuffle carries only ids + band strings) -> distinct pairs
+    -> optional exact-Jaccard verification: ONE more scan of the text
+    re-derives each candidate document's shingle set exactly once,
+    joins it map-side against the narrow (pair, member-id, side) frame,
+    and a single groupBy on the pair key brings the two shingle sets
+    together. Shingle ARRAYS are therefore never the small side of a
+    join (never a broadcast candidate — the old two-join shape let
+    Catalyst broadcast the full corpus' shingle arrays off a
+    post-projection size estimate, a driver-OOM shape at real scale)
+    and the text is scanned once for verification, not once per join
+    side. Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``sig_tier``: "column" (Catalyst HOF fold), "arrow" (hashlib over
+    Arrow batches, bit-identical — see ``minhash_signatures_arrow``),
+    or "auto" (default): pick by corpus size at ``_SIG_ARROW_MIN_DOCS``
+    using ``n_docs`` when given, else one ``df.count()`` (cheap —
+    parquet metadata for plain scans; forces at most the upstream
+    pipeline both tiers need anyway).
 
     ``max_bucket`` is the degenerate-bucket guard for corpora whose
     duplicate families grow with corpus size (boilerplate, mirrored
@@ -190,13 +216,26 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """
     from ..sources.tables import ensure_parallelism
     rows_per_band = num_perm // bands
+    if sig_tier == "auto":
+        n = df.count() if n_docs is None else n_docs
+        sig_tier = "arrow" if n >= _SIG_ARROW_MIN_DOCS else "column"
+    if sig_tier not in ("column", "arrow"):
+        raise ValueError(f"unknown sig_tier {sig_tier!r}")
     base = ensure_parallelism(df.select(F.col(id_col).alias("__id"),
                                         F.col(text_col).alias("__text")))
-    sig = base.select(
-        "__id",
-        F.explode(_bind_once(
-            minhash_signature(F.col("__text"), num_perm, shingle_k),
-            lambda s: minhash_bands(s, bands, rows_per_band))).alias("__band"))
+    if sig_tier == "arrow":
+        sig = (minhash_signatures_arrow(base, text_col="__text",
+                                        id_col="__id", num_perm=num_perm,
+                                        shingle_k=shingle_k, sig_col="__sig")
+               .select("__id",
+                       F.explode(minhash_bands(F.col("__sig"), bands,
+                                               rows_per_band)).alias("__band")))
+    else:
+        sig = base.select(
+            "__id",
+            F.explode(_bind_once(
+                minhash_signature(F.col("__text"), num_perm, shingle_k),
+                lambda s: minhash_bands(s, bands, rows_per_band))).alias("__band"))
     # Candidate pairs via groupBy-bucket, not a band self-join: one
     # shuffle of (band, id), the signatures compute exactly once, and
     # there is no sort-merge of two re-derived branches (Catalyst does
@@ -225,13 +264,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
              .distinct())
     if not verify:
         return pairs
+    # Verification: one (pair, member-id, side) row per pair side — a
+    # narrow frame (ids + one char) that is the join's natural build/
+    # broadcast side. The shingle arrays stay on the streamed side of
+    # one equi-join on __id, then shuffle once keyed by the pair to
+    # meet their partner in a single groupBy. first(ignorenulls) is
+    # order-insensitive here: every non-null candidate within a group
+    # is the same doc's shingle array.
+    memb = pairs.select(
+        "id_a", "id_b",
+        F.explode(F.array(
+            F.struct(F.col("id_a").alias("__id"), F.lit("a").alias("__side")),
+            F.struct(F.col("id_b").alias("__id"), F.lit("b").alias("__side")),
+        )).alias("__m")).select("id_a", "id_b", "__m.__id", "__m.__side")
     sh = base.select("__id",
                      word_shingles(F.col("__text"), shingle_k).alias("__sh"))
-    out = (pairs
-           .join(sh.select(F.col("__id").alias("id_a"),
-                           F.col("__sh").alias("__sh_a")), "id_a")
-           .join(sh.select(F.col("__id").alias("id_b"),
-                           F.col("__sh").alias("__sh_b")), "id_b")
+    out = (sh.join(memb, "__id")
+           .groupBy("id_a", "id_b")
+           .agg(F.first(F.when(F.col("__side") == "a", F.col("__sh")),
+                        ignorenulls=True).alias("__sh_a"),
+                F.first(F.when(F.col("__side") == "b", F.col("__sh")),
+                        ignorenulls=True).alias("__sh_b"))
            .select("id_a", "id_b",
                    jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard")))
     if threshold is not None:
