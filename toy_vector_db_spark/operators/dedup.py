@@ -264,29 +264,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
              .distinct())
     if not verify:
         return pairs
-    # Verification: one (pair, member-id, side) row per pair side — a
-    # narrow frame (ids + one char) that is the join's natural build/
-    # broadcast side. The shingle arrays stay on the streamed side of
-    # one equi-join on __id, then shuffle once keyed by the pair to
-    # meet their partner in a single groupBy. first(ignorenulls) is
-    # order-insensitive here: every non-null candidate within a group
-    # is the same doc's shingle array.
-    memb = pairs.select(
-        "id_a", "id_b",
-        F.explode(F.array(
-            F.struct(F.col("id_a").alias("__id"), F.lit("a").alias("__side")),
-            F.struct(F.col("id_b").alias("__id"), F.lit("b").alias("__side")),
-        )).alias("__m")).select("id_a", "id_b", "__m.__id", "__m.__side")
     sh = base.select("__id",
                      word_shingles(F.col("__text"), shingle_k).alias("__sh"))
-    out = (sh.join(memb, "__id")
-           .groupBy("id_a", "id_b")
-           .agg(F.first(F.when(F.col("__side") == "a", F.col("__sh")),
-                        ignorenulls=True).alias("__sh_a"),
-                F.first(F.when(F.col("__side") == "b", F.col("__sh")),
-                        ignorenulls=True).alias("__sh_b"))
-           .select("id_a", "id_b",
-                   jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard")))
+    out = _score_pairs_jaccard(sh, pairs)
     if threshold is not None:
         out = out.filter(F.col("jaccard") >= threshold)
     return out
@@ -474,21 +454,43 @@ def simhash_neighbor_counts(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+def _score_pairs_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact-Jaccard scoring of (id_a, id_b) candidate pairs against a
+    (__id, __sh) shingle frame, shaped for scale: one (pair, member-id,
+    side) row per pair side — a narrow frame (ids + one char) that is
+    the join's natural build/broadcast side. The shingle arrays stay on
+    the streamed side of one equi-join on __id, then shuffle once keyed
+    by the pair to meet their partner in a single groupBy. (The obvious
+    alternative — join pairs against the shingle frame once per side —
+    derives the shingles twice and lets Catalyst broadcast the corpus'
+    arrays off a post-projection size estimate: a driver-OOM shape.)
+    first(ignorenulls) is order-insensitive here: every non-null
+    candidate within a group is the same doc's shingle array."""
+    memb = pairs.select(
+        "id_a", "id_b",
+        F.explode(F.array(
+            F.struct(F.col("id_a").alias("__id"), F.lit("a").alias("__side")),
+            F.struct(F.col("id_b").alias("__id"), F.lit("b").alias("__side")),
+        )).alias("__m")).select("id_a", "id_b", "__m.__id", "__m.__side")
+    return (sh.join(memb, "__id")
+            .groupBy("id_a", "id_b")
+            .agg(F.first(F.when(F.col("__side") == "a", F.col("__sh")),
+                         ignorenulls=True).alias("__sh_a"),
+                 F.first(F.when(F.col("__side") == "b", F.col("__sh")),
+                         ignorenulls=True).alias("__sh_b"))
+            .select("id_a", "id_b",
+                    jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard")))
+
+
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         shingle_k: int = 3) -> DataFrame:
     """Score given (id_a, id_b) candidate pairs with exact n-gram
-    Jaccard. Use after any candidate generator; only candidate rows'
-    shingle sets are joined in."""
+    Jaccard. Use after any candidate generator; one text scan, and
+    only ids cross the candidate join (see ``_score_pairs_jaccard``)."""
     sh = df.select(F.col(id_col).alias("__id"),
                    word_shingles(F.col(text_col), shingle_k).alias("__sh"))
-    return (pairs
-            .join(sh.select(F.col("__id").alias("id_a"),
-                            F.col("__sh").alias("__sh_a")), "id_a")
-            .join(sh.select(F.col("__id").alias("id_b"),
-                            F.col("__sh").alias("__sh_b")), "id_b")
-            .select("id_a", "id_b",
-                    jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard")))
+    return _score_pairs_jaccard(sh, pairs)
 
 
 # ---------------------------------------------------------------------------
