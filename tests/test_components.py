@@ -49,6 +49,27 @@ def test_long_chain_converges(spark):
     assert len(got) == 21
 
 
+def test_chain_longer_than_max_iter_converges(spark):
+    # diameter 300 >> max_iter 50: 1-hop propagation alone would need
+    # ~300 rounds and raise; path halving compounds the propagation
+    # distance geometrically, so this must converge well inside the
+    # default budget (the drifting-boilerplate / versioned-document
+    # chain shape real corpora produce)
+    pairs = _df(spark, [(i, i + 1) for i in range(300)])
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 301
+
+
+def test_chain_round_count_is_logarithmic(spark):
+    # the pointer-doubling bound, asserted: a 60-edge chain must
+    # converge in far fewer rounds than its diameter
+    pairs = _df(spark, [(i, i + 1) for i in range(60)])
+    got = connected_components(pairs, max_iter=12).collect()
+    assert {r["component"] for r in got} == {0}
+
+
 def test_string_node_ids(spark):
     # non-numeric ids: the SUM convergence probe would be NULL/error, so
     # the changed-label probe must kick in; min label = lexicographic min

@@ -4,12 +4,20 @@ Near-dup pairs are edges; the training-pipeline need is the transitive
 cluster (keep one doc per component, not per pair — A~B, B~C must
 collapse A,B,C together even when A~C was never scored).
 
-Spark-idiomatic iterative algorithm: min-label propagation. Each round
-every node takes the minimum label among itself and its neighbors; the
-loop converges in O(component diameter) rounds. Per round: one join +
-one groupBy — both shuffle on node id, so AQE coalesces as labels
-shrink. ``localCheckpoint`` truncates the growing lineage each round
-(the standard guard for iterative DataFrame algorithms).
+Spark-idiomatic iterative algorithm: min-label propagation with path
+halving. Each round every node takes the minimum label among itself
+and its neighbors (one join + one groupBy, both shuffling on node id),
+then compresses one pointer level — label <- label(label) — with a
+second self-join on the label table. Plain 1-hop propagation moves
+the minimum along a duplicate CHAIN one edge per round: O(diameter)
+rounds, and a chain longer than ``max_iter`` (drifting boilerplate,
+versioned documents — a real shape at corpus scale) would fail to
+converge. Halving makes the propagation distance compound
+geometrically — O(log diameter) rounds — the classic pointer-doubling
+bound, so ``max_iter=50`` covers any diameter that fits in an id
+type. AQE coalesces the shuffles as labels shrink; ``localCheckpoint``
+truncates the growing lineage each round (the standard guard for
+iterative DataFrame algorithms).
 
 Convergence detection: for numeric node ids the global label sum is
 strictly monotone until fixpoint, so the probe is one cheap agg per
@@ -48,9 +56,20 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges.dst == labels.node)
                    .groupBy("src").agg(F.min("label").alias("__nl")))
-        new_labels = (labels.join(nbr_min, labels.node == nbr_min.src, "left")
+        stepped = (labels.join(nbr_min, labels.node == nbr_min.src, "left")
+                   .select("node",
+                           F.least("label", F.coalesce("__nl", "label"))
+                           .alias("label")))
+        # path halving: label <- label(label). Every label is itself a
+        # node id (labels start as ids and only node ids propagate), so
+        # the lookup side is the same frame; left join + coalesce keeps
+        # self-rooted labels fixed. min(old, looked-up) is monotone —
+        # labels only ever decrease toward the component minimum.
+        lut = stepped.select(F.col("node").alias("label"),
+                             F.col("label").alias("__l2"))
+        new_labels = (stepped.join(lut, "label", "left")
                       .select("node",
-                              F.least("label", F.coalesce("__nl", "label"))
+                              F.least("label", F.coalesce("__l2", "label"))
                               .alias("label"))
                       .localCheckpoint())
         if numeric_ids:
