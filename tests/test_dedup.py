@@ -126,6 +126,42 @@ def test_minhash_bucket_cap_star_fallback(spark):
     assert all(r["jaccard"] == 1.0 for r in verified)
 
 
+def test_exact_clusters_bounded_report(spark):
+    """A duplicate family larger than max_ids: the count and extrema
+    stay EXACT while the ids column is the max_ids smallest members —
+    the bounded-buffer report shape (no task ever aggregates the whole
+    family; see _bounded_clusters)."""
+    fam = spark.createDataFrame(
+        [(i, "identical boilerplate page body") for i in range(50)]
+        + [(100, "a unique document")], ["doc_id", "text"])
+    rows = exact_dup_clusters(fam, max_ids=8).collect()
+    assert len(rows) == 1            # the singleton never reports
+    r = rows[0]
+    assert r["n_docs"] == 50
+    assert r["id_min"] == 0 and r["id_max"] == 49
+    assert list(r["ids"]) == list(range(8))
+
+
+def test_simhash_hamming_bucket_cap_star_fallback(spark):
+    """simhash_hamming_pairs' degenerate-bucket guard: an identical
+    family over the cap emits star pairs (anchored at the smallest
+    id), each still Hamming-verified; without the cap the same family
+    is quadratic."""
+    from toy_vector_db_spark.operators.dedup import simhash_hamming_pairs
+    fam = spark.createDataFrame(
+        [(i, "the same exact boilerplate text repeated verbatim here")
+         for i in range(10)], ["doc_id", "text"])
+    capped = {(r["id_a"], r["id_b"]): r["hamming"]
+              for r in simhash_hamming_pairs(fam, bits=16, bands=4,
+                                             max_hamming=3,
+                                             max_bucket=4).collect()}
+    assert set(capped) == {(0, i) for i in range(1, 10)}
+    assert all(h == 0 for h in capped.values())
+    uncapped = simhash_hamming_pairs(fam, bits=16, bands=4,
+                                     max_hamming=3).collect()
+    assert len(uncapped) == 45
+
+
 def test_simhash_identical_for_same_text(spark, docs):
     rows = docs.select("doc_id", simhash(F.col("text")).alias("s")).collect()
     by_id = {r["doc_id"]: r["s"] for r in rows}

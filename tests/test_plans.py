@@ -111,10 +111,14 @@ def test_minhash_pairs_no_self_join_recompute(spark):
 
 
 def test_minhash_verify_never_broadcasts_shingle_arrays(spark):
-    """The verification join's broadcast side must be the narrow
-    (pair, member-id, side) frame — never the full-corpus shingle
-    arrays (the old two-join shape let Catalyst broadcast them off a
-    post-projection size estimate: a driver-OOM shape at real scale)."""
+    """The verification join must be a SHUFFLE_HASH join building on
+    the narrow (pair, member-id, side) frame — estimate-independent,
+    so NO side of it ever broadcasts: the old two-join shape let
+    Catalyst broadcast the corpus' shingle arrays off a
+    post-projection size estimate (driver-OOM at real scale), and
+    stats-driven broadcasting of the membership frame is the same OOM
+    one corpus-growth decade later (candidate volume is linear in the
+    corpus by the bucket-cap guarantee)."""
     df = spark_queries()["dedup_minhash_pairs"](spark, SF)
     import contextlib
     import io
@@ -122,10 +126,10 @@ def test_minhash_verify_never_broadcasts_shingle_arrays(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
+    assert "ShuffledHashJoin" in plan
     # formatted detail blocks: "(N) BroadcastExchange ...\nInput [..]: [cols]"
     blocks = re.split(r"\n(?=\(\d+\) )", plan)
     bcast = [b for b in blocks if re.match(r"\(\d+\) BroadcastExchange", b)]
-    assert bcast, "expected the narrow membership side to broadcast here"
     for b in bcast:
         assert "__sh" not in b, f"shingle arrays reached a broadcast:\n{b}"
 
@@ -333,6 +337,19 @@ def test_dsir_counts_join_is_broadcast(spark):
     plan = w._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_event_funnel_one_exchange_no_collect(spark):
+    """The journey funnel is chained window minimums over ONE exchange
+    on the user key: the stacked Window passes and the per-user
+    collapse all reuse that partitioning (no second Exchange), and no
+    per-user event array is ever collected (WindowExec's row buffer
+    spills; a collect_list group cannot — the bot-user OOM shape the
+    window rewrite removed)."""
+    plan = plan_of(spark, "events_user_funnel")
+    assert "collect_list" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_funnel_report_single_data_aggregate(spark):

@@ -5,19 +5,29 @@ cluster (keep one doc per component, not per pair — A~B, B~C must
 collapse A,B,C together even when A~C was never scored).
 
 Spark-idiomatic iterative algorithm: min-label propagation with path
-halving. Each round every node takes the minimum label among itself
-and its neighbors (one join + one groupBy, both shuffling on node id),
-then compresses one pointer level — label <- label(label) — with a
-second self-join on the label table. Plain 1-hop propagation moves
-the minimum along a duplicate CHAIN one edge per round: O(diameter)
-rounds, and a chain longer than ``max_iter`` (drifting boilerplate,
-versioned documents — a real shape at corpus scale) would fail to
-converge. Halving makes the propagation distance compound
-geometrically — O(log diameter) rounds — the classic pointer-doubling
-bound, so ``max_iter=50`` covers any diameter that fits in an id
-type. AQE coalesces the shuffles as labels shrink; ``localCheckpoint``
-truncates the growing lineage each round (the standard guard for
-iterative DataFrame algorithms).
+compression. Each round every node takes the minimum label among
+itself and its neighbors (one join + one groupBy, both shuffling on
+node id), then compresses one pointer level — label <-
+prev_label(label) — with a join against the PREVIOUS round's
+materialized label table. Plain 1-hop propagation moves the minimum
+along a duplicate CHAIN one edge per round: O(diameter) rounds, and a
+chain longer than ``max_iter`` (drifting boilerplate, versioned
+documents — a real shape at corpus scale) would fail to converge.
+Compression makes the covered distance compound
+Fibonacci-style (d_t ~ d_{t-1} + d_{t-2}: the lookup table lags one
+round) — still O(log diameter) rounds, so ``max_iter=50`` covers any
+diameter that fits in an id type. Two cost decisions keep the common
+case at plain 1-hop cost: (a) the lookup uses the PREVIOUS round's
+checkpointed table, not the current frame — the current-table variant
+feeds one unmaterialized frame into both sides of the self-join,
+re-executing the neighbor-min aggregation twice per round (measured
+2x wall on the 100x corpus); (b) the first two rounds skip
+compression entirely, because the capped candidate generators that
+feed this operator emit star-shaped families (diameter ~2) that
+converge immediately — only graphs still unconverged by round 2 pay
+for the compression join. AQE coalesces the shuffles as labels
+shrink; ``localCheckpoint`` truncates the growing lineage each round
+(the standard guard for iterative DataFrame algorithms).
 
 Convergence detection: for numeric node ids the global label sum is
 strictly monotone until fixpoint, so the probe is one cheap agg per
@@ -53,25 +63,40 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     prev_sum = (labels.agg(F.sum("label")).first()[0]
                 if numeric_ids else None)
 
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         nbr_min = (edges.join(labels, edges.dst == labels.node)
                    .groupBy("src").agg(F.min("label").alias("__nl")))
         stepped = (labels.join(nbr_min, labels.node == nbr_min.src, "left")
                    .select("node",
                            F.least("label", F.coalesce("__nl", "label"))
                            .alias("label")))
-        # path halving: label <- label(label). Every label is itself a
-        # node id (labels start as ids and only node ids propagate), so
-        # the lookup side is the same frame; left join + coalesce keeps
-        # self-rooted labels fixed. min(old, looked-up) is monotone —
-        # labels only ever decrease toward the component minimum.
-        lut = stepped.select(F.col("node").alias("label"),
-                             F.col("label").alias("__l2"))
-        new_labels = (stepped.join(lut, "label", "left")
-                      .select("node",
-                              F.least("label", F.coalesce("__l2", "label"))
-                              .alias("label"))
-                      .localCheckpoint())
+        if rnd < 2:
+            # Skip compression while it cannot pay: round 0's lookup
+            # table is the identity (a no-op join), and the capped
+            # candidate generators feeding this operator emit
+            # star-shaped families (diameter ~2) that converge in the
+            # first rounds anyway — those invocations run at plain
+            # 1-hop cost. Only graphs still unconverged by round 2
+            # (long chains) buy the extra per-round join.
+            new_labels = stepped.localCheckpoint()
+        else:
+            # path compression: label <- prev_label(label). Every label
+            # is itself a node id (labels start as ids and only node ids
+            # propagate), so the PREVIOUS round's checkpointed table
+            # serves as the lookup — already materialized, no
+            # re-execution of the stepped frame. A label's owner may
+            # have moved further this round; using its last-round
+            # position is still monotone (labels only ever decrease
+            # toward the component minimum) and still compounds the
+            # covered distance geometrically.
+            lut = labels.select(F.col("node").alias("label"),
+                                F.col("label").alias("__l2"))
+            new_labels = (stepped.join(lut, "label", "left")
+                          .select("node",
+                                  F.least("label",
+                                          F.coalesce("__l2", "label"))
+                                  .alias("label"))
+                          .localCheckpoint())
         if numeric_ids:
             cur_sum = new_labels.agg(F.sum("label")).first()[0]
             converged = cur_sum == prev_sum

@@ -32,16 +32,45 @@ from ..functions.text import PUNCT_CLASS, fingerprint, word_shingles
 # ---------------------------------------------------------------------------
 
 
-def exact_dup_clusters(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
-    """Groups of byte-identical (post-normalization) documents:
-    (fingerprint, n_docs, doc_ids sorted). Only clusters with >1 doc."""
-    return (df.select(fingerprint(F.col(text_col)).alias("fingerprint"),
-                      F.col(id_col))
-            .groupBy("fingerprint")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sort_array(F.collect_list(id_col)).alias("ids"))
+def _bounded_clusters(keyed: DataFrame, key_col: str, id_col: str,
+                      max_ids: int) -> DataFrame:
+    """(key, n_docs, id_min, id_max, ids) cluster report where ``ids``
+    is the ``max_ids`` SMALLEST member ids; counts and extrema are
+    exact. Two-phase so no task ever buffers a whole cluster: the
+    per-(key, input-partition) partial collects at most a partition's
+    ids for one key and emits a capped slice, the merge sees at most
+    partitions x max_ids ids per key. (A single-phase
+    collect_list(id) puts a 100M-copy boilerplate cluster's entire id
+    list in ONE aggregation buffer — the executor-OOM shape; a
+    collect_list group cannot spill.)"""
+    part = (keyed.withColumn("__pid", F.spark_partition_id())
+            .groupBy(key_col, "__pid")
+            .agg(F.count("*").alias("__n"),
+                 F.min(id_col).alias("__mn"),
+                 F.max(id_col).alias("__mx"),
+                 F.slice(F.sort_array(F.collect_list(id_col)), 1, max_ids)
+                 .alias("__ids")))
+    return (part.groupBy(key_col)
+            .agg(F.sum("__n").alias("n_docs"),
+                 F.min("__mn").alias("id_min"),
+                 F.max("__mx").alias("id_max"),
+                 F.slice(F.sort_array(F.flatten(F.collect_list("__ids"))),
+                         1, max_ids).alias("ids"))
             .filter(F.col("n_docs") > 1))
+
+
+def exact_dup_clusters(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_ids: int = 64) -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents:
+    (fingerprint, n_docs, id_min, id_max, ids) with only >1-doc
+    clusters. ``n_docs``/``id_min``/``id_max`` are exact; ``ids`` is a
+    deterministic sample (the ``max_ids`` smallest) so an
+    arbitrarily large duplicate family never sits in one aggregation
+    buffer (see ``_bounded_clusters``)."""
+    keyed = df.select(fingerprint(F.col(text_col)).alias("fingerprint"),
+                      F.col(id_col))
+    return _bounded_clusters(keyed, "fingerprint", id_col, max_ids)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -171,6 +200,66 @@ def jaccard(a: Column, b: Column) -> Column:
 _SIG_ARROW_MIN_DOCS = 50_000
 
 
+def _bucket_pairs(keyed: DataFrame, key_col: str,
+                  elem_col: str, max_bucket: int | None) -> DataFrame:
+    """Within-bucket candidate pairs ``(a, b)`` with ``a < b`` from
+    (key, elem) membership rows. ``elem`` may be an id or a struct
+    whose first field is the id (struct ordering is lexicographic, so
+    sort/min/pair order stay id-driven either way).
+
+    Uncapped (``max_bucket=None``): one groupBy-bucket aggregate —
+    sort_array + pairwise expansion. The upstream signatures compute
+    exactly once and the shuffle carries only (key, elem), but a
+    degenerate bucket of b members emits b(b-1)/2 pairs from ONE task
+    and, just as fatally at scale, buffers all b members in that
+    task's aggregation buffer (a single collect_list group cannot
+    spill).
+
+    Capped: over-cap buckets fall back to STAR candidates (bucket-min
+    element x each other member, b-1 pairs) and — the part the star
+    formula alone doesn't give — NO over-cap bucket is ever
+    materialized as an array: membership counts and the star center
+    come from window aggregates over the bucket key (WindowExec
+    streams its sorted input with spill support; per-group state is
+    one count + one min), the star branch emits its pairs row-by-row,
+    and the collect_list path only ever aggregates buckets already
+    known to be <= cap. The annotated membership frame is
+    localCheckpointed because the two branches would otherwise each
+    re-derive the upstream signature scan.
+    """
+    if max_bucket is None:
+        buckets = (keyed.groupBy(key_col)
+                   .agg(F.sort_array(F.collect_list(elem_col)).alias("__ids"))
+                   .filter(F.size("__ids") > 1))
+        return buckets.select(
+            F.explode(_pair_combos(F.col("__ids"))).alias("__p")) \
+            .select("__p.a", "__p.b")
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(key_col)
+    ann = (keyed.select(key_col, F.col(elem_col).alias("__e"))
+           .withColumn("__n", F.count("*").over(w))
+           .withColumn("__ctr", F.min("__e").over(w))
+           .localCheckpoint(eager=False))
+    star = (ann.filter((F.col("__n") > max_bucket)
+                       & (F.col("__e") != F.col("__ctr")))
+            .select(F.col("__ctr").alias("a"), F.col("__e").alias("b")))
+    small = (ann.filter((F.col("__n") <= max_bucket) & (F.col("__n") > 1))
+             .groupBy(key_col)
+             .agg(F.sort_array(F.collect_list("__e")).alias("__ids")))
+    small_pairs = small.select(
+        F.explode(_pair_combos(F.col("__ids"))).alias("__p")) \
+        .select("__p.a", "__p.b")
+    return small_pairs.unionByName(star)
+
+
+def _pair_combos(ids: Column) -> Column:
+    """All ordered combos struct<a,b> from a sorted array."""
+    return F.flatten(F.transform(
+        ids, lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 8,
                       bands: int = 4, shingle_k: int = 3,
@@ -210,9 +299,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     b-1 pairs), which keeps candidate volume linear in bucket size.
     Verification still runs on star candidates; the documented trade
     is candidate recall — a pair both of whose members sit only in
-    over-cap buckets is seen only through the bucket minimum. Pick
-    the cap above the largest bucket an executor should expand
-    (64-256); ``None`` disables the guard.
+    over-cap buckets is seen only through the bucket minimum. The cap
+    also bounds executor MEMORY, not just pair count: over-cap buckets
+    are never collected into an aggregation buffer at all (see
+    ``_bucket_pairs``). Pick the cap above the largest bucket an
+    executor should expand (64-256); ``None`` disables the guard.
     """
     from ..sources.tables import ensure_parallelism
     rows_per_band = num_perm // bands
@@ -239,28 +330,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # Candidate pairs via groupBy-bucket, not a band self-join: one
     # shuffle of (band, id), the signatures compute exactly once, and
     # there is no sort-merge of two re-derived branches (Catalyst does
-    # not reuse the exchange across self-join sides here). A degenerate
-    # bucket still costs O(|bucket|^2) pairs — same as the join, but
-    # emitted from one task; LSH bucket sizes are the tuning knob.
-    buckets = (sig.groupBy("__band")
-               .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
-               .filter(F.size("__ids") > 1))
-    ids = F.col("__ids")
-    combos = F.flatten(F.transform(
-        ids, lambda x, i: F.transform(
-            F.slice(ids, i + 2, F.size(ids)),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
-    if max_bucket is not None:
-        # star fallback: sort_array put the smallest id first, so
-        # element_at(ids, 1) is the star center — b-1 candidates
-        # instead of b*(b-1)/2 for over-cap buckets
-        star = F.transform(
-            F.slice(ids, 2, F.size(ids) - 1),
-            lambda y: F.struct(F.element_at(ids, 1).alias("id_a"),
-                               y.alias("id_b")))
-        combos = F.when(F.size(ids) <= max_bucket, combos).otherwise(star)
-    pairs = (buckets.select(F.explode(combos).alias("__p"))
-             .select(F.col("__p.id_a"), F.col("__p.id_b"))
+    # not reuse the exchange across self-join sides here). Degenerate
+    # buckets are _bucket_pairs' business: with max_bucket set they
+    # neither expand quadratically nor ever materialize as an array.
+    pairs = (_bucket_pairs(sig, "__band", "__id", max_bucket)
+             .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
              .distinct())
     if not verify:
         return pairs
@@ -308,21 +382,22 @@ def simhash(text: Column, bits: int = 16, shingle_k: int = 1) -> Column:
 
 
 def simhash_dup_clusters(df: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+                         id_col: str = "doc_id", bits: int = 16,
+                         max_ids: int = 64) -> DataFrame:
     """Documents sharing an identical simhash value (cheap near-dup
-    tier: one hash shuffle, no pairwise work)."""
-    return (df.select(simhash(F.col(text_col), bits).alias("simhash"),
+    tier: one hash shuffle, no pairwise work). Same bounded report
+    shape as ``exact_dup_clusters``: exact count/extrema, ``ids``
+    capped to the ``max_ids`` smallest."""
+    keyed = df.select(simhash(F.col(text_col), bits).alias("simhash"),
                       F.col(id_col))
-            .groupBy("simhash")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sort_array(F.collect_list(id_col)).alias("ids"))
-            .filter(F.col("n_docs") > 1))
+    return _bounded_clusters(keyed, "simhash", id_col, max_ids)
 
 
 def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", bits: int = 16,
                           bands: int = 4,
-                          max_hamming: int = 3) -> DataFrame:
+                          max_hamming: int = 3,
+                          max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs within ``max_hamming`` simhash bits — the scale
     path between exact-simhash grouping (misses 1-bit differences) and
     all-pairs Hamming (quadratic).
@@ -334,6 +409,16 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
     groupBy-bucket shape as MinHash-LSH, shuffle carries (id, small
     int) pairs only. Candidates verify with one xor+popcount.
     Output: (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming.
+
+    ``max_bucket`` is the same degenerate-bucket guard as
+    ``minhash_lsh_pairs``: near-empty / boilerplate documents collapse
+    to identical simhashes, so a duplicate family that grows with the
+    corpus makes one band bucket quadratic. Over-cap buckets fall back
+    to star candidates against the bucket's smallest id (the Hamming
+    filter still verifies every emitted pair); the documented trade is
+    pair recall within oversized families. None disables the guard —
+    this variant is the small-candidate-set API
+    (``simhash_neighbor_counts`` is the degree-based scale path).
     """
     if not 0 < bands <= bits:
         raise ValueError(f"bands must be in 1..{bits}, got {bands}")
@@ -358,20 +443,13 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
         "__id", "__h",
         F.explode(F.array(*[band_key(F.col("__h"), b)
                             for b in range(bands)])).alias("__band"))
-    buckets = (banded.groupBy("__band")
-               .agg(F.sort_array(
-                   F.collect_list(F.struct("__id", "__h"))).alias("__rows"))
-               .filter(F.size("__rows") > 1))
-    rows = F.col("__rows")
-    combos = F.flatten(F.transform(
-        rows, lambda x, i: F.transform(
-            F.slice(rows, i + 2, F.size(rows)),
-            lambda y: F.struct(x["__id"].alias("id_a"),
-                               y["__id"].alias("id_b"),
-                               x["__h"].alias("h_a"),
-                               y["__h"].alias("h_b")))))
-    pairs = (buckets.select(F.explode(combos).alias("__p"))
-             .select("__p.id_a", "__p.id_b", "__p.h_a", "__p.h_b")
+    elems = banded.select(
+        "__band", F.struct("__id", "__h").alias("__e"))
+    pairs = (_bucket_pairs(elems, "__band", "__e", max_bucket)
+             .select(F.col("a.__id").alias("id_a"),
+                     F.col("b.__id").alias("id_b"),
+                     F.col("a.__h").alias("h_a"),
+                     F.col("b.__h").alias("h_b"))
              .distinct())
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("bigint")
     return (pairs.withColumn("hamming", ham)
@@ -458,12 +536,19 @@ def _score_pairs_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact-Jaccard scoring of (id_a, id_b) candidate pairs against a
     (__id, __sh) shingle frame, shaped for scale: one (pair, member-id,
     side) row per pair side — a narrow frame (ids + one char) that is
-    the join's natural build/broadcast side. The shingle arrays stay on
-    the streamed side of one equi-join on __id, then shuffle once keyed
-    by the pair to meet their partner in a single groupBy. (The obvious
-    alternative — join pairs against the shingle frame once per side —
-    derives the shingles twice and lets Catalyst broadcast the corpus'
-    arrays off a post-projection size estimate: a driver-OOM shape.)
+    the join's hash BUILD side, pinned with a SHUFFLE_HASH hint. The
+    hint makes the strategy estimate-independent: candidate volume
+    grows linearly with the corpus (that is what the bucket caps
+    guarantee), so the membership frame is no more broadcastable at
+    real scale than the arrays are — a shuffled hash join with the
+    narrow side building is the one shape that is correct at EVERY
+    scale. Size estimates must never pick the strategy here: lineage
+    drift once flipped a stats-driven plan into broadcasting the
+    corpus' shingle arrays (a driver-OOM shape, plan-asserted against
+    in test_plans), and broadcasting memb instead merely moves the OOM
+    to the driver at 100 TB. The arrays cross the wire once, hash-
+    partitioned by __id (AQE splits skewed partitions), then shuffle
+    keyed by the pair to meet their partner in a single groupBy.
     first(ignorenulls) is order-insensitive here: every non-null
     candidate within a group is the same doc's shingle array."""
     memb = pairs.select(
@@ -472,7 +557,7 @@ def _score_pairs_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
             F.struct(F.col("id_a").alias("__id"), F.lit("a").alias("__side")),
             F.struct(F.col("id_b").alias("__id"), F.lit("b").alias("__side")),
         )).alias("__m")).select("id_a", "id_b", "__m.__id", "__m.__side")
-    return (sh.join(memb, "__id")
+    return (sh.join(memb.hint("shuffle_hash"), "__id")
             .groupBy("id_a", "id_b")
             .agg(F.first(F.when(F.col("__side") == "a", F.col("__sh")),
                          ignorenulls=True).alias("__sh_a"),

@@ -7,13 +7,20 @@ ordered progression, not mere co-occurrence.
 
 Spark-first shape — ONE shuffle total: instead of chaining
 ``n_steps - 1`` self-joins on user_id (the textbook SQL form, one
-shuffle each), collect each user's step-relevant events into a sorted
-struct array (a single groupBy) and walk the funnel with a per-user
-``aggregate`` fold: the accumulator holds the timestamps reached so
-far; each event advances the next pending step iff it is strictly
-later than the previous step's time. State per user is bounded by the
-events the user has for the step types (filtered BEFORE the shuffle,
-so off-funnel event types never move).
+shuffle each), observe that earliest-strict-progression is a chain of
+conditional minimums — t1 = min step-1 time, t_k = min step-k time
+strictly after t_{k-1} — and compute the chain as stacked window
+aggregates over ``partitionBy(user)``: one exchange, n window passes
+over the same partitioning (no re-shuffle), then a per-user collapse
+that reuses the partitioning too. Off-funnel event types are filtered
+BEFORE the shuffle, so they never move.
+
+Why windows and not a collect_list fold (the previous shape):
+WindowExec buffers each user's rows in a spillable row container,
+so a pathological user (a bot with millions of funnel-type events)
+degrades to disk; a single ``collect_list`` group cannot spill — the
+same per-user history would sit in one aggregation buffer, the
+executor-OOM shape.
 
 An optional ``within`` bound (seconds) enforces "completed step k
 within T of step 1" — the conversion-window variant.
@@ -41,47 +48,40 @@ def event_funnel(events: DataFrame, steps: Sequence[str],
     if len(set(steps)) != len(steps):
         raise ValueError("steps must be distinct")
     n = len(steps)
+    from pyspark.sql.window import Window
     ev = (events
           .filter(F.col(type_col).isin(*steps))
           .select(F.col(user_col),
-                  F.struct(F.unix_timestamp(F.col(ts_col)).alias("t"),
-                           F.col(type_col).alias("y")).alias("__e")))
-    grouped = ev.groupBy(user_col).agg(
-        F.array_sort(F.collect_list("__e")).alias("__evs"))
-
-    # fold: acc[k] = epoch of step k+1, -1 while pending. An event of
-    # step k+1's type advances iff every earlier step is reached and
-    # its time is strictly after acc[k-1] (and inside the window).
-    init = F.array_repeat(F.lit(-1).cast("bigint"), n)
-
-    def advance(acc, e):
-        out = acc
-        for k in range(n):
-            prev_ok = F.lit(True) if k == 0 else \
-                (F.element_at(acc, k) >= 0) & \
-                (e["t"] > F.element_at(acc, k))
-            # float(within), not int(): event epochs are whole seconds
-            # but the window itself may be fractional — int() would
-            # floor within=0.9 to a 0-second window and silently
-            # reject every later step
-            win_ok = F.lit(True) if (within is None or k == 0) else \
-                (e["t"] <= F.element_at(acc, 1) + F.lit(float(within)))
-            hit = (F.element_at(acc, k + 1) < 0) & \
-                (e["y"] == steps[k]) & prev_ok & win_ok
-            out = F.when(hit, F.concat(
-                F.slice(acc, 1, k), F.array(e["t"]),
-                F.slice(acc, k + 2, n - k - 1))).otherwise(out)
-        return out
-
-    walked = grouped.select(
-        user_col, F.aggregate("__evs", init, advance).alias("__r"))
-    t_cols = [F.when(F.element_at("__r", k + 1) >= 0,
-                     F.element_at("__r", k + 1)).alias(f"t{k + 1}")
-              for k in range(n)]
-    reached = sum((F.element_at("__r", k + 1) >= 0).cast("int")
+                  F.unix_timestamp(F.col(ts_col)).alias("__t"),
+                  F.col(type_col).alias("__y")))
+    # chained conditional minimums as stacked whole-partition window
+    # aggregates: pass k reads pass k-1's column, so Catalyst stacks
+    # n Window operators over ONE exchange on the user key. min(when)
+    # skips non-matching rows as nulls; strict ">" enforces ordered
+    # progression, and a null t_{k-1} nulls t_k (progression stopped).
+    w = Window.partitionBy(user_col)
+    out = ev
+    for k, s in enumerate(steps):
+        cond = F.col("__y") == s
+        if k > 0:
+            cond = cond & (F.col("__t") > F.col(f"__t{k - 1}"))
+            if within is not None:
+                # float(within), not int(): event epochs are whole
+                # seconds but the window itself may be fractional —
+                # int() would floor within=0.9 to a 0-second window
+                # and silently reject every later step
+                cond = cond & (F.col("__t")
+                               <= F.col("__t0") + F.lit(float(within)))
+        out = out.withColumn(
+            f"__t{k}", F.min(F.when(cond, F.col("__t"))).over(w))
+    # one row per user; the groupBy reuses the window's partitioning
+    # (no second exchange) and min() collapses identical per-row copies
+    collapsed = out.groupBy(user_col).agg(
+        *[F.min(f"__t{k}").alias(f"t{k + 1}") for k in range(n)])
+    reached = sum(F.col(f"t{k + 1}").isNotNull().cast("int")
                   for k in range(n))
-    return (walked.select(user_col, *t_cols,
-                          reached.cast("int").alias("steps_completed"))
+    return (collapsed.select(user_col, *[f"t{k + 1}" for k in range(n)],
+                             reached.cast("int").alias("steps_completed"))
             .filter(F.col("t1").isNotNull()))
 
 

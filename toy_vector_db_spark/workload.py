@@ -934,8 +934,8 @@ def dedup_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = exact_dup_clusters(d.unionByName(clones))
     return clusters.select(
         "fingerprint", F.col("n_docs").cast("bigint").alias("n_docs"),
-        F.element_at("ids", 1).cast("bigint").alias("id_min"),
-        F.element_at("ids", -1).cast("bigint").alias("id_max"))
+        F.col("id_min").cast("bigint").alias("id_min"),
+        F.col("id_max").cast("bigint").alias("id_max"))
 
 
 # Full MinHash-LSH near-dup pipeline: signature -> banded self-join ->
