@@ -873,6 +873,71 @@ def dedup_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neighbor_counts(d, bits=16, max_hamming=3)
 
 
+# Banded simhash Hamming pairs WITH the degenerate-bucket star guard:
+# the corpus plus a 70-clone boilerplate family (> max_bucket=64), so
+# BOTH candidate branches execute — all-pairs for small band buckets,
+# star for the over-cap family — and the oracle replays banding, the
+# window-count/center cap rule, and the Hamming verification
+# value-for-value.
+def _simhash_banded_pairs_oracle(bits: int = 16, bands: int = 4,
+                                 max_hamming: int = 3,
+                                 max_bucket: int = 64,
+                                 fam: int = 70) -> str:
+    width = bits // bands
+    mask = (1 << width) - 1
+    toks = _dd_shingles(1)
+    hs = (f"list_transform({toks}, "
+          f"s -> CAST(('0x' || substr(md5(s), 1, 4)) AS BIGINT))")
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {b}) & 1) = 1)) > len(hs)"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(bits))
+    bvals = ", ".join(str(b) for b in range(bands))
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         (SELECT text FROM documents WHERE doc_id = 0) AS text
+  FROM documents WHERE doc_id < {fam}
+), t AS (SELECT doc_id, {hs} AS hs FROM corpus),
+s AS (SELECT doc_id, CAST({terms} AS BIGINT) AS sh FROM t),
+banded AS (
+  SELECT doc_id, sh, u.b AS b, (sh >> (u.b * {width})) & {mask} AS bv
+  FROM s, UNNEST([{bvals}]) AS u(b)),
+sized AS (
+  SELECT doc_id, b, bv,
+         COUNT(*) OVER (PARTITION BY b, bv) AS n,
+         MIN(doc_id) OVER (PARTITION BY b, bv) AS ctr
+  FROM banded),
+cand AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM sized x JOIN sized y
+    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+  WHERE x.n <= {max_bucket}
+  UNION
+  SELECT ctr AS id_a, doc_id AS id_b
+  FROM sized WHERE n > {max_bucket} AND doc_id <> ctr)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM cand c JOIN s a ON a.doc_id = c.id_a JOIN s b ON b.doc_id = c.id_b
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
+@q("dedup_simhash_banded_pairs", _simhash_banded_pairs_oracle())
+def dedup_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_hamming_pairs
+    d = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = d.filter(F.col("doc_id") == 0).select(F.col("text").alias("__t"))
+    clones = (d.filter(F.col("doc_id") < 70)
+              .select((F.col("doc_id") + 200000).alias("doc_id"))
+              .crossJoin(F.broadcast(seed))
+              .select("doc_id", F.col("__t").alias("text")))
+    return simhash_hamming_pairs(d.unionByName(clones), bits=16, bands=4,
+                                 max_hamming=3, max_bucket=64)
+
+
 @q("dedup_jaccard_consecutive", f"""
 WITH s AS (SELECT doc_id, {_dd_shingles(3)} AS sh FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -4165,19 +4230,25 @@ _WINDOW = [
     "cust_running_revenue", "sample_weighted_quality",
     "sample_k_per_lang", "corpus_chunk_windows", "text_strip_markup",
     "lm_unigram_scores", "profile_orders",
-    # new this round (2): the no-broadcast decontam tier and the
-    # batch graph-ANN join (hop/job-bounded, recall-gated)
+    # new this round (3): the no-broadcast decontam tier, the batch
+    # graph-ANN join (hop/job-bounded, recall-gated), and the banded
+    # simhash pairs query exercising the bounded-bucket star guard
     "decontam_sharded_overlap", "knn_join_graph_batch",
-    # keepers (20) — family representatives & changed-mechanism rows:
-    "knn_matryoshka_topk",        # exact knn capstone (two-stage MRL)
+    "dedup_simhash_banded_pairs",
+    # keepers (19) — family representatives & changed-mechanism rows
+    # (late-r5 swaps: knn_matryoshka_topk / embed_ingest_roundtrip /
+    # search_text_documents — all multi-round driver-green and
+    # unchanged — gave their slots to the three rows whose mechanism
+    # DID change late in r5: the banded-pairs query above plus the
+    # bounded cluster report and the shared shuffle-hash pair scorer):
     "scan_project_limit",         # scan/projection/limit + pushdown
     "sql_nearest_filtered",       # NEAREST TO dialect + WHERE
     "ann_graph_recall_gate",      # graph tier — BUILD SIZING CHANGED r5
     "knn_search_auto",            # chooser — ivf_nlist ROUTING NEW r5
     "lm_bigram_scores",           # lmscore — single-scan rewrite r5
-    "events_user_funnel",         # journey — float-window fix r5
-    "embed_ingest_roundtrip",     # embedding + file-store sink
-    "search_text_documents",      # embed+knn end-to-end
+    "events_user_funnel",         # journey — WINDOW-CHAIN REWRITE r5
+    "dedup_exact_clusters",       # bounded two-phase report — NEW r5
+    "dedup_jaccard_consecutive",  # shared scorer, shuffle-hash — r5
     "dedup_minhash_pairs",        # MinHash-LSH banding
     "dedup_components",           # connected components
     "dedup_semantic_ivf",         # SemDeDup (IVF blocking + closure)
