@@ -283,3 +283,41 @@ def test_source_overlap_matrix(spark):
     # 'shared one' (normalization folds case/punct/space) lives in
     # A, B, C -> all three pairs, one DISTINCT fingerprint each
     assert got == {("A", "B"): 1, ("A", "C"): 1, ("B", "C"): 1}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_bucket_pairs_matches_reference(spark, seed):
+    """_bucket_pairs against an independently computed reference on
+    random memberships: uncapped = all within-bucket combos; capped =
+    combos for buckets <= cap, star (min x others) past it. Random
+    bucket sizes straddle the cap so both branches execute."""
+    import random
+
+    from toy_vector_db_spark.operators.dedup import _bucket_pairs
+
+    rng = random.Random(seed)
+    rows = [(f"b{rng.randrange(6)}", rng.randrange(40))
+            for _ in range(120)]
+    rows = list({(k, i) for k, i in rows})    # distinct membership
+    cap = 5
+
+    def ref(capped):
+        by_key = {}
+        for k, i in rows:
+            by_key.setdefault(k, []).append(i)
+        out = set()
+        for ids in by_key.values():
+            ids = sorted(ids)
+            if capped and len(ids) > cap:
+                out.update((ids[0], y) for y in ids[1:])
+            else:
+                out.update((x, y) for n, x in enumerate(ids)
+                           for y in ids[n + 1:])
+        return out
+
+    keyed = spark.createDataFrame(rows, ["__band", "__id"])
+    for max_bucket, expect in ((None, ref(False)), (cap, ref(True))):
+        got = {(r["a"], r["b"]) for r in
+               _bucket_pairs(keyed, "__band", "__id", max_bucket)
+               .distinct().collect()}
+        assert got == expect

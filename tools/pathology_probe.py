@@ -1,0 +1,82 @@
+"""Degenerate-duplicate-family pathology probe.
+
+The bounded-buffer work (operators/dedup._bucket_pairs,
+_bounded_clusters; operators/components adaptive compression) exists
+for a corpus shape the regular testdata does not contain: ONE
+duplicate family whose size grows with the corpus — mirrored
+boilerplate, a templated error page, an empty document. This probe
+builds that shape deliberately (sf0.1 documents + N identical clones
+of doc 0) and runs the capped pipeline end-to-end:
+
+  1. exact_dup_clusters     — bounded two-phase report over the family
+  2. minhash_lsh_pairs      — capped LSH: star candidates, verified
+  3. connected_components   — over the capped pair graph
+
+An UNCAPPED run at family=200k would attempt ~8e10 candidate pairs
+from single tasks (4 bands x 2e5^2/2) and buffer the 200k-member
+buckets whole; the capped run stays linear in the family. Usage:
+
+    python tools/pathology_probe.py [family_size] [sf_dir]
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from toy_vector_db_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    fam = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark()
+    from toy_vector_db_spark.operators.components import (
+        connected_components,
+    )
+    from toy_vector_db_spark.operators.dedup import (
+        exact_dup_clusters, minhash_lsh_pairs,
+    )
+    from toy_vector_db_spark.workload import _tp
+
+    d = _tp(spark, sf, "documents").select("doc_id", "text")
+    seed = d.filter(F.col("doc_id") == 0).select(
+        F.col("text").alias("__t"))
+    clones = (spark.range(fam)
+              .select((F.col("id") + 1_000_000).alias("doc_id"))
+              .crossJoin(F.broadcast(seed))
+              .select("doc_id", F.col("__t").alias("text")))
+    corpus = d.unionByName(clones).repartition(32).localCheckpoint()
+    n = corpus.count()
+    print(f"corpus: {n} docs, one {fam}-member identical family")
+
+    t0 = time.time()
+    rep = exact_dup_clusters(corpus, max_ids=8)
+    top = rep.orderBy(F.col("n_docs").desc()).limit(1).collect()[0]
+    print(f"exact_dup_clusters: {time.time() - t0:.1f}s — top family "
+          f"n_docs={top['n_docs']} id_min={top['id_min']} "
+          f"id_max={top['id_max']} sample={list(top['ids'])}")
+
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(corpus, num_perm=8, bands=4, shingle_k=3,
+                              threshold=0.5, max_bucket=64,
+                              n_docs=n).localCheckpoint()
+    np = pairs.count()
+    print(f"minhash_lsh_pairs (cap=64): {time.time() - t0:.1f}s — "
+          f"{np} verified pairs (family contributes ~{fam} star pairs, "
+          f"not ~{fam * (fam - 1) // 2})")
+
+    t0 = time.time()
+    cc = connected_components(pairs)
+    ncomp = cc.select("component").distinct().count()
+    fam_sz = (cc.groupBy("component").count()
+              .agg(F.max("count")).collect()[0][0])
+    print(f"connected_components: {time.time() - t0:.1f}s — "
+          f"{ncomp} components, largest {fam_sz}")
+
+
+if __name__ == "__main__":
+    main()
