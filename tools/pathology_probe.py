@@ -77,6 +77,30 @@ def main() -> None:
     print(f"connected_components: {time.time() - t0:.1f}s — "
           f"{ncomp} components, largest {fam_sz}")
 
+    # the sibling pathology for the journey funnel: one bot user whose
+    # event history (fam rows) would previously sit in ONE collect_list
+    # buffer; the window rewrite streams it through spillable buffers
+    from toy_vector_db_spark.operators.journey import event_funnel
+    ev = _tp(spark, sf, "events").select("user_id", "event_type", "ts")
+    steps = ["view", "cart", "purchase"]
+    bot = (spark.range(fam * 10)
+           .select(F.lit(999_999_999).alias("user_id"),
+                   F.element_at(
+                       F.array(*[F.lit(s) for s in steps]),
+                       (F.col("id") % 3 + 1).cast("int"))
+                   .alias("event_type"),
+                   F.timestamp_seconds(1_700_000_000 + F.col("id"))
+                   .alias("ts")))
+    evc = ev.unionByName(bot).repartition(32).localCheckpoint()
+    ne = evc.count()
+    t0 = time.time()
+    out = event_funnel(evc, steps)
+    nu = out.count()
+    brow = out.filter(F.col("user_id") == 999_999_999).collect()[0]
+    print(f"event_funnel ({ne} events, bot user with {fam * 10}): "
+          f"{time.time() - t0:.1f}s — {nu} users, bot completed "
+          f"{brow['steps_completed']} steps")
+
 
 if __name__ == "__main__":
     main()
