@@ -29,12 +29,14 @@ for the compression join. AQE coalesces the shuffles as labels
 shrink; ``localCheckpoint`` truncates the growing lineage each round
 (the standard guard for iterative DataFrame algorithms).
 
-Convergence detection: for numeric node ids the global label sum is
-strictly monotone until fixpoint, so the probe is one cheap agg per
-round. For any other id type (strings, etc. — where SUM would be NULL
-or an ANSI cast error) the probe joins old vs new labels and stops at
-the first changed row (``limit(1).count()`` — an early-exit existence
-check, not a full count).
+Convergence detection: for integral node ids the global label sum
+(summed as decimal(38,0) — a bigint SUM overflows Long at extreme
+node-count x id magnitude, and ANSI mode raises) is strictly monotone
+until fixpoint, so the probe is one cheap agg per round. For any
+other id type (strings, fractional numerics — where the exact sum is
+unavailable) the probe joins old vs new labels and stops at the first
+changed row (``limit(1).count()`` — an early-exit existence check,
+not a full count).
 
 Oracle: DuckDB recursive CTE computes the transitive closure and takes
 min reachable id per node — see workload.dedup_components.
@@ -58,10 +60,20 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     labels = edges.select(F.col("src").alias("node")).distinct() \
         .withColumn("label", F.col("node")).localCheckpoint()
 
-    from pyspark.sql.types import NumericType
-    numeric_ids = isinstance(labels.schema["label"].dataType, NumericType)
-    prev_sum = (labels.agg(F.sum("label")).first()[0]
-                if numeric_ids else None)
+    from pyspark.sql.types import IntegralType
+    numeric_ids = isinstance(labels.schema["label"].dataType, IntegralType)
+
+    def label_sum(df: DataFrame):
+        # decimal(38,0), not the native type: a bigint SUM over enough
+        # nodes x large ids overflows Long (ANSI mode raises), and the
+        # probe must stay exact — any precision loss could fake a
+        # fixpoint. Exact to 1e38; the agg stays one cheap job.
+        # (Integral ids only — a fractional id would truncate in this
+        # cast, so non-integral types take the changed-label probe.)
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))) \
+            .first()[0]
+
+    prev_sum = label_sum(labels) if numeric_ids else None
 
     for rnd in range(max_iter):
         nbr_min = (edges.join(labels, edges.dst == labels.node)
@@ -98,7 +110,7 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
                                   .alias("label"))
                           .localCheckpoint())
         if numeric_ids:
-            cur_sum = new_labels.agg(F.sum("label")).first()[0]
+            cur_sum = label_sum(new_labels)
             converged = cur_sum == prev_sum
             prev_sum = cur_sum
         else:
