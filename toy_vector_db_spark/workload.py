@@ -2952,6 +2952,35 @@ def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_funnel(e, ["view", "click", "purchase"])
 
 
+# The conversion-window variant: every later step must land within
+# `within` seconds of t1 (journey.event_funnel's `within` branch —
+# the chained-min oracle gains the same window bound on both steps).
+@q("events_funnel_within", """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t
+  FROM events),
+s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND t > t1 AND t <= t1 + 900
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(t) AS t3
+       FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+       WHERE event_type = 'purchase' AND t > t2 AND t <= t1 + 900
+       GROUP BY e.user_id)
+SELECT s1.user_id, t1, t2, t3,
+       CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS INT)
+         AS steps_completed
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+""")
+def events_funnel_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.journey import event_funnel
+    e = _t(spark, sf_dir, "events")
+    return event_funnel(e, ["view", "click", "purchase"], within=900.0)
+
+
 # BPE vocabulary induction (operators/bpe): the tokenizer-training
 # step. The corpus-sized part — word freqs + weighted adjacent
 # symbol-pair counts over the initial character vocab — carries a full
