@@ -10,7 +10,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from toy_vector_db_spark.operators.sampling import (
-    deterministic_shuffle, hash_sample, stratified_sample, train_test_split,
+    cluster_safe_split, deterministic_shuffle, hash_sample,
+    stratified_sample, train_test_split,
 )
 from toy_vector_db_spark.operators.tfidf import (
     term_frequencies, tfidf_top_terms, vocabulary,
@@ -56,6 +57,36 @@ def test_train_test_split_partition(docs):
     assert len(out) == 300                    # every row exactly once
     frac = sum(r["split"] == "test" for r in out) / 300
     assert 0.1 < frac < 0.3
+
+
+def test_cluster_safe_split_family_atomicity(spark, docs):
+    # near-dup families: {0,1,2} via chain 0-1, 1-2 (0~2 never scored)
+    # and {10,11}; everything else is a singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], ["id_a", "id_b"])
+    out = cluster_safe_split(docs, pairs, "doc_id", 0.2).collect()
+    assert len(out) == 300                    # left join keeps every doc
+    by_id = {r["doc_id"]: r for r in out}
+    # the transitive family shares one representative and one side
+    assert {by_id[i]["rep"] for i in (0, 1, 2)} == {0}
+    assert len({by_id[i]["split"] for i in (0, 1, 2)}) == 1
+    assert {by_id[i]["rep"] for i in (10, 11)} == {10}
+    assert by_id[10]["split"] == by_id[11]["split"]
+    # singletons fall back to their own key and match the per-doc rule
+    plain = {r["doc_id"]: r["split"]
+             for r in train_test_split(docs, "doc_id", 0.2).collect()}
+    for i, r in by_id.items():
+        if i not in (0, 1, 2, 10, 11):
+            assert r["rep"] == i and r["split"] == plain[i]
+
+
+def test_cluster_safe_split_deterministic(spark, docs):
+    pairs = spark.createDataFrame([(5, 6)], ["id_a", "id_b"])
+    a = sorted((r["doc_id"], r["split"]) for r in
+               cluster_safe_split(docs, pairs, "doc_id", 0.2).collect())
+    b = sorted((r["doc_id"], r["split"]) for r in
+               cluster_safe_split(docs, pairs, "doc_id", 0.2).collect())
+    assert a == b
 
 
 def test_stratified_sample_respects_quotas(docs):

@@ -162,6 +162,49 @@ def sample_k_per_group(df: DataFrame, key: str, group_col: str,
             .filter(F.col("__rk") <= k).drop("__rk"))
 
 
+def cluster_safe_split(df: DataFrame, pairs: DataFrame, key: str,
+                       test_fraction: float = 0.1, salt: str = "split",
+                       rep_col: str = "rep",
+                       a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """Leakage-safe train/test split: hash the near-duplicate
+    COMPONENT representative instead of the row key, so an entire
+    duplicate family lands on one side of the split. A per-document
+    ``train_test_split`` lets near-identical documents straddle the
+    boundary — the held-out set then "evaluates" on paraphrases of
+    training data, the contamination mode decontamination cannot see
+    because neither copy is in an external eval set.
+
+    ``pairs`` is any near-dup edge list (minhash_lsh_pairs,
+    simhash_hamming_pairs, cosine near-dup, ...). Components collapse
+    the transitive family (A~B, B~C puts A,B,C on one side even when
+    A~C was never scored); a document in no pair is its own singleton
+    component. Appends ``rep_col`` (the representative id) and
+    ``split``; splits keep ``train_test_split``'s growth-stability —
+    adding documents never flips an existing family unless new edges
+    merge it into another family (inherent to the semantics).
+
+    Scale: components over the pairs graph shuffles edge keys only
+    (see connected_components); the label join shuffles on the doc
+    key, with the label side pinned SHUFFLE_HASH — it holds one row
+    per document that appears in ANY near-dup pair, which at corpus
+    scale can far exceed broadcast size, and checkpoint-truncated
+    lineage gives Catalyst no honest size estimate to decide with.
+    The split itself stays a map-side hash.
+    """
+    from .components import connected_components
+    comp = (connected_components(pairs, a_col=a_col, b_col=b_col)
+            .withColumnRenamed("node", "__node"))
+    out = (df.join(comp.hint("shuffle_hash"),
+                   df[key] == F.col("__node"), "left")
+             .withColumn(rep_col,
+                         F.coalesce(F.col("component"), F.col(key)))
+             .drop("__node", "component"))
+    return out.withColumn(
+        "split",
+        F.when(hash_uniform(F.col(rep_col), salt) < test_fraction,
+               F.lit("test")).otherwise(F.lit("train")))
+
+
 def deterministic_shuffle(df: DataFrame, key: str,
                           salt: str = "shuffle") -> DataFrame:
     """Global reproducible shuffle for training-order randomization:

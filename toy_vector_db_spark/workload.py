@@ -1076,7 +1076,18 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle computes the same fixpoint with a recursive CTE.
 def _components_oracle(num_perm: int = 8, bands: int = 4, k: int = 3,
                        threshold: float = 0.5,
-                       max_bucket: int | None = None) -> str:
+                       max_bucket: int | None = None,
+                       final_select: str | None = None) -> str:
+    if final_select is None:
+        tail = """
+SELECT node, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node"""
+    else:
+        tail = f""",
+comp AS (
+  SELECT node, CAST(min(r) AS BIGINT) AS component
+  FROM reach GROUP BY node)
+{final_select}"""
     r = num_perm // bands
     mins = ", ".join(
         f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min')"
@@ -1122,9 +1133,7 @@ edges AS (
 reach(node, r) AS (
   SELECT a, a FROM edges
   UNION
-  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)
-SELECT node, CAST(min(r) AS BIGINT) AS component
-FROM reach GROUP BY node
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node){tail}
 """
 
 
@@ -1142,6 +1151,31 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                               threshold=0.5, max_bucket=64)
     return connected_components(pairs) \
         .select("node", F.col("component").cast("bigint").alias("component"))
+
+
+# Leakage-safe train/test split (operators/sampling.cluster_safe_split):
+# the split key is the near-dup COMPONENT representative, so a whole
+# duplicate family lands on one side — a per-doc split would let the
+# held-out set contain paraphrases of training docs, contamination that
+# eval-set decontam can't see. Oracle = the components recursive CTE
+# plus the same md5 split rule on the representative; every doc's side
+# is value-checked, including singletons (no near-dup edges).
+@q("split_cluster_safe", _components_oracle(max_bucket=64, final_select="""
+SELECT d.doc_id,
+       CAST(COALESCE(comp.component, d.doc_id) AS BIGINT) AS rep,
+       CASE WHEN ('0x' || substr(md5('split' ||
+                  CAST(COALESCE(comp.component, d.doc_id) AS VARCHAR)),
+                  1, 8))::BIGINT / 4294967296.0 < 0.2
+            THEN 'test' ELSE 'train' END AS split
+FROM documents d LEFT JOIN comp ON comp.node = d.doc_id"""))
+def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+    from .operators.sampling import cluster_safe_split
+    d = _tp(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_perm=8, bands=4, shingle_k=3,
+                              threshold=0.5, max_bucket=64)
+    return cluster_safe_split(d, pairs, "doc_id", test_fraction=0.2) \
+        .select("doc_id", F.col("rep").cast("bigint").alias("rep"), "split")
 
 
 # Embedding-cosine near-dup with a blocking key (label): exact within
@@ -4284,7 +4318,9 @@ _WINDOW = [
     "span_dedup_docs",            # span-level dedup (Lee et al.)
     "decontam_bloom_overlap",     # Bloom tier (same oracle as sharded)
     "corpus_clean_pipeline",      # end-to-end clean registry
-    "mixture_token_budget",       # token-budget mixture sampling
+    "split_cluster_safe",         # leakage-safe split — NEW late r5
+                                  # (slot from mixture_token_budget,
+                                  # multi-round green, unchanged)
     "dsir_select_en",             # DSIR importance resampling
     "bpe_top_pairs",              # BPE induction (segment tier r5)
     "events_rollup_streaming",    # streaming watermark rollup
