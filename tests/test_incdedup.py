@@ -1,0 +1,80 @@
+"""Incremental dedup store (operators/incdedup.MinHashStore):
+build/add/check lifecycle, determinism of the candidate cap, the
+meta guard, and the no-store-shuffle plan shape. End-to-end value
+parity is oracle-checked in workload.dedup_incremental_batch."""
+
+from __future__ import annotations
+
+import pytest
+
+from toy_vector_db_spark.operators.incdedup import MinHashStore
+
+
+def _corpus(spark):
+    rows = [(i, f"unique document number {i} with distinct content "
+                f"token{i} token{i + 1} token{i + 2}") for i in range(40)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("mh_store"))
+    return MinHashStore(path).build(_corpus(spark))
+
+
+def test_dedup_batch_flags_known_dup(spark, store):
+    corpus_text = ("unique document number 7 with distinct content "
+                   "token7 token8 token9")
+    batch = spark.createDataFrame(
+        [(100, corpus_text),                       # exact dup of doc 7
+         (101, "completely different subject matter entirely new")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in store.dedup_batch(batch).collect()}
+    assert out[100]["is_dup"] and out[100]["dup_of"] == 7
+    assert out[100]["sim"] == 1.0
+    assert not out[101]["is_dup"] and out[101]["dup_of"] is None
+
+
+def test_add_extends_the_store(spark, tmp_path):
+    st = MinHashStore(str(tmp_path / "s")).build(_corpus(spark))
+    novel = "brand new accepted text about harbor lights and tides"
+    probe = spark.createDataFrame([(300, novel)], ["doc_id", "text"])
+    assert not st.dedup_batch(probe).first()["is_dup"]
+    st.add(spark.createDataFrame([(200, novel)], ["doc_id", "text"]))
+    hit = st.dedup_batch(probe).first()
+    assert hit["is_dup"] and hit["dup_of"] == 200
+
+
+def test_candidate_cap_is_deterministic(spark, tmp_path):
+    # 10 identical stored docs; cap=1 keeps exactly the md5-smallest id
+    same = "mirrored boilerplate page body repeated verbatim everywhere"
+    st = MinHashStore(str(tmp_path / "s")).build(spark.createDataFrame(
+        [(i, same) for i in range(10)], ["doc_id", "text"]))
+    batch = spark.createDataFrame([(99, same)], ["doc_id", "text"])
+    a = st.dedup_batch(batch, max_candidates=1).first()
+    b = st.dedup_batch(batch, max_candidates=1).first()
+    assert a["is_dup"] and a["dup_of"] == b["dup_of"]
+    import hashlib
+    md5_min = min(range(10), key=lambda i: (hashlib.md5(
+        str(i).encode()).hexdigest(), i))
+    assert a["dup_of"] == md5_min
+
+
+def test_meta_guard_rejects_mismatched_params(spark, store):
+    batch = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    probe = MinHashStore(store.path, num_perm=16, bands=4)
+    with pytest.raises(ValueError, match="built with"):
+        probe.dedup_batch(batch)
+
+
+def test_final_plan_never_shuffles_or_broadcasts_the_store(spark, store):
+    batch = spark.createDataFrame(
+        [(500, "some probe text for the plan audit")], ["doc_id", "text"])
+    plan = store.dedup_batch(batch)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # every join in the returned plan is broadcast-hash with the
+    # SMALL frame (batch bands / capped candidates / best matches) as
+    # the build side; the store parquet scan is always the streamed
+    # side, so it is neither exchanged nor broadcast
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

@@ -1178,6 +1178,71 @@ def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("rep").cast("bigint").alias("rep"), "split")
 
 
+def _inc_dedup_oracle(num_perm: int = 8, bands: int = 4, k: int = 3,
+                      threshold: float = 0.5, cap: int = 64) -> str:
+    r = num_perm // bands
+    mins = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min')"
+        for i in range(num_perm))
+    band_key = " || '|' || ".join(["CAST(b AS VARCHAR)"]
+                                  + [f"sig[{r}*b + {i} + 1]" for i in range(r)])
+    jac = ("(CASE WHEN len(list_distinct(list_concat(cs.sh, bs.sh))) = 0"
+           " THEN 1.0 ELSE CAST(len(list_intersect(cs.sh, bs.sh)) AS DOUBLE)"
+           " / len(list_distinct(list_concat(cs.sh, bs.sh))) END)")
+    return f"""
+WITH corpus AS (SELECT doc_id, {_dd_shingles(k)} AS sh FROM documents
+                WHERE doc_id % 5 <> 0),
+batch AS (SELECT doc_id, {_dd_shingles(k)} AS sh FROM documents
+          WHERE doc_id % 5 = 0),
+csig AS (SELECT doc_id, sh, [{mins}] AS sig FROM corpus),
+bsig AS (SELECT doc_id, sh, [{mins}] AS sig FROM batch),
+cbands AS (
+  SELECT doc_id, unnest(list_transform(range(0, {bands}), b -> {band_key})) AS band
+  FROM csig),
+bbands AS (
+  SELECT doc_id, unnest(list_transform(range(0, {bands}), b -> {band_key})) AS band
+  FROM bsig),
+cand AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS sid
+         FROM bbands b JOIN cbands c ON b.band = c.band),
+capped AS (SELECT bid, sid FROM (
+    SELECT bid, sid, row_number() OVER (PARTITION BY bid
+        ORDER BY md5(CAST(sid AS VARCHAR)) ASC, sid ASC) AS rk FROM cand)
+  WHERE rk <= {cap}),
+ver AS (SELECT bid, sid, {jac} AS sim
+        FROM capped JOIN csig cs ON cs.doc_id = capped.sid
+                    JOIN bsig bs ON bs.doc_id = capped.bid),
+best AS (SELECT bid, sid, sim FROM (
+    SELECT bid, sid, sim, row_number() OVER (PARTITION BY bid
+        ORDER BY sim DESC, sid ASC) AS rk
+    FROM ver WHERE sim >= {threshold})
+  WHERE rk = 1)
+SELECT b.doc_id, best.sid IS NOT NULL AS is_dup,
+       CAST(best.sid AS BIGINT) AS dup_of, ROUND(best.sim, 4) AS sim
+FROM batch b LEFT JOIN best ON best.bid = b.doc_id
+"""
+
+
+# Incremental dedup (operators/incdedup.MinHashStore): the ingest-loop
+# shape — corpus signatures persisted ONCE, each arriving batch checked
+# with batch-sized work plus two store scans that never shuffle the
+# store (candidate generation joins the broadcast batch bands map-side;
+# the shingle fetch joins the broadcast capped candidate list). Oracle
+# recomputes store + batch signatures from the same md5 construction
+# and replays the deterministic per-batch-doc candidate cap.
+@q("dedup_incremental_batch", _inc_dedup_oracle())
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators.incdedup import MinHashStore
+    d = _tp(spark, sf_dir, "documents")
+    store = MinHashStore(tempfile.mkdtemp(prefix="vectodb_mh_store_"))
+    store.build(d.filter(F.col("doc_id") % 5 != 0))
+    out = store.dedup_batch(d.filter(F.col("doc_id") % 5 == 0),
+                            threshold=0.5, max_candidates=64)
+    return out.select("doc_id", "is_dup",
+                      F.col("dup_of").cast("bigint").alias("dup_of"), "sim")
+
+
 # Embedding-cosine near-dup with a blocking key (label): exact within
 # blocks, the 100 TB plan shape (block = IVF/LSH bucket there).
 @q("dedup_cosine_blocked", """
@@ -4315,7 +4380,9 @@ _WINDOW = [
     "dedup_minhash_pairs",        # MinHash-LSH banding
     "dedup_components",           # connected components
     "dedup_semantic_ivf",         # SemDeDup (IVF blocking + closure)
-    "span_dedup_docs",            # span-level dedup (Lee et al.)
+    "dedup_incremental_batch",    # signature-store ingest — NEW late r5
+                                  # (slot from span_dedup_docs,
+                                  # r4-driver-green, unchanged since)
     "decontam_bloom_overlap",     # Bloom tier (same oracle as sharded)
     "corpus_clean_pipeline",      # end-to-end clean registry
     "split_cluster_safe",         # leakage-safe split — NEW late r5
