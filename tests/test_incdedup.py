@@ -67,6 +67,36 @@ def test_meta_guard_rejects_mismatched_params(spark, store):
         probe.dedup_batch(batch)
 
 
+def test_streaming_ingest_evolving_store(spark, tmp_path):
+    # two sequenced drains with add_unique: the first drain ADMITS a
+    # novel doc into the store, the second drain's copy of that doc is
+    # flagged against it — the order-dependent ingest-loop semantics
+    # the batch oracle can't cover
+    from toy_vector_db_spark.streaming.corpus import read_document_stream
+    from toy_vector_db_spark.streaming.incdedup import (
+        dedup_stream_against_store,
+    )
+    ddl_cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    novel = "a wholly new paragraph about glass harbors and slow tides"
+    st = MinHashStore(str(tmp_path / "store")).build(_corpus(spark))
+    out, ckpt = str(tmp_path / "out"), tmp_path / "ckpt"
+
+    def drain(n, rows):
+        src_dir = tmp_path / f"in{n}"
+        spark.createDataFrame(rows, ddl_cols).coalesce(1) \
+            .write.parquet(str(src_dir))
+        dedup_stream_against_store(
+            read_document_stream(spark, str(src_dir),
+                                 max_files_per_trigger=None),
+            st, out, str(ckpt / str(n)), add_unique=True)
+
+    drain(1, [(900, novel, "en", "web", len(novel))])
+    drain(2, [(901, novel, "en", "web", len(novel))])
+    res = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert not res[900]["is_dup"]            # novel at drain 1, admitted
+    assert res[901]["is_dup"] and res[901]["dup_of"] == 900
+
+
 def test_final_plan_never_shuffles_or_broadcasts_the_store(spark, store):
     batch = spark.createDataFrame(
         [(500, "some probe text for the plan audit")], ["doc_id", "text"])

@@ -1243,6 +1243,36 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("dup_of").cast("bigint").alias("dup_of"), "sim")
 
 
+# Streaming twin of the incremental check (streaming/incdedup): the
+# ingest loop run as a stream — each micro-batch goes through the SAME
+# batch operator inside foreachBatch (row_number windows bar a native
+# streaming plan), flags append to a parquet sink executor-side. One
+# AvailableNow drain with the store read-only equals the batch result
+# exactly, so both tiers share one oracle; the evolving-store mode
+# (accepted docs join the store mid-stream) is order-dependent by
+# design and covered by sequenced-drain unit tests instead.
+@q("dedup_incremental_streaming", _inc_dedup_oracle())
+def dedup_incremental_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators.incdedup import MinHashStore
+    from .streaming.corpus import read_document_stream
+    from .streaming.incdedup import dedup_stream_against_store
+    d = _tp(spark, sf_dir, "documents")
+    store = MinHashStore(tempfile.mkdtemp(prefix="vectodb_mh_store_"))
+    store.build(d.filter(F.col("doc_id") % 5 != 0))
+    src = read_document_stream(
+        spark, os.path.join(sf_dir, "documents.parque[t]"),
+        max_files_per_trigger=None).filter(F.col("doc_id") % 5 == 0)
+    out_dir = tempfile.mkdtemp(prefix="vectodb_incstream_out_")
+    ckpt = tempfile.mkdtemp(prefix="vectodb_incstream_ckpt_")
+    dedup_stream_against_store(src, store, out_dir, ckpt,
+                               threshold=0.5, max_candidates=64)
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "is_dup",
+        F.col("dup_of").cast("bigint").alias("dup_of"), "sim")
+
+
 # Embedding-cosine near-dup with a blocking key (label): exact within
 # blocks, the 100 TB plan shape (block = IVF/LSH bucket there).
 @q("dedup_cosine_blocked", """
