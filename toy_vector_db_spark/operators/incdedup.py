@@ -101,11 +101,11 @@ class MinHashStore:
 
     def add(self, df: DataFrame) -> "MinHashStore":
         """Append accepted documents (batch-sized work)."""
-        self._check_meta(df.sparkSession)
+        self._check_meta()
         self._sig_sh(df).write.mode("append").parquet(self._data_path())
         return self
 
-    def _check_meta(self, spark) -> None:
+    def _check_meta(self) -> None:
         with open(self._meta_path()) as f:
             meta = json.load(f)
         mine = {"num_perm": self.num_perm, "bands": self.bands,
@@ -116,7 +116,7 @@ class MinHashStore:
                              f"{meta}, probe configured {mine}")
 
     def _store(self, spark) -> DataFrame:
-        self._check_meta(spark)
+        self._check_meta()
         return spark.read.parquet(self._data_path())
 
     # -- the incremental check ---------------------------------------
