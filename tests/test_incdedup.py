@@ -60,6 +60,43 @@ def test_candidate_cap_is_deterministic(spark, tmp_path):
     assert a["dup_of"] == md5_min
 
 
+def test_compact_merges_append_files(spark, tmp_path):
+    st = MinHashStore(str(tmp_path / "s")).build(_corpus(spark))
+    for i in range(3):   # each add appends >= 1 small file
+        st.add(spark.createDataFrame(
+            [(1000 + i, f"appended novel doc {i} about item {i}")],
+            ["doc_id", "text"]))
+    probe = spark.createDataFrame(
+        [(2000, "appended novel doc 1 about item 1")], ["doc_id", "text"])
+    pre = st.dedup_batch(probe).first()
+    before, after = st.compact(spark, target_files=1)
+    assert before > 1 and after == 1
+    post = st.dedup_batch(probe).first()   # results unchanged by layout
+    assert (pre["is_dup"], pre["dup_of"], pre["sim"]) == \
+           (post["is_dup"], post["dup_of"], post["sim"])
+
+
+def test_sig_tier_parity_on_store_and_check(spark, tmp_path):
+    # column vs arrow store builds: signatures byte-identical, shingle
+    # sets member-identical (order is NOT contract), dedup_batch
+    # results equal row-for-row
+    corpus = _corpus(spark)
+    a = MinHashStore(str(tmp_path / "a"), sig_tier="column").build(corpus)
+    b = MinHashStore(str(tmp_path / "b"), sig_tier="arrow").build(corpus)
+    sa = {r["doc_id"]: (tuple(r["sig"]), frozenset(r["sh"]))
+          for r in spark.read.parquet(a._data_path()).collect()}
+    sb = {r["doc_id"]: (tuple(r["sig"]), frozenset(r["sh"]))
+          for r in spark.read.parquet(b._data_path()).collect()}
+    assert sa == sb
+    batch = spark.createDataFrame(
+        [(100, "unique document number 3 with distinct content "
+               "token3 token4 token5"),
+         (101, "entirely novel probe text")], ["doc_id", "text"])
+    ra = sorted(map(tuple, a.dedup_batch(batch).collect()))
+    rb = sorted(map(tuple, b.dedup_batch(batch).collect()))
+    assert ra == rb
+
+
 def test_meta_guard_rejects_mismatched_params(spark, store):
     batch = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     probe = MinHashStore(store.path, num_perm=16, bands=4)

@@ -113,7 +113,8 @@ def minhash_signature(text: Column, num_perm: int = 8,
 def minhash_signatures_arrow(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id", num_perm: int = 8,
                              shingle_k: int = 3,
-                             sig_col: str = "sig") -> DataFrame:
+                             sig_col: str = "sig",
+                             sh_col: str | None = None) -> DataFrame:
     """Arrow/bulk tier of ``minhash_signature``: bit-identical salted-md5
     signatures computed with Python hashlib over Arrow batches
     (mapInPandas) instead of the Catalyst higher-order fold.
@@ -130,6 +131,14 @@ def minhash_signatures_arrow(df: DataFrame, text_col: str = "text",
     either way: signatures only, document text never leaves the scan.
     Output: (id_col, sig_col ARRAY<STRING>) — byte-identical to the
     Column tier (parity-tested), so bands/buckets/oracles are shared.
+
+    ``sh_col``: also emit the shingle SET (sorted ARRAY<STRING>) the
+    signature was computed from — free here (the set already exists
+    per row), and what the incremental-dedup store persists alongside
+    the signature. Element ORDER differs from the Column tier's
+    first-occurrence ``word_shingles`` order; every consumer treats
+    the array as a set (array_intersect/array_union), so only the
+    membership is contract.
     """
     import hashlib
     import re
@@ -146,6 +155,7 @@ def minhash_signatures_arrow(df: DataFrame, text_col: str = "text",
     def gen(batches):
         for pdf in batches:
             sigs = []
+            shs = []
             for t in pdf[text_col]:
                 t = "" if t is None else str(t)
                 # Spark's trim removes ' ' only; after the \s+ -> ' '
@@ -162,10 +172,17 @@ def minhash_signatures_arrow(df: DataFrame, text_col: str = "text",
                         if h < mins[i]:
                             mins[i] = h
                 sigs.append(mins)
-            yield pd.DataFrame({id_col: pdf[id_col], sig_col: sigs})
+                if sh_col is not None:
+                    shs.append(sorted(shingles))
+            cols = {id_col: pdf[id_col], sig_col: sigs}
+            if sh_col is not None:
+                cols[sh_col] = shs
+            yield pd.DataFrame(cols)
 
-    return df.select(id_col, text_col).mapInPandas(
-        gen, f"{id_col} {id_type}, {sig_col} array<string>")
+    ddl = f"{id_col} {id_type}, {sig_col} array<string>"
+    if sh_col is not None:
+        ddl += f", {sh_col} array<string>"
+    return df.select(id_col, text_col).mapInPandas(gen, ddl)
 
 
 from ..functions.util import bind_once as _bind_once  # noqa: E402

@@ -59,7 +59,7 @@ class MinHashStore:
 
     def __init__(self, path: str, num_perm: int = 8, bands: int = 4,
                  shingle_k: int = 3, id_col: str = "doc_id",
-                 text_col: str = "text"):
+                 text_col: str = "text", sig_tier: str = "auto"):
         if num_perm % bands:
             raise ValueError(f"num_perm={num_perm} not divisible by "
                              f"bands={bands}")
@@ -69,6 +69,7 @@ class MinHashStore:
         self.shingle_k = shingle_k
         self.id_col = id_col
         self.text_col = text_col
+        self.sig_tier = sig_tier
 
     # -- persistence -------------------------------------------------
     def _meta_path(self) -> str:
@@ -81,7 +82,28 @@ class MinHashStore:
 
     def _sig_sh(self, df: DataFrame) -> DataFrame:
         """(id, sig, sh) projection — the only columns the store keeps;
-        document text never reaches the store files."""
+        document text never reaches the store files.
+
+        ``sig_tier`` follows minhash_lsh_pairs: "column" (Catalyst HOF
+        fold + word_shingles), "arrow" (hashlib over Arrow batches,
+        sig bit-identical, shingles sorted-set order), or "auto" —
+        one df.count() picks by the same crossover. The corpus-sized
+        store BUILD is where the Arrow tier earns its keep (the
+        interpreted HOF fold is the dominant build cost at scale);
+        the two tiers agree on every downstream value because sig is
+        parity-tested byte-identical and sh is only ever consumed as
+        a set (jaccard's array_intersect/union)."""
+        tier = self.sig_tier
+        if tier == "auto":
+            from .dedup import _SIG_ARROW_MIN_DOCS
+            tier = ("arrow" if df.count() >= _SIG_ARROW_MIN_DOCS
+                    else "column")
+        if tier == "arrow":
+            from .dedup import minhash_signatures_arrow
+            return minhash_signatures_arrow(
+                df, text_col=self.text_col, id_col=self.id_col,
+                num_perm=self.num_perm, shingle_k=self.shingle_k,
+                sh_col="sh")
         return df.select(
             F.col(self.id_col),
             minhash_signature(F.col(self.text_col), self.num_perm,
@@ -104,6 +126,42 @@ class MinHashStore:
         self._check_meta()
         self._sig_sh(df).write.mode("append").parquet(self._data_path())
         return self
+
+    def compact(self, spark, target_files: int | None = None,
+                target_bytes: int = 128 * 1024 * 1024) -> tuple[int, int]:
+        """Rewrite the store into ``target_files`` parquet files
+        (default: sized so each file is ~``target_bytes``). Every
+        ``add`` appends at least one file, so a long-lived ingest loop
+        accretes the classic small-files problem — each ``dedup_batch``
+        then pays open/footer overhead per tiny file on BOTH store
+        scans. Returns (files_before, files_after).
+
+        Single-writer swap (the store's ingest loop is single-writer
+        by contract — quiesce ``add`` while compacting): the rewrite
+        lands in a sibling directory, then two renames flip it in.
+        Readers mid-scan of the old directory are a cluster concern
+        the versioned catalog (`plans/catalog.compact`) solves with
+        retained snapshots; this store is the lean non-versioned
+        layout, and documents the trade instead."""
+        import shutil
+
+        self._check_meta()
+        data = self._data_path()
+        files = [f for f in os.listdir(data) if f.endswith(".parquet")]
+        before = len(files)
+        if target_files is None:
+            total = sum(os.path.getsize(os.path.join(data, f))
+                        for f in files)
+            target_files = max(1, -(-total // target_bytes))
+        tmp = data + "_compacting"
+        old = data + "_old"
+        spark.read.parquet(data).repartition(target_files) \
+            .write.mode("overwrite").parquet(tmp)
+        os.rename(data, old)
+        os.rename(tmp, data)
+        shutil.rmtree(old)
+        after = len([f for f in os.listdir(data) if f.endswith(".parquet")])
+        return before, after
 
     def _check_meta(self) -> None:
         with open(self._meta_path()) as f:
