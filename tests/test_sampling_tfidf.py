@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from toy_vector_db_spark.operators.sampling import (
     cluster_safe_split, deterministic_shuffle, hash_sample,
-    stratified_sample, train_test_split,
+    stratified_sample, temperature_sample, train_test_split,
 )
 from toy_vector_db_spark.operators.tfidf import (
     term_frequencies, tfidf_top_terms, vocabulary,
@@ -57,6 +57,33 @@ def test_train_test_split_partition(docs):
     assert len(out) == 300                    # every row exactly once
     frac = sum(r["split"] == "test" for r in out) / 300
     assert 0.1 < frac < 0.3
+
+
+def test_temperature_sample_flattens_rare_sources(spark):
+    # 900 rows of "big" vs 100 of "rare": alpha<1 must lift the rare
+    # source's keep RATE above the big source's, while alpha=1
+    # reproduces the natural (uniform) sampling rate for both
+    rows = [(i, "big" if i < 900 else "rare") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"]).cache()
+
+    def rates(alpha):
+        kept = temperature_sample(df, "doc_id", "source", alpha=alpha,
+                                  total_fraction=0.2).collect()
+        n = {"big": 0, "rare": 0}
+        for r in kept:
+            n[r["source"]] += 1
+        return n["big"] / 900, n["rare"] / 100
+
+    big_flat, rare_flat = rates(0.0)     # equal-rows target
+    assert rare_flat > 2 * big_flat      # rare source heavily upsampled
+    big_nat, rare_nat = rates(1.0)       # natural mix: same keep rate
+    assert abs(big_nat - rare_nat) < 0.12
+    # determinism: same call, same membership
+    a = {r["doc_id"] for r in temperature_sample(
+        df, "doc_id", "source", 0.5, 0.2).collect()}
+    b = {r["doc_id"] for r in temperature_sample(
+        df, "doc_id", "source", 0.5, 0.2).collect()}
+    assert a == b
 
 
 def test_cluster_safe_split_family_atomicity(spark, docs):

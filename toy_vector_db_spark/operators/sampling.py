@@ -162,6 +162,47 @@ def sample_k_per_group(df: DataFrame, key: str, group_col: str,
             .filter(F.col("__rk") <= k).drop("__rk"))
 
 
+def temperature_sample(df: DataFrame, key: str, source_col: str,
+                       alpha: float = 0.7, total_fraction: float = 0.1,
+                       salt: str = "temp") -> DataFrame:
+    """Temperature-flattened source mixing — the exponential-smoothing
+    recipe multilingual/multi-source pretraining uses to keep large
+    sources from drowning small ones: source ``s`` with share ``p_s``
+    is sampled with weight ``p_s**alpha`` (renormalized), so
+    ``alpha=1`` reproduces the natural mix, ``alpha=0`` targets equal
+    rows per source, and values between interpolate. The overall
+    target size is ``total_fraction`` of the corpus; a source whose
+    quota exceeds its population keeps everything (the quota is NOT
+    redistributed — the standard recipe; renormalize upstream if the
+    exact total matters more than per-source weights).
+
+    Membership is ``hash_uniform(key) < keep_s`` with
+    ``keep_s = min(1, total_fraction * N * q_s / n_s)`` — the same
+    deterministic, growth-stable md5 rule as every sampler here.
+    Shuffle budget: ONE source-keyed count aggregate (tiny result,
+    broadcast back onto a map-side filter); the corpus itself never
+    shuffles."""
+    from pyspark.sql import Window
+
+    # N and Z come from a GLOBAL window over the counts frame, not a
+    # join against its own aggregate (which trips Catalyst's self-join
+    # attribute disambiguation). An unpartitioned window is normally a
+    # scale smell; here it runs over the source-cardinality-sized
+    # counts frame — S rows, never the corpus.
+    w = Window.partitionBy()
+    keep = df.groupBy(source_col).agg(F.count("*").alias("__n")) \
+        .withColumn("__keep", F.least(
+            F.lit(1.0),
+            F.lit(total_fraction) * F.sum("__n").over(w)
+            * (F.pow("__n", F.lit(alpha))
+               / F.sum(F.pow("__n", F.lit(alpha))).over(w))
+            / F.col("__n"))) \
+        .select(source_col, "__keep")
+    return (df.join(F.broadcast(keep), source_col)
+            .filter(hash_uniform(F.col(key), salt) < F.col("__keep"))
+            .drop("__keep"))
+
+
 def cluster_safe_split(df: DataFrame, pairs: DataFrame, key: str,
                        test_fraction: float = 0.1, salt: str = "split",
                        rep_col: str = "rep",

@@ -35,6 +35,11 @@ _REGISTRY: dict[str, tuple[WorkloadFn, str | None]] = {}
 
 def q(name: str, oracle: str | None):
     def deco(fn: WorkloadFn):
+        if name in _REGISTRY:
+            # a duplicate silently SHADOWS the earlier query — this
+            # bit once (split_train_test spent rounds unregistered
+            # under a copy-pasted name); fail at import instead
+            raise AssertionError(f"duplicate workload query name: {name}")
         _REGISTRY[name] = (fn, oracle)
         return fn
     return deco
@@ -2516,7 +2521,7 @@ def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.round(w, 4).alias("weight"))
 
 
-@q("mixture_token_budget", f"""
+@q("split_train_test", f"""
 SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n FROM (
   SELECT lang,
          CASE WHEN {_DD_U.format(salt='split')} < 0.1
@@ -3701,6 +3706,29 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tok", "cum_before")
 
 
+# Temperature-flattened source mixing (sampling.temperature_sample):
+# per-source keep fraction min(1, f*N*q_s/n_s) with q_s ∝ n_s^alpha —
+# the exponential-smoothing recipe that keeps big sources from
+# drowning small ones. One tiny source-count aggregate, broadcast
+# back; membership is the md5 rule, exact in the oracle.
+@q("mixture_temperature", f"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+t AS (SELECT SUM(n) AS N, SUM(POW(n, 0.5)) AS Z FROM c),
+k AS (SELECT source,
+             LEAST(1.0, 0.3 * t.N * (POW(c.n, 0.5) / t.Z) / c.n) AS keep
+      FROM c, t)
+SELECT d.doc_id, d.source FROM documents d JOIN k ON d.source = k.source
+WHERE ('0x' || substr(md5('temp' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      / 4294967296.0 < k.keep
+""")
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import temperature_sample
+    d = _t(spark, sf_dir, "documents")
+    return temperature_sample(d, "doc_id", "source", alpha=0.5,
+                              total_fraction=0.3) \
+        .select("doc_id", "source")
+
+
 # Markup extraction (functions/text.strip_markup — the raw-crawl ->
 # text step): markup is injected deterministically around each doc
 # (tags, script/style blocks with junk contents, entities), stripped,
@@ -4418,9 +4446,14 @@ _WINDOW = [
     "split_cluster_safe",         # leakage-safe split — NEW late r5
                                   # (slot from mixture_token_budget,
                                   # multi-round green, unchanged)
-    "dsir_select_en",             # DSIR importance resampling
+    "split_train_test",           # UNSHADOWED late r5: was mis-
+                                  # registered under a duplicate name
+                                  # and never driver-run (slot from
+                                  # dsir_select_en, r4-green, unchanged)
     "bpe_top_pairs",              # BPE induction (segment tier r5)
-    "events_rollup_streaming",    # streaming watermark rollup
+    "mixture_temperature",        # temperature mixing — NEW late r5
+                                  # (slot from events_rollup_streaming,
+                                  # multi-round green, unchanged)
     "corpus_clean_streaming",     # streaming corpus clean
 ]
 
