@@ -177,11 +177,15 @@ def temperature_sample(df: DataFrame, key: str, source_col: str,
     exact total matters more than per-source weights).
 
     Membership is ``hash_uniform(key) < keep_s`` with
-    ``keep_s = min(1, total_fraction * N * q_s / n_s)`` — the same
-    deterministic, growth-stable md5 rule as every sampler here.
-    Shuffle budget: ONE source-keyed count aggregate (tiny result,
-    broadcast back onto a map-side filter); the corpus itself never
-    shuffles."""
+    ``keep_s = min(1, total_fraction * N * q_s / n_s)`` — fully
+    deterministic, and per-row STABLE for any fixed set of keep
+    fractions; but unlike ``hash_sample``, the fractions themselves
+    depend on every source's count, so corpus growth shifts
+    thresholds and can move rows in or out (inherent to the recipe —
+    pin the computed fractions and filter with ``hash_uniform``
+    directly if snapshot-stable membership matters). Shuffle budget:
+    ONE source-keyed count aggregate (tiny result, broadcast back
+    onto a map-side filter); the corpus itself never shuffles."""
     from pyspark.sql import Window
 
     # N and Z come from a GLOBAL window over the counts frame, not a
