@@ -134,6 +134,36 @@ def test_streaming_ingest_evolving_store(spark, tmp_path):
     assert res[901]["is_dup"] and res[901]["dup_of"] == 900
 
 
+def test_consistency_with_batch_pair_pipeline(spark, tmp_path):
+    # cross-tier contract: with no cap pressure, a batch doc is flagged
+    # by the STORE check iff the BATCH pipeline finds a verified
+    # cross pair for it over (corpus UNION batch) — same bands, same
+    # jaccard, same threshold, so the incremental tier is exactly the
+    # batch pipeline restricted to corpus-x-batch pairs
+    from toy_vector_db_spark.operators.dedup import minhash_lsh_pairs
+    texts = [
+        "alpha beta gamma delta epsilon zeta", "one two three four five six",
+        "alpha beta gamma delta epsilon eta",  # near-dup of 0
+        "seven eight nine ten eleven twelve", "the quick brown fox jumps over",
+        "one two three four five seven",       # near-dup of 1
+        "completely unrelated text body here", "the quick brown fox jumps high",
+    ]
+    corpus_rows = [(i, t) for i, t in enumerate(texts[:4])]
+    batch_rows = [(100 + i, t) for i, t in enumerate(texts[4:])]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+
+    st = MinHashStore(str(tmp_path / "s")).build(corpus)
+    flagged = {r["doc_id"] for r in st.dedup_batch(batch).collect()
+               if r["is_dup"]}
+
+    both = corpus.unionByName(batch)
+    pairs = minhash_lsh_pairs(both, threshold=0.5).collect()
+    cross = {max(r["id_a"], r["id_b"]) for r in pairs
+             if (r["id_a"] < 100) != (r["id_b"] < 100)}
+    assert flagged == cross
+
+
 def test_final_plan_never_shuffles_or_broadcasts_the_store(spark, store):
     batch = spark.createDataFrame(
         [(500, "some probe text for the plan audit")], ["doc_id", "text"])
