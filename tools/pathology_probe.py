@@ -77,6 +77,27 @@ def main() -> None:
     print(f"connected_components: {time.time() - t0:.1f}s — "
           f"{ncomp} components, largest {fam_sz}")
 
+    # the incremental-store sibling: the whole boilerplate family in
+    # the STORE, a batch re-probing it — per-batch-doc candidates are
+    # capped at md5-smallest 64, so the check stays batch-sized even
+    # though every band bucket the batch touches holds fam members
+    import tempfile
+
+    from toy_vector_db_spark.operators.incdedup import MinHashStore
+    t0 = time.time()
+    st = MinHashStore(tempfile.mkdtemp(prefix="patho_mh_")).build(corpus)
+    tb = time.time() - t0
+    batch = (spark.range(64)
+             .select((F.col("id") + 9_000_000).alias("doc_id"))
+             .crossJoin(F.broadcast(seed))
+             .select("doc_id", F.col("__t").alias("text")))
+    t0 = time.time()
+    res = st.dedup_batch(batch, max_candidates=64).localCheckpoint()
+    ndup = res.filter("is_dup").count()
+    print(f"incdedup store build: {tb:.1f}s; 64-doc batch vs the "
+          f"{fam}-member family: {time.time() - t0:.1f}s — "
+          f"{ndup}/64 flagged (capped candidates, not {fam}/band)")
+
     # the sibling pathology for the journey funnel: one bot user whose
     # event history (fam rows) would previously sit in ONE collect_list
     # buffer; the window rewrite streams it through spillable buffers
