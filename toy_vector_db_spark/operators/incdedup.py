@@ -164,6 +164,9 @@ class MinHashStore:
         return before, after
 
     def _check_meta(self) -> None:
+        if not os.path.exists(self._meta_path()):
+            raise ValueError(f"no store at {self.path} — call build() "
+                             f"before add()/dedup_batch()/compact()")
         with open(self._meta_path()) as f:
             meta = json.load(f)
         mine = {"num_perm": self.num_perm, "bands": self.bands,

@@ -185,7 +185,12 @@ def temperature_sample(df: DataFrame, key: str, source_col: str,
     pin the computed fractions and filter with ``hash_uniform``
     directly if snapshot-stable membership matters). Shuffle budget:
     ONE source-keyed count aggregate (tiny result, broadcast back
-    onto a map-side filter); the corpus itself never shuffles."""
+    onto a map-side filter); the corpus itself never shuffles.
+
+    Rows with a NULL ``source_col`` are dropped (the keep-fraction
+    join is an equality join; null never matches a group) — assign a
+    sentinel source upstream if unattributed rows should participate.
+    """
     from pyspark.sql import Window
 
     # N and Z come from a GLOBAL window over the counts frame, not a
@@ -227,6 +232,9 @@ def cluster_safe_split(df: DataFrame, pairs: DataFrame, key: str,
     ``split``; splits keep ``train_test_split``'s growth-stability —
     adding documents never flips an existing family unless new edges
     merge it into another family (inherent to the semantics).
+    ``pairs`` ids must share ``df[key]``'s type — a mismatched pair id
+    type would make the coalesce silently widen ``rep_col`` (and with
+    it the hashed string) to the common type.
 
     Scale: components over the pairs graph shuffles edge keys only
     (see connected_components); the label join shuffles on the doc
