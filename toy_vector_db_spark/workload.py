@@ -1255,7 +1255,11 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # AvailableNow drain with the store read-only equals the batch result
 # exactly, so both tiers share one oracle; the evolving-store mode
 # (accepted docs join the store mid-stream) is order-dependent by
-# design and covered by sequenced-drain unit tests instead.
+# design and covered by sequenced-drain unit tests instead. This twin
+# pins sig_tier="arrow" (the batch twin's auto resolves to the Column
+# fold at driver scale), so the driver value-oracles BOTH signature
+# tiers end-to-end — the bit-parity the unit test asserts, proven
+# against DuckDB as well.
 @q("dedup_incremental_streaming", _inc_dedup_oracle())
 def dedup_incremental_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -1264,7 +1268,8 @@ def dedup_incremental_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.corpus import read_document_stream
     from .streaming.incdedup import dedup_stream_against_store
     d = _tp(spark, sf_dir, "documents")
-    store = MinHashStore(tempfile.mkdtemp(prefix="vectodb_mh_store_"))
+    store = MinHashStore(tempfile.mkdtemp(prefix="vectodb_mh_store_"),
+                         sig_tier="arrow")
     store.build(d.filter(F.col("doc_id") % 5 != 0))
     src = read_document_stream(
         spark, os.path.join(sf_dir, "documents.parque[t]"),
