@@ -183,7 +183,8 @@ class CollectionCatalog:
         return removed
 
     def compact(self, name: str, target_files: int = 1,
-                sort_by: list[str] | None = None) -> tuple[int, int]:
+                sort_by: list[str] | None = None,
+                zorder_by: list[str] | None = None) -> tuple[int, int]:
         """OPTIMIZE analogue: rewrite the current snapshot into
         ``target_files`` parquet files, committing a NEW version (the
         pointer flip is atomic; readers of retained older versions are
@@ -197,13 +198,26 @@ class CollectionCatalog:
         RANGE-partitions on those columns and sorts within files, so
         parquet column min/max stats become selective and point/range
         predicates on the sort key skip whole files (poor-man's
-        clustering; Z-order for multi-key locality would slot in here).
+        clustering). ``zorder_by`` instead range-partitions and sorts
+        on the Morton key over SEVERAL columns
+        (`functions/zorder.z_value` — the Delta/Iceberg OPTIMIZE
+        ZORDER analogue): each interleaved column's file-level min/max
+        stays partially selective, so multi-dimensional box predicates
+        skip O(files^(1-1/d)) of the layout instead of scanning it
+        all. Mutually exclusive with ``sort_by``.
         """
         if target_files < 1:
             raise ValueError(f"target_files must be >= 1, got {target_files}")
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         df = self.read(name)
         before = self._file_count(name)
-        if sort_by:
+        if zorder_by:
+            from ..functions.zorder import z_value
+            out = z_value(df, zorder_by)
+            out = out.repartitionByRange(target_files, F.col("__z")) \
+                .sortWithinPartitions("__z").drop("__z")
+        elif sort_by:
             out = df.repartitionByRange(target_files,
                                         *[F.col(c) for c in sort_by]) \
                 .sortWithinPartitions(*sort_by)

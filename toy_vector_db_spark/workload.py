@@ -325,6 +325,51 @@ def window_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round("o_totalprice", 2).alias("total")))
 
 
+def _zorder_oracle(bits: int = 6) -> str:
+    b = 1 << bits
+    days = "date_diff('day', DATE '1970-01-01', o_orderdate)"
+    terms = " | ".join(
+        f"((({col} >> {i}) & 1) << {i * 2 + j})"
+        for i in range(bits) for j, col in enumerate(("bc", "bd")))
+    return f"""
+WITH s AS (SELECT MIN(o_custkey) AS minc, MAX(o_custkey) AS maxc,
+                  MIN({days}) AS mind, MAX({days}) AS maxd
+           FROM orders),
+bk AS (SELECT o_orderkey,
+  LEAST(CAST(FLOOR((o_custkey - minc) * {b} / (maxc - minc + 1))
+             AS BIGINT), {b - 1}) AS bc,
+  LEAST(CAST(FLOOR(({days} - mind) * {b} / (maxd - mind + 1))
+             AS BIGINT), {b - 1}) AS bd
+  FROM orders, s)
+SELECT o_orderkey, CAST(bc AS BIGINT) AS bucket_cust,
+       CAST(bd AS BIGINT) AS bucket_date,
+       CAST({terms} AS BIGINT) AS zkey
+FROM bk ORDER BY zkey ASC, o_orderkey ASC LIMIT 50
+"""
+
+
+# Z-order clustering key (functions/zorder — the Delta/Iceberg
+# OPTIMIZE ZORDER analogue): fixed-width buckets over exact min/max,
+# Morton bit interleave as pure codegen Columns. The oracle replays
+# the bucket arithmetic and the interleave bit-for-bit; the layout
+# writer built on this key is file-skipping-tested in test_zorder.
+@q("zorder_orders_locality", _zorder_oracle())
+def zorder_orders_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.zorder import fixed_width_bucket, interleave_bits
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"),
+                      F.lit("1970-01-01").cast("date")).cast("bigint")
+    stats = o.agg(F.min("o_custkey"), F.max("o_custkey"),
+                  F.min(days), F.max(days)).first()
+    bc = fixed_width_bucket(F.col("o_custkey"), stats[0], stats[1], 64)
+    bd = fixed_width_bucket(days, stats[2], stats[3], 64)
+    return (o.select("o_orderkey", bc.alias("bucket_cust"),
+                     bd.alias("bucket_date"),
+                     interleave_bits([bc, bd], 6).alias("zkey"))
+            .orderBy(F.col("zkey").asc(), F.col("o_orderkey").asc())
+            .limit(50))
+
+
 # ---------------------------------------------------------------------------
 # Relational surface: set ops, rollup, HAVING, anti join (all reserved-
 # but-unparsed keywords in the reference, SURVEY §2.4/§2.6 — fully
@@ -4459,7 +4504,10 @@ _WINDOW = [
     "mixture_temperature",        # temperature mixing — NEW late r5
                                   # (slot from events_rollup_streaming,
                                   # multi-round green, unchanged)
-    "corpus_clean_streaming",     # streaming corpus clean
+    "zorder_orders_locality",     # Z-order clustering key — NEW late r5
+                                  # (slot from corpus_clean_streaming,
+                                  # r4-green, unchanged; streaming still
+                                  # repped by decontam/sessionize rows)
 ]
 
 
