@@ -82,6 +82,39 @@ def test_sql_optimize_verb(spark, catalog):
     assert "OPTIMIZE" in eng.explain("OPTIMIZE o")
 
 
+def test_sql_optimize_zorder_verb(spark, catalog):
+    # ZORDER BY over a docs sidecar (the catalog surface with numeric
+    # columns); data identical after the layout rewrite, sort_by and
+    # zorder_by mutually exclusive at the verb level too
+    from toy_vector_db_spark.plans.catalog import DOCS_SUFFIX
+    from toy_vector_db_spark.plans.dialect import SqlEngine
+    import os
+    import datetime as dt
+    name = "d" + DOCS_SUFFIX
+    epoch = dt.datetime(2024, 1, 1)
+    docs = spark.createDataFrame(
+        [(f"doc{i}", f"text {i}", "text", None, None,
+          epoch + dt.timedelta(hours=(i * 37) % 90),
+          epoch + dt.timedelta(hours=i))
+         for i in range(40)],
+        "doc_id string, content string, content_type string, "
+        "vector array<float>, metadata map<string,string>, "
+        "created_at timestamp, updated_at timestamp")
+    os.makedirs(catalog._dir(name), exist_ok=True)
+    catalog._commit(name, docs)
+    eng = SqlEngine(spark, catalog)
+    res = eng.execute(
+        f"OPTIMIZE {name} FILES 2 ZORDER BY created_at, updated_at")
+    assert "compacted" in res.message
+    got = sorted((r["doc_id"], r["created_at"], r["updated_at"])
+                 for r in catalog.read(name).collect())
+    assert got == sorted((r["doc_id"], r["created_at"], r["updated_at"])
+                         for r in docs.collect())
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        catalog.compact(name, 1, sort_by=["doc_id"],
+                        zorder_by=["created_at"])
+
+
 def test_history_lists_versions(catalog):
     _fill(catalog, "h", n_batches=2)   # create + 2 inserts = 3 commits
     hist = catalog.history("h")

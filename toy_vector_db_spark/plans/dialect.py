@@ -67,13 +67,16 @@ _CREATE_RE = re.compile(
     r"(?:\(\s*DIMENSION\s+(?P<dim>\d+)\s*\))?\s*$", re.IGNORECASE)
 _DROP_RE = re.compile(r"^\s*DROP\s+COLLECTION\s+(?P<table>\w+)\s*$",
                       re.IGNORECASE)
-# OPTIMIZE <collection> [FILES <n>] [SORT BY <col>[, <col>...]] — the
-# Delta-style maintenance verb over the versioned catalog
-# (catalog.compact): small-file rewrite as a new atomic version.
+# OPTIMIZE <collection> [FILES <n>] [SORT BY cols | ZORDER BY cols] —
+# the Delta-style maintenance verb over the versioned catalog
+# (catalog.compact): small-file rewrite as a new atomic version,
+# optionally clustered on one key (SORT BY) or a Morton interleave of
+# several (ZORDER BY, functions/zorder).
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<table>\w+)"
     r"(?:\s+FILES\s+(?P<files>\d+))?"
-    r"(?:\s+SORT\s+BY\s+(?P<sort>\w+(?:\s*,\s*\w+)*))?\s*$",
+    r"(?:\s+SORT\s+BY\s+(?P<sort>\w+(?:\s*,\s*\w+)*)"
+    r"|\s+ZORDER\s+BY\s+(?P<zorder>\w+(?:\s*,\s*\w+)*))?\s*$",
     re.IGNORECASE)
 
 
@@ -465,7 +468,10 @@ class SqlEngine:
         files = int(m.group("files") or 1)
         sort_by = ([c.strip() for c in m.group("sort").split(",")]
                    if m.group("sort") else None)
-        before, after = self.catalog.compact(table, files, sort_by)
+        zorder_by = ([c.strip() for c in m.group("zorder").split(",")]
+                     if m.group("zorder") else None)
+        before, after = self.catalog.compact(table, files, sort_by,
+                                             zorder_by=zorder_by)
         return SqlResult(
             message=f"Collection {table} compacted: "
                     f"{before} -> {after} file(s)",
