@@ -73,7 +73,9 @@ def z_value(df: DataFrame, cols: list[str], buckets: int = 64,
     — dates are bucketed on their day number). One aggregate computes
     every column's exact min/max; the single result row is fetched to
     the driver (bounded: 2 values per column) and baked into the
-    bucket expressions, so the key computation itself is map-only."""
+    bucket expressions, so the key computation itself is map-only.
+    ``buckets`` rounds UP to the next power of two (bit interleaving
+    needs whole bits)."""
     bits = max(1, (int(buckets) - 1).bit_length())
 
     def as_long(c: str) -> Column:
