@@ -79,6 +79,27 @@ def test_minhash_lsh_arrow_tier_same_pairs(docs):
     assert col == arr and col
 
 
+def test_word_shingles_arrow_membership_parity(spark):
+    """The Python shingle twin must agree with the Column tier on
+    MEMBERSHIP (order is not contract) including the edge texts the
+    tokenizer normalizes: None, empty, punctuation-only, unicode
+    whitespace (\\xa0 is NOT JVM \\s), short-of-k texts."""
+    from toy_vector_db_spark.functions.text import word_shingles
+    from toy_vector_db_spark.operators.dedup import word_shingles_arrow
+    texts = [None, "", "  ", "!!! ...", "one", "one two",
+             "one two three four", "A\xa0B c d", "a  b\t\nc d e",
+             "Mixed CASE, with punct! and more words here"]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    col = {r["doc_id"]: frozenset(r["sh"]) for r in df.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("sh")).collect()}
+    arr = {r["doc_id"]: frozenset(r["sh"])
+           for r in word_shingles_arrow(df, shingle_k=3).collect()}
+    # the Column tier returns null shingles for null text; the Arrow
+    # twin normalizes to the empty-text shingle — compare non-null rows
+    assert {k: v for k, v in col.items() if v is not None} \
+        == {k: arr[k] for k, v in col.items() if v is not None}
+
+
 def test_minhash_auto_tier_thresholds(docs):
     """auto routes by corpus size: below the crossover it must build
     the Column-fold plan (no mapInPandas/ArrowEval), above it the

@@ -110,6 +110,55 @@ def minhash_signature(text: Column, num_perm: int = 8,
     return F.aggregate(sh, init, fold)
 
 
+#: Java \s is exactly [ \t\n\x0B\f\r]; Python's \s would also eat
+#: unicode whitespace and diverge from the JVM tier on e.g. \xa0
+_JAVA_WS = "[ \t\n\x0b\f\r]+"
+
+
+def _shingle_set(t, shingle_k: int, punct, ws) -> set:
+    """The one Python tokenizer mirroring the Column tier's
+    normalize+shingle chain exactly (parity is proven transitively by
+    the bit-identical signature tests): lower, strip punct, collapse
+    JVM-whitespace, split, k-shingle as a set."""
+    t = "" if t is None else str(t)
+    # Spark's trim removes ' ' only; after the \s+ -> ' ' collapse
+    # that is also all that can remain at the ends
+    t = ws.sub(" ", punct.sub("", t.lower())).strip(" ")
+    toks = t.split(" ")
+    return {" ".join(toks[i:i + shingle_k])
+            for i in range(max(len(toks) - shingle_k, 0) + 1)}
+
+
+def word_shingles_arrow(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_k: int = 3,
+                        sh_col: str = "sh") -> DataFrame:
+    """C-speed twin of ``functions.text.word_shingles``: (id, shingle
+    set as a sorted ARRAY<STRING>) over Arrow batches. Membership-
+    identical to the Column tier (order differs — consumers treat the
+    array as a set). Exists for the same reason as the signature
+    Arrow tier: Catalyst evaluates ``transform``/``aggregate``
+    lambdas in its interpreter, so a corpus-sized shingle derivation
+    (the verify scan of minhash_lsh_pairs) pays per-position
+    interpretation the Python re/split loop does not."""
+    import re
+
+    import pandas as pd
+
+    punct = re.compile(PUNCT_CLASS)
+    ws = re.compile(_JAVA_WS)
+    id_type = dict(df.dtypes)[id_col]
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                sh_col: [sorted(_shingle_set(t, shingle_k, punct, ws))
+                         for t in pdf[text_col]]})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} {id_type}, {sh_col} array<string>")
+
+
 def minhash_signatures_arrow(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id", num_perm: int = 8,
                              shingle_k: int = 3,
@@ -139,6 +188,12 @@ def minhash_signatures_arrow(df: DataFrame, text_col: str = "text",
     first-occurrence ``word_shingles`` order; every consumer treats
     the array as a set (array_intersect/array_union), so only the
     membership is contract.
+
+    NULL text: this tier normalizes it to the empty string (one empty
+    shingle), while the Column fold propagates null (the row drops
+    out of banding). A corpus that can carry null text should
+    coalesce it upstream before relying on cross-tier equality — the
+    bit-parity contract covers non-null text.
     """
     import hashlib
     import re
@@ -146,9 +201,7 @@ def minhash_signatures_arrow(df: DataFrame, text_col: str = "text",
     import pandas as pd
 
     punct = re.compile(PUNCT_CLASS)
-    # Java \s is exactly [ \t\n\x0B\f\r]; Python's \s would also eat
-    # unicode whitespace and diverge from the JVM tier on e.g. \xa0
-    ws = re.compile("[ \t\n\x0b\f\r]+")
+    ws = re.compile(_JAVA_WS)
     salts = [f"{i}:".encode() for i in range(num_perm)]
     id_type = dict(df.dtypes)[id_col]
 
@@ -157,13 +210,7 @@ def minhash_signatures_arrow(df: DataFrame, text_col: str = "text",
             sigs = []
             shs = []
             for t in pdf[text_col]:
-                t = "" if t is None else str(t)
-                # Spark's trim removes ' ' only; after the \s+ -> ' '
-                # collapse that is also all that can remain at the ends
-                t = ws.sub(" ", punct.sub("", t.lower())).strip(" ")
-                toks = t.split(" ")
-                shingles = {" ".join(toks[i:i + shingle_k])
-                            for i in range(max(len(toks) - shingle_k, 0) + 1)}
+                shingles = _shingle_set(t, shingle_k, punct, ws)
                 mins = ["g" * 32] * num_perm
                 for s in shingles:
                     sb = s.encode()
@@ -355,8 +402,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
              .distinct())
     if not verify:
         return pairs
-    sh = base.select("__id",
-                     word_shingles(F.col("__text"), shingle_k).alias("__sh"))
+    # the verify scan re-derives shingles from text (by design — the
+    # arrays never cross a join as the small side); at arrow-tier
+    # corpus sizes the Column transform would pay per-position
+    # interpretation on this second scan too, so the tier choice made
+    # for signatures carries over (membership-identical, set consumer)
+    if sig_tier == "arrow":
+        sh = word_shingles_arrow(base, text_col="__text", id_col="__id",
+                                 shingle_k=shingle_k, sh_col="__sh")
+    else:
+        sh = base.select("__id", word_shingles(F.col("__text"),
+                                               shingle_k).alias("__sh"))
     out = _score_pairs_jaccard(sh, pairs)
     if threshold is not None:
         out = out.filter(F.col("jaccard") >= threshold)
