@@ -28,18 +28,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import word_shingles
 
 
 def shingle_hash_set(df: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text", n: int = 5) -> DataFrame:
+                     text_col: str = "text", n: int = 5,
+                     tier: str = "auto",
+                     n_docs: int | None = None) -> DataFrame:
     """(id, shingle_hash) with one row per DISTINCT n-word shingle of
-    the normalized text (word_shingles already dedups per document).
-    Map-side explode only — no shuffle; the projection prunes every
-    other column before the explode."""
-    return (df.select(F.col(id_col),
-                      F.explode(word_shingles(F.col(text_col), n))
-                      .alias("__shingle"))
+    the normalized text. Map-side only — no shuffle; the projection
+    prunes every other column before the shingle derivation, which is
+    tiered by corpus size (``dedup.shingles_tiered`` — the Column
+    transform is interpreter-evaluated per position, the wrong tier
+    for a corpus-scale decontam scan). Streaming frames pin the
+    Column tier (no count() mid-plan; micro-batches are
+    batch-sized)."""
+    from .dedup import shingles_tiered
+    if df.isStreaming and tier == "auto":
+        tier = "column"
+    sh = shingles_tiered(df, text_col=text_col, id_col=id_col, k=n,
+                         tier=tier, n_docs=n_docs, sh_col="__sh")
+    return (sh.select(F.col(id_col), F.explode("__sh").alias("__shingle"))
             .select(id_col, F.md5("__shingle").alias("shingle_hash")))
 
 
@@ -121,7 +129,11 @@ def contamination_report_bloom(train: DataFrame, eval_df: DataFrame,
     """
     flt = build_shingle_bloom(eval_df, id_col, text_col, n, m_bits, k)
     flt_col = F.lit(flt)
-    tr = shingle_hash_set(train, id_col, text_col, n)
+    # the narrow (id, hash) frame feeds BOTH the probe projection and
+    # the per-doc totals aggregate; materialize it once so the corpus
+    # text scan + shingle derivation doesn't execute twice (the tfidf
+    # localCheckpoint pattern)
+    tr = shingle_hash_set(train, id_col, text_col, n).localCheckpoint()
     # name the k probe positions so the variable-distance shifts can be
     # plain SQL exprs (shiftleft's numBits is int-only in the DSL)
     probes = _bloom_positions(F.col("shingle_hash"), m_bits, k)

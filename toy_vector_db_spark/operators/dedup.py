@@ -159,6 +159,29 @@ def word_shingles_arrow(df: DataFrame, text_col: str = "text",
         gen, f"{id_col} {id_type}, {sh_col} array<string>")
 
 
+def shingles_tiered(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3,
+                    tier: str = "auto", n_docs: int | None = None,
+                    sh_col: str = "sh") -> DataFrame:
+    """(id, shingle set) under the same corpus-size tier rule as
+    minhash_lsh_pairs' signatures: Column ``word_shingles`` below the
+    crossover (stays JVM-side, no Arrow transfer), the Python
+    tokenizer above it (the Column ``transform`` is interpreter-
+    evaluated per position — it turned corpus-scale shingle scans in
+    crossdoc/decontam/verify into the same bottleneck the signature
+    tier split exists for). Membership-identical either way."""
+    if tier == "auto":
+        n = df.count() if n_docs is None else n_docs
+        tier = "arrow" if n >= _SIG_ARROW_MIN_DOCS else "column"
+    if tier not in ("column", "arrow"):
+        raise ValueError(f"unknown tier {tier!r}")
+    if tier == "arrow":
+        return word_shingles_arrow(df, text_col=text_col, id_col=id_col,
+                                   shingle_k=k, sh_col=sh_col)
+    return df.select(F.col(id_col),
+                     word_shingles(F.col(text_col), k).alias(sh_col))
+
+
 def minhash_signatures_arrow(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id", num_perm: int = 8,
                              shingle_k: int = 3,
@@ -642,12 +665,15 @@ def _score_pairs_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
-                        shingle_k: int = 3) -> DataFrame:
+                        shingle_k: int = 3, tier: str = "auto",
+                        n_docs: int | None = None) -> DataFrame:
     """Score given (id_a, id_b) candidate pairs with exact n-gram
-    Jaccard. Use after any candidate generator; one text scan, and
-    only ids cross the candidate join (see ``_score_pairs_jaccard``)."""
-    sh = df.select(F.col(id_col).alias("__id"),
-                   word_shingles(F.col(text_col), shingle_k).alias("__sh"))
+    Jaccard. Use after any candidate generator; one text scan (tiered
+    by corpus size — ``shingles_tiered``), and only ids cross the
+    candidate join (see ``_score_pairs_jaccard``)."""
+    sh = shingles_tiered(df, text_col=text_col, id_col=id_col,
+                         k=shingle_k, tier=tier, n_docs=n_docs,
+                         sh_col="__sh").withColumnRenamed(id_col, "__id")
     return _score_pairs_jaccard(sh, pairs)
 
 
