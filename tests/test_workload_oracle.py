@@ -34,6 +34,16 @@ def _pairs():
                          _pairs(), ids=[n for n, _, _ in _pairs()])
 def test_query_matches_oracle(spark, ducks, name, fn, oracle):
     sdf = fn(spark, SF)
+    # Registry guard: the driver's canonicalizer sorts rows across all
+    # columns before hashing and crashes on list/map/struct columns
+    # (embedding_centroids_by_label went driver-RED in r5 this way).
+    # Every registered query must emit atomic-typed columns only.
+    from pyspark.sql import types as T
+    bad = [f.name for f in sdf.schema.fields
+           if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))]
+    assert not bad, (f"query {name!r} emits non-atomic columns {bad}; "
+                     "the driver hash harness cannot canonicalize them — "
+                     "explode or stringify before returning")
     scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
     if oracle is None:
         assert len(srows) >= 0  # rows-only check

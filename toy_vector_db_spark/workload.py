@@ -3088,7 +3088,11 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-label mean embedding (class prototypes / centroid init /
 # per-source drift monitoring). The shuffle carries (label, pos,
 # partial-sum) SCALARS — label_cardinality x dim rows — never vectors;
-# exact float64, so DuckDB reproduces it value-for-value.
+# exact float64, so DuckDB reproduces it value-for-value. Output is
+# exploded to one (label, pos, value) row per centroid component: the
+# driver's canonicalizer sorts rows across columns before hashing and
+# cannot sort a list column (r5 driver-RED), so every registered query
+# must emit atomic-typed columns only (guard: test_workload_oracle).
 @q("embedding_centroids_by_label", """
 WITH p AS (
   SELECT label,
@@ -3097,18 +3101,24 @@ WITH p AS (
   FROM embeddings),
 a AS (SELECT label, pos, AVG(x) AS m, CAST(COUNT(*) AS BIGINT) AS n
       FROM p GROUP BY label, pos)
-SELECT label, list(ROUND(m, 6) ORDER BY pos) AS centroid,
-       CAST(MIN(n) AS BIGINT) AS n_vectors
-FROM a GROUP BY label
+SELECT label, CAST(pos AS BIGINT) AS pos, ROUND(m, 6) AS value,
+       CAST(MIN(n) OVER (PARTITION BY label) AS BIGINT) AS n_vectors
+FROM a
 """)
 def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.vector import mean_vectors
     e = _t(spark, sf_dir, "embeddings")
     res = mean_vectors(e, "label", "embedding")
-    return res.select(
-        "label",
-        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
-        "n_vectors")
+    return (res.select(
+                "label",
+                F.posexplode(F.transform("centroid",
+                                         lambda x: F.round(x, 6)))
+                 .alias("pos0", "value"),
+                "n_vectors")
+            # DuckDB generate_subscripts is 1-based; posexplode is 0-based
+            .select("label",
+                    (F.col("pos0") + 1).cast("bigint").alias("pos"),
+                    "value", "n_vectors"))
 
 
 # Event-sequence funnel (operators/journey): earliest strictly-ordered
