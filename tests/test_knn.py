@@ -273,6 +273,29 @@ def test_knn_join_arrow_matches_column_tier(spark):
         knn_join_arrow(queries, emb, k=0)
 
 
+def test_knn_join_arrow_boundary_ties_in_one_batch(spark):
+    """Candidates tied at the k-th distance WITHIN one Arrow batch must
+    resolve by the (distance, corpus id) order, not by whichever subset
+    argpartition happened to keep: dists [1,5,5,5] with cids stored in
+    order [40,30,10,20] and k=2 must keep cid 10, the smallest tie.
+    Exact ties are common in dedup-centric corpora (duplicate vectors)."""
+    from toy_vector_db_spark.operators.knn import knn_join_arrow
+    corpus = spark.createDataFrame(
+        [(40, [1.0]), (30, [5.0]), (10, [-5.0]), (20, [5.0])],
+        "vec_id long, embedding array<double>").coalesce(1)
+    queries = spark.createDataFrame([(0, [0.0])],
+                                    "query_id long, query_vec array<double>")
+    for metric in ("euclidean", "manhattan"):
+        got = [(r["vec_id"], r["distance"])
+               for r in knn_join_arrow(queries, corpus, k=2, metric=metric)
+               .orderBy("distance", "vec_id").collect()]
+        assert got == [(40, 1.0), (10, 5.0)], metric
+        col = [(r["vec_id"], r["distance"])
+               for r in knn_join(queries, corpus, k=2, metric=metric)
+               .orderBy("distance", "vec_id").collect()]
+        assert got == col, metric
+
+
 def test_knn_per_group_quota_and_order(spark):
     from toy_vector_db_spark.operators.knn import knn_per_group
 

@@ -388,9 +388,20 @@ def knn_join_arrow(queries: DataFrame, corpus: DataFrame,
             for j, qid in enumerate(qids):
                 col = D[:, j]
                 top = min(k, len(col))
-                idx = np.argpartition(col, top - 1)[:top]
-                # boundary ties break on corpus id, like the struct sort
-                idx = idx[np.lexsort((cids[idx], col[idx]))]
+                # boundary ties break on corpus id, like the struct
+                # sort — so the batch-local cut must keep EVERY
+                # candidate tied at the k-th distance before the
+                # (distance, cid) order picks the winners; a bare
+                # argpartition[:top] keeps an arbitrary tied subset
+                # and can drop the smallest-cid tie (common with
+                # duplicate vectors in dedup-centric corpora)
+                if top == len(col):
+                    idx = np.arange(len(col))
+                else:
+                    part = np.argpartition(col, top - 1)
+                    kth = col[part[top - 1]]
+                    idx = np.nonzero(col <= kth)[0]
+                idx = idx[np.lexsort((cids[idx], col[idx]))][:top]
                 out_q += [qid] * top
                 out_c += list(cids[idx])
                 out_d += list(col[idx])
