@@ -2421,15 +2421,34 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.round("distance", 4).alias("distance"))
 
 
-@q("ann_ivf_topk", None)  # KMeans centroids: recall-checked in tests
+# KMeans IVF tier: the learned fit is not hash-stable across library
+# versions, so (like ann_graph_recall_gate below) the constraint moves
+# INSIDE the query — recall@10 vs the exact tier must clear the floor
+# for every probe query and the oracle says TRUE unconditionally. A
+# fit/search regression flips a boolean and the driver's value hash
+# fails. The deterministic-init twin ann_ivf_det_topk keeps the full
+# value-level IVF oracle. (Floor 0.6 with nprobe=3/8: measured recall
+# ~0.9-1.0 at sf0.001-0.1 — meaningful, not corpus-size-fragile.)
+@q("ann_ivf_topk", """
+SELECT * FROM (VALUES (CAST(0 AS BIGINT), TRUE), (CAST(5 AS BIGINT), TRUE),
+                      (CAST(9 AS BIGINT), TRUE)) AS t(query_id, recall_ok)
+""")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import IvfIndex
-    from .operators.knn import lookup_vector
+    from .operators.knn import knn, lookup_vector
     e = _t(spark, sf_dir, "embeddings")
-    qvec = lookup_vector(e, "vec_id", QUERY_VEC_ID)
     idx = IvfIndex.build(e, n_centroids=8)
-    return idx.search(qvec, k=KNN_K, metric="cosine", nprobe=3) \
-        .select("vec_id", "label", F.round("distance", 4).alias("distance"))
+    rows = []
+    for vid in (0, 5, 9):
+        qvec = lookup_vector(e, "vec_id", vid)
+        exact = {r["vec_id"] for r in
+                 knn(e, qvec, k=KNN_K, metric="cosine",
+                     tie_col="vec_id").collect()}
+        approx = {r["vec_id"] for r in
+                  idx.search(qvec, k=KNN_K, metric="cosine", nprobe=3)
+                  .collect()}
+        rows.append((vid, len(exact & approx) / len(exact) >= 0.6))
+    return spark.createDataFrame(rows, "query_id bigint, recall_ok boolean")
 
 
 # Graph ANN (operators/graph.py, the HNSW analogue): build + beam
@@ -3526,20 +3545,14 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Approximate distinct (HLL++): THE way to count 100 TB of distinct
-# users without an exact distinct shuffle. No cross-engine oracle —
-# Spark's HLL++ and DuckDB's HLL sketch differently — so this entry is
-# rows-only here and error-bound-tested vs exact in
-# tests/test_rangejoin.py (< 5% rsd contract).
-@q("events_dau_approx", None)
-def events_dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts"))
-    return (e.groupBy(F.unix_timestamp(day).alias("day_epoch"))
-            .agg(F.approx_count_distinct("user_id", 0.02).alias("dau_approx"))
-            .orderBy("day_epoch"))
-
-
-# The FULL-oracle twin of events_dau_approx: the sketch itself can never
+# users without an exact distinct shuffle. Spark's HLL++ and DuckDB's
+# HLL sketch differently, so the raw sketch value can never hash-match
+# another engine; the sketch lives inside events_dau_error_gate below,
+# where the error bound IS the oracle-checked constraint. (A rows-only
+# raw-sketch variant existed through r5; retired so every registered
+# query carries a full value oracle.)
+#
+# The FULL-oracle form: the sketch itself can never
 # hash-match another engine, so the error bound is asserted INSIDE the
 # query — within_5pct must be TRUE for every day, and the oracle says
 # TRUE unconditionally. A sketch drifting past |approx-exact|/exact <=
@@ -4475,7 +4488,7 @@ _WINDOW = [
     "dedup_minhash_signatures_arrow", "dedup_source_overlap",
     "decontam_streaming", "events_sessionize_streaming",
     "events_hourly_rollup", "events_value_percentiles_gate",
-    "events_dau_approx", "skew_salted_join", "cube_order_stats",
+    "events_funnel_within", "skew_salted_join", "cube_order_stats",
     "cust_running_revenue", "sample_weighted_quality",
     "sample_k_per_lang", "corpus_chunk_windows", "text_strip_markup",
     "lm_unigram_scores", "profile_orders",
