@@ -259,6 +259,32 @@ def test_cosine_blocked_tiers_agree(spark):
     assert {(a, b) for a, b, _ in thr} == {(1, 2), (5, 6)}
 
 
+def test_cosine_blocked_refuses_quadratic_blocks(spark):
+    """The quadratic shape is unreachable without explicit opt-in: a
+    block past the cap raises (pointing at the learned-key path), the
+    same frame passes with allow_quadratic=True, and the pure policy
+    rule is exercised at its default cap without a session."""
+    import pytest
+    from toy_vector_db_spark.operators.chooser import (
+        QUADRATIC_BLOCK_MAX_ROWS, check_quadratic_block)
+    from toy_vector_db_spark.operators.dedup import cosine_near_dup_blocked
+
+    rows = [(i, "big" if i < 6 else "ok", [float(i), 1.0])
+            for i in range(8)]
+    df = spark.createDataFrame(rows,
+                               "vec_id: long, blk: string, embedding: array<float>")
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        cosine_near_dup_blocked(df, "blk", max_block_rows=4)
+    got = cosine_near_dup_blocked(df, "blk", threshold=-1.0,
+                                  allow_quadratic=True,
+                                  max_block_rows=4).collect()
+    assert len(got) == 15 + 1  # C(6,2) + C(2,2)
+    # pure policy: fine at the cap, refuses one past it
+    check_quadratic_block(QUADRATIC_BLOCK_MAX_ROWS, "op")
+    with pytest.raises(ValueError, match="quadratic-by-contract"):
+        check_quadratic_block(QUADRATIC_BLOCK_MAX_ROWS + 1, "op")
+
+
 def test_simhash_hamming_pairs_and_neighbor_counts(spark, docs):
     """Both Hamming-ball APIs against brute force on the fixture:
     the banded pair list equals the exact all-pairs filter (pigeonhole

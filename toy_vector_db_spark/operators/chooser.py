@@ -51,6 +51,35 @@ EXACT_MAX_ROWS = 200_000
 EXACT_RECALL = 0.999
 
 
+#: Per-block row cap for quadratic-by-contract blocked scorers
+#: (``dedup.cosine_near_dup_blocked``). A fixed low-cardinality
+#: blocking key is a latent N^2: k blocks cost N^2/k pairs total
+#: (measured 27.7x/decade at the 100x derived set). Capping the
+#: LARGEST block at B instead bounds total pair work by N*B — linear
+#: in N with a bounded constant; B=16384 is <=2.7e8 sims per block,
+#: one chunked BLAS matmul, comfortably inside one executor task.
+#: Past the cap the scale-safe path is a LEARNED block key sized by
+#: ``ivf_nlist`` (semdedup.semantic_near_dup, 5.2x/decade measured).
+QUADRATIC_BLOCK_MAX_ROWS = 16_384
+
+
+def check_quadratic_block(largest_block: int, op: str,
+                          max_block_rows: int | None = None) -> None:
+    """Refuse a blocked quadratic scorer whose largest block exceeds
+    the cap — the guard that keeps fixed-key blocking from silently
+    becoming the default N^2 path at corpus scale. Pure scalar policy
+    (like the rest of this module) so it is unit-testable without a
+    session; callers pass their measured largest-block count."""
+    cap = QUADRATIC_BLOCK_MAX_ROWS if max_block_rows is None else max_block_rows
+    if largest_block > cap:
+        raise ValueError(
+            f"{op}: largest block has {largest_block} rows (> {cap}); "
+            "a fixed blocking key this coarse is quadratic-by-contract "
+            "at corpus scale. Use a learned blocking key sized by "
+            "ivf_nlist (operators/semdedup.semantic_near_dup), or opt "
+            "in explicitly with allow_quadratic=True.")
+
+
 def ivf_nlist(n_rows: int) -> int:
     """The classic IVF sizing rule, nlist ~ 4*sqrt(n) (public faiss
     index-selection guidance): per-cluster occupancy stays ~sqrt(n)/4,

@@ -686,15 +686,26 @@ def cosine_near_dup_blocked(df: DataFrame, block_col: str,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.9,
-                            arrow: bool | None = None) -> DataFrame:
+                            arrow: bool | None = None,
+                            allow_quadratic: bool = False,
+                            max_block_rows: int | None = None) -> DataFrame:
     """Exact cosine near-dup pairs within blocking-key groups.
 
     The blocking key (a label, shard, cluster id, ...) turns the global
     O(n^2) self-join into per-group work — the shuffle is hash(block),
     and each executor only cross-pairs its own group. With k balanced
-    groups that is n^2/k comparisons; at 100 TB the block key would be
-    an IVF/LSH bucket (see ``embedding_near_dup_pairs``), which keeps
-    the same plan shape. Output: (id_a, id_b, cosine_sim >= threshold).
+    groups that is n^2/k comparisons — which is still quadratic in N
+    when k is a FIXED cardinality (a label column): measured
+    27.7x/decade at the 100x derived set. So unless
+    ``allow_quadratic=True``, the largest block is counted first (one
+    cheap aggregate) and blocks past
+    ``chooser.QUADRATIC_BLOCK_MAX_ROWS`` (override via
+    ``max_block_rows``) raise, pointing at the scale-safe learned key
+    (``semdedup.semantic_near_dup``, blocks sized by ``ivf_nlist`` —
+    those stay under the cap by construction). At 100 TB the block key
+    would be an IVF/LSH bucket (see ``embedding_near_dup_pairs``),
+    which keeps the same plan shape.
+    Output: (id_a, id_b, cosine_sim >= threshold).
 
     Two scoring tiers, same answers (both oracle-checked via
     workload.dedup_cosine_blocked):
@@ -712,8 +723,14 @@ def cosine_near_dup_blocked(df: DataFrame, block_col: str,
       sized to executor memory); the sim matrix itself is chunked to
       1024 rows so peak memory is 1024 x block, not block^2.
     """
+    from .chooser import check_quadratic_block
     from .knn import ARROW_TIER_MIN_DIM
 
+    if not allow_quadratic:
+        largest = (df.groupBy(block_col).count()
+                   .agg(F.max("count")).first()[0]) or 0
+        check_quadratic_block(int(largest), "cosine_near_dup_blocked",
+                              max_block_rows)
     if arrow is None:
         arrow = _dim_of(df, vec_col) >= ARROW_TIER_MIN_DIM
     if arrow:

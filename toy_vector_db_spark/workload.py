@@ -1328,8 +1328,13 @@ def dedup_incremental_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_of").cast("bigint").alias("dup_of"), "sim")
 
 
-# Embedding-cosine near-dup with a blocking key (label): exact within
-# blocks, the 100 TB plan shape (block = IVF/LSH bucket there).
+# Embedding-cosine near-dup with a FIXED blocking key (label): exact
+# within blocks — the exactness demo. A fixed low-cardinality key is
+# quadratic-by-contract (the operator refuses it past
+# chooser.QUADRATIC_BLOCK_MAX_ROWS without allow_quadratic=True,
+# which this query passes explicitly); the scale path is the learned
+# IVF key, dedup_semantic_ivf below (5.2x/decade measured vs
+# 27.7x/decade here at 100x).
 @q("dedup_cosine_blocked", """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 p AS (
@@ -1345,7 +1350,8 @@ SELECT id_a, id_b, ROUND(sim, 4) AS cosine_sim FROM p WHERE sim >= 0.35
 def dedup_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import cosine_near_dup_blocked
     e = _tp(spark, sf_dir, "embeddings")
-    return cosine_near_dup_blocked(e, "label", threshold=0.35) \
+    return cosine_near_dup_blocked(e, "label", threshold=0.35,
+                                   allow_quadratic=True) \
         .select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 
