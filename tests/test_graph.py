@@ -185,6 +185,31 @@ def test_batch_search_job_bound(emb, idx):
     assert idx.last_jobs <= 4
 
 
+def test_batch_search_chunks_bound_driver_state(emb, idx):
+    """Batches past max_batch walk in chunks: per-chunk beams/visited/
+    adjacency are freed between chunks (driver state bounded by chunk
+    size, not batch size), results are identical to the one-chunk walk
+    (chunks are independent — the cache only saves refetches), and the
+    job total is chunks * per-chunk <= max_hops."""
+    q = (emb.filter(F.col("vec_id") < 40)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    one = {(r["query_id"], r["vec_id"]) for r in
+           idx.search_batch(q, k=5, ef=32, max_hops=4).collect()}
+    assert idx.last_chunks == 1
+    jobs_one = idx.last_jobs
+    chunked = {(r["query_id"], r["vec_id"]) for r in
+               idx.search_batch(q, k=5, ef=32, max_hops=4,
+                                max_batch=16).collect()}
+    assert idx.last_chunks == 3  # ceil(40 / 16)
+    assert chunked == one
+    assert idx.last_jobs <= 3 * 4
+    assert idx.last_jobs >= jobs_one
+    import pytest
+    with pytest.raises(ValueError, match="max_batch"):
+        idx.search_batch(q, max_batch=0)
+
+
 def test_batch_search_empty_and_validation(spark, idx):
     import pytest
     empty = spark.createDataFrame(

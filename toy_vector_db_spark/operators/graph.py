@@ -57,6 +57,14 @@ from .ann import IvfIndex, _MaintainableIndex
 DEFAULT_M = 8          # out-degree per node (reference M=16 default; 8
                        # suffices for the recall gates on dim-64 data)
 DEFAULT_EF = 48        # search beam width (reference efSearch default 50)
+#: search_batch driver-state cap: beams, visited sets, and the
+#: adjacency cache are DRIVER-resident (O(batch * ef + expanded *
+#: degree) with vectors), so oversized query batches are walked in
+#: chunks of this many queries — per-chunk state is bounded and the
+#: cache is released between chunks; jobs grow to chunks * max_hops,
+#: the price of the bound. Corpus-sized query sets belong on the
+#: executor-side IVF join tiers (knn_join_ivf_arrow) instead.
+BATCH_MAX_QUERIES = 1024
 DEFAULT_ENTRIES = 4    # multi-start entry points (replaces layer descent)
 N_EDGE_BUCKETS = 64    # saved-layout partition count (see save())
 
@@ -344,7 +352,8 @@ class KnnGraphIndex(_MaintainableIndex):
     def search_batch(self, queries: DataFrame, k: int = 10,
                      ef: int = DEFAULT_EF, max_hops: int = 6,
                      query_id_col: str = "query_id",
-                     query_vec_col: str = "query_vec") -> DataFrame:
+                     query_vec_col: str = "query_vec",
+                     max_batch: int | None = None) -> DataFrame:
         """The ``knn_join``-shaped form of the beam walk: advance MANY
         query beams per Spark job — each hop runs ONE bounded edge
         fetch for the UNION of every still-walking query's frontier,
@@ -352,19 +361,22 @@ class KnnGraphIndex(_MaintainableIndex):
         100 * max_hops (the single-query ``search``'s per-hop driver
         round-trip, amortized; ``last_jobs`` records the actual count).
 
-        Driver state is query state, never corpus-sized: Q * ef beam
-        entries plus an adjacency cache of expanded nodes (<= visited
-        * 2m edges, vectors included — the same rows ``search`` fetches,
-        kept so overlapping walks never refetch a node). A hop's fetch
-        collects <= |union frontier| * 2m edge rows. For corpus-sized
-        query sets chunk the batch, or use the IVF join tiers
+        Driver state is query state, never corpus-sized: per chunk,
+        Q * ef beam entries plus an adjacency cache of expanded nodes
+        (<= visited * 2m edges, vectors included — the same rows
+        ``search`` fetches, kept so overlapping walks never refetch a
+        node). A hop's fetch collects <= |union frontier| * 2m edge
+        rows. Batches past ``max_batch`` (default
+        ``BATCH_MAX_QUERIES``) are walked in chunks so that state
+        stays bounded no matter the batch size — ``last_chunks``
+        records the count, ``last_jobs``/``last_hops`` become totals
+        across chunks (per-chunk each is still <= max_hops). Truly
+        corpus-sized query sets belong on the IVF join tiers
         (knn_join_ivf_arrow) whose state lives executor-side.
 
         Returns (query_id, vec_id, distance) like the other join tiers,
         distances in the shared _np_dists float64 semantics."""
         import numpy as np
-
-        from .knn import _np_dists
 
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
@@ -375,11 +387,31 @@ class KnnGraphIndex(_MaintainableIndex):
         id_t = dict(self.table.dtypes)[self.id_col]
         schema = (f"{query_id_col} {qid_t}, {self.id_col} {id_t}, "
                   "distance double")
+        self.last_hops = 0
+        self.last_jobs = 0
+        self.last_chunks = 0
         if not qrows:
             return spark.createDataFrame([], schema)
         dead = self._deleted_ids()
-        qs = [(r[0], np.asarray(list(r[1]), dtype=np.float64))
-              for r in qrows]
+        cap = BATCH_MAX_QUERIES if max_batch is None else max_batch
+        if cap < 1:
+            raise ValueError(f"max_batch must be >= 1, got {cap}")
+        out: list = []
+        for c0 in range(0, len(qrows), cap):
+            qs = [(r[0], np.asarray(list(r[1]), dtype=np.float64))
+                  for r in qrows[c0:c0 + cap]]
+            out += self._walk_chunk(qs, k, ef, max_hops, dead)
+            self.last_chunks += 1
+        return spark.createDataFrame(out, schema)
+
+    def _walk_chunk(self, qs, k, ef, max_hops, dead) -> list:
+        """One bounded beam-walk: beams/visited/adjacency for exactly
+        this chunk's queries, freed on return. Accumulates
+        last_hops/last_jobs (caller zeroes them per batch)."""
+        import numpy as np
+
+        from .knn import _np_dists
+
         beams: dict = {}
         visited: dict = {}
         for qid, qv in qs:
@@ -387,8 +419,6 @@ class KnnGraphIndex(_MaintainableIndex):
             visited[qid] = set()
         active = {qid for qid, _ in qs if beams[qid]}
         adj: dict = {}  # src -> [(dst, vec)] cache across hops/queries
-        self.last_hops = 0
-        self.last_jobs = 0
         for _ in range(max_hops):
             frontiers = {}
             for qid in list(active):
@@ -441,9 +471,8 @@ class KnnGraphIndex(_MaintainableIndex):
                                           cand)))[:ef]
                 if {i for _, i in beams[qid]} == before:
                     active.discard(qid)  # hop admitted nothing
-        out = [(qid, i, d) for qid, _ in qs
-               for d, i in beams[qid][:k]]
-        return spark.createDataFrame(out, schema)
+        return [(qid, i, d) for qid, _ in qs
+                for d, i in beams[qid][:k]]
 
     # -- maintenance (reference Add/Delete semantics) -------------------
 
