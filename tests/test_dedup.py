@@ -79,6 +79,28 @@ def test_minhash_lsh_arrow_tier_same_pairs(docs):
     assert col == arr and col
 
 
+def test_minhash_signatures_tiered_routing(docs):
+    """The standalone tiered entry point: both explicit tiers are
+    bit-identical, auto routes by n_docs across the crossover, and an
+    unknown tier name raises."""
+    import pytest
+    from toy_vector_db_spark.operators.dedup import (
+        _SIG_ARROW_MIN_DOCS, minhash_signatures_tiered)
+    sig = lambda **kw: {r["doc_id"]: r["sig"] for r in
+                        minhash_signatures_tiered(docs, **kw).collect()}
+    col, arr = sig(tier="column"), sig(tier="arrow")
+    assert col == arr and col
+    # auto: small corpus -> column plan (no mapInPandas), big n_docs
+    # hint -> arrow plan (mapInPandas node present)
+    small = minhash_signatures_tiered(docs, n_docs=10)
+    big = minhash_signatures_tiered(docs, n_docs=_SIG_ARROW_MIN_DOCS)
+    assert "MapInPandas" not in small._jdf.queryExecution().toString()
+    assert "MapInPandas" in big._jdf.queryExecution().toString()
+    assert sig(n_docs=10) == col
+    with pytest.raises(ValueError, match="sig tier"):
+        minhash_signatures_tiered(docs, tier="bogus")
+
+
 def test_word_shingles_arrow_membership_parity(spark):
     """The Python shingle twin must agree with the Column tier on
     MEMBERSHIP (order is not contract) including the edge texts the

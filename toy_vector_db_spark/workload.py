@@ -843,12 +843,13 @@ FROM s
 
 @q("dedup_minhash_signatures", _minhash_oracle())
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import minhash_signature
+    # auto tier: Column HOF fold under ~50k docs, bit-identical Arrow
+    # hashlib tier above (23.7 s vs 8.5 s at the 100x derived set) —
+    # same routing rule as the pairs/components/store queries
+    from .operators.dedup import minhash_signatures_tiered
     d = _tp(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.concat_ws("|", minhash_signature(F.col("text"), 8, 3))
-         .alias("minhash_sig"))
+    return minhash_signatures_tiered(d, num_perm=8, shingle_k=3).select(
+        "doc_id", F.concat_ws("|", F.col("sig")).alias("minhash_sig"))
 
 
 # The hashlib/Arrow signature tier under the SAME oracle as the
