@@ -134,6 +134,41 @@ def test_streaming_ingest_evolving_store(spark, tmp_path):
     assert res[901]["is_dup"] and res[901]["dup_of"] == 900
 
 
+def test_streaming_ingest_intra_batch_first_copy_wins(spark, tmp_path):
+    # two copies of a NOVEL doc in the SAME micro-batch: without the
+    # intra-batch sweep both pass the store check and both are
+    # appended permanently; with it the smallest id wins, the other is
+    # flagged against it, and only the winner reaches the store
+    from toy_vector_db_spark.streaming.corpus import read_document_stream
+    from toy_vector_db_spark.streaming.incdedup import (
+        dedup_stream_against_store,
+    )
+    ddl_cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    novel = "an unseen essay on copper kites over the winter estuary"
+    other = "entirely separate note cataloguing moths of the high veld"
+    st = MinHashStore(str(tmp_path / "store")).build(_corpus(spark))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    src_dir = tmp_path / "in"
+    spark.createDataFrame(
+        [(910, novel, "en", "web", len(novel)),
+         (911, novel, "en", "web", len(novel)),
+         (912, other, "en", "web", len(other))],
+        ddl_cols).coalesce(1).write.parquet(str(src_dir))
+    dedup_stream_against_store(
+        read_document_stream(spark, str(src_dir),
+                             max_files_per_trigger=None),
+        st, out, ckpt, add_unique=True)
+    res = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert not res[910]["is_dup"] and res[910]["dup_of"] is None
+    assert res[911]["is_dup"] and res[911]["dup_of"] == 910
+    assert res[911]["sim"] == 1.0
+    assert not res[912]["is_dup"]
+    stored = {r["doc_id"] for r in
+              spark.read.parquet(st._data_path()).collect()}
+    assert 910 in stored and 912 in stored
+    assert 911 not in stored                 # loser never appended
+
+
 def test_consistency_with_batch_pair_pipeline(spark, tmp_path):
     # cross-tier contract: with no cap pressure, a batch doc is flagged
     # by the STORE check iff the BATCH pipeline finds a verified
