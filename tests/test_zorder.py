@@ -51,6 +51,30 @@ def test_z_value_handles_dates(spark):
     assert len({r["__z"] for r in out}) == 3   # distinct corners separate
 
 
+def test_z_value_null_edges(spark):
+    """Empty input / all-null columns raise with the real cause (not a
+    bare TypeError from int(None)); a null VALUE in an interleave
+    column gets the min bucket, never a null __z key."""
+    import pytest
+    empty = spark.createDataFrame([], "k bigint, v bigint")
+    with pytest.raises(ValueError, match="no non-null values"):
+        z_value(empty, ["k", "v"])
+    allnull = spark.createDataFrame([(1, None), (2, None)],
+                                    "k bigint, v bigint")
+    with pytest.raises(ValueError, match=r"\['v'\]"):
+        z_value(allnull, ["k", "v"])
+    mixed = spark.createDataFrame([(1, 10), (2, None), (3, 90)],
+                                  "k bigint, v bigint")
+    out = {r["k"]: r["__z"] for r in z_value(mixed, ["k", "v"],
+                                             buckets=4).collect()}
+    assert all(z is not None for z in out.values())
+    # null v sorts with the smallest v values: same v-bits as row k=1
+    low = {r["k"]: r["__z"] for r in
+           z_value(mixed.fillna(10, subset=["v"]), ["k", "v"],
+                   buckets=4).collect()}
+    assert out[2] == low[2]
+
+
 def _file_boxes(path: str, xcol: str, ycol: str):
     boxes = []
     for f in sorted(os.listdir(path)):

@@ -92,8 +92,23 @@ def z_value(df: DataFrame, cols: list[str], buckets: int = 64,
         aggs += [F.min(as_long(c)).alias(f"__min_{c}"),
                  F.max(as_long(c)).alias(f"__max_{c}")]
     stats = df.agg(*aggs).first()
-    parts = [fixed_width_bucket(as_long(c), stats[f"__min_{c}"],
-                                stats[f"__max_{c}"], 1 << bits)
+    dead = [c for c in cols if stats[f"__min_{c}"] is None]
+    if dead:
+        # empty input, or a column with no non-null values: there is
+        # no range to bucket — fail here with the real cause instead
+        # of the bare TypeError int(None) would raise below
+        raise ValueError(
+            f"z_value: no non-null values for column(s) {dead} "
+            "(empty input or all-null column) — no Morton key range "
+            "can be derived")
+    # a null VALUE in an interleave column lands in the MIN bucket:
+    # coalesce to vmin BEFORE bucketing (inside fixed_width_bucket,
+    # Spark's null-skipping least() would otherwise quietly send null
+    # raws to the TOP bucket), so the row keeps a real key and sorts
+    # with the column's smallest values instead of a null __z
+    parts = [fixed_width_bucket(
+                F.coalesce(as_long(c), F.lit(int(stats[f"__min_{c}"]))),
+                stats[f"__min_{c}"], stats[f"__max_{c}"], 1 << bits)
              for c in cols]
     return df.withColumn(out_col, interleave_bits(parts, bits))
 
