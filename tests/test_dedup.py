@@ -229,6 +229,19 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert rows[(1, 4)] == 0.0                    # unrelated
 
 
+def test_ngram_jaccard_pairs_absent_ids_and_dup_pairs(spark, docs):
+    """Contract: a pair referencing an id not in df is DROPPED (never
+    a null-jaccard row — raw consumers don't threshold-filter), and a
+    duplicate input pair collapses to one output row."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 999), (998, 999)], ["id_a", "id_b"])
+    rows = [(r["id_a"], r["id_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(docs, pairs).collect()]
+    assert len(rows) == 1                          # deduped, absents gone
+    assert rows[0][:2] == (1, 2)
+    assert rows[0][2] == pytest.approx(1.0)
+
+
 def test_jaccard_empty_arrays(spark):
     df = spark.createDataFrame([([], [])], "a: array<string>, b: array<string>")
     assert df.select(jaccard(F.col("a"), F.col("b")).alias("j")).first()["j"] == 1.0

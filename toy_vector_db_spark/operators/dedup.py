@@ -673,7 +673,13 @@ def _score_pairs_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     partitioned by __id (AQE splits skewed partitions), then shuffle
     keyed by the pair to meet their partner in a single groupBy.
     first(ignorenulls) is order-insensitive here: every non-null
-    candidate within a group is the same doc's shingle array."""
+    candidate within a group is the same doc's shingle array.
+
+    Contract notes: a pair referencing an id ABSENT from ``sh`` is
+    dropped (the null-side filter below — same behavior as the old
+    two-inner-join shape, where such pairs matched nothing), and
+    duplicate input pairs collapse to one output row (the groupBy key
+    is the pair)."""
     memb = pairs.select(
         "id_a", "id_b",
         F.explode(F.array(
@@ -686,6 +692,10 @@ def _score_pairs_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
                          ignorenulls=True).alias("__sh_a"),
                  F.first(F.when(F.col("__side") == "b", F.col("__sh")),
                          ignorenulls=True).alias("__sh_b"))
+            # a side with no shingle row means the id wasn't in sh at
+            # all — drop the pair rather than emit a null jaccard
+            .filter(F.col("__sh_a").isNotNull()
+                    & F.col("__sh_b").isNotNull())
             .select("id_a", "id_b",
                     jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard")))
 
