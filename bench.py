@@ -41,6 +41,40 @@ HEADLINE = [
 ]
 
 
+# Frozen drift core: exactly the queries the round-1 bench measured
+# (minus events_dau_approx, retired in r6 when its oracle-gated twin
+# absorbed the sketch). Round-over-round totals stopped being
+# comparable once each round added new deliberately-heavy queries
+# (103 -> 148 s from r4 to r5 was mostly 17 additions), so the
+# summary line carries core_total over THIS set alongside
+# workload_total: drift analysis is one subtraction against any
+# earlier round. Do not add to this list — new queries land in
+# workload_total automatically.
+CORE = frozenset([
+    "knn_euclidean", "knn_cosine", "knn_dotproduct", "knn_manhattan",
+    "scan_project_limit", "filter_id_eq", "filter_like", "count_star",
+    "agg_pricing_summary", "join_region_revenue", "window_topn_orders",
+    "events_hourly_rollup", "knn_arrow_euclidean", "filter_meta_eq",
+    "filter_meta_ne", "set_ops_segments", "agg_rollup_region",
+    "having_repeat_customers", "anti_join_no_orders", "asof_join_events",
+    "events_sessionize", "sql_nearest_by_id", "sql_meta_ne_dialect",
+    "embed_documents_contract", "embed_documents_values",
+    "search_text_documents", "text_stats", "text_lang_id",
+    "text_fingerprints", "dedup_minhash_signatures", "dedup_simhash",
+    "dedup_jaccard_consecutive", "embedding_cosine_pairs",
+    "dedup_exact_clusters", "dedup_minhash_pairs", "dedup_components",
+    "dedup_cosine_blocked", "text_token_budget", "media_decode_stats",
+    "corpus_clean_pipeline", "events_daily_active", "events_props_extract",
+    "shipping_priority", "media_frame_sample", "events_multi_rollup",
+    "events_value_percentiles", "knn_join_batch", "ann_lsh_topk",
+    "ann_ivf_det_topk", "ann_ivfpq_topk", "ann_pq_adc_topk",
+    "ann_ivf_topk", "sample_documents_hash", "split_train_test",
+    "stratified_sample_mix", "vocab_top_terms", "tfidf_top_terms",
+    "events_rollup_streaming", "events_value_bands",
+    "orders_above_cust_avg", "cust_running_revenue", "cube_order_stats",
+])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -103,10 +137,12 @@ def main() -> None:
     # recorded parsed: null). So: per-query detail on its OWN line
     # first, then a tiny (<100 B) summary-only line LAST — a tail
     # capture keeps the end of stdout, so the summary always survives.
+    core = round(sum(v for n, v in timings.items()
+                     if n in CORE and v >= 0), 3)
     compact = {n: round(v, 2) for n, v in timings.items()}
     print(json.dumps({"queries": compact}, separators=(",", ":")))
     print(json.dumps({"metric": "workload_total", "value": total,
-                      "unit": "sec", "sf": sf_val},
+                      "core_total": core, "unit": "sec", "sf": sf_val},
                      separators=(",", ":")))
 
 
