@@ -4478,70 +4478,46 @@ def dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- r5 rotation: the r4 verdict's #1 item — every query that has
-    # never earned a driver-green CORRECTNESS row runs in THIS window
-    # (28 queries, cumulative driver coverage r1-r5 = the whole
-    # registry), plus this round's two new queries, plus 20 keepers:
-    # one per core family AND every query whose mechanism changed this
-    # round (graph build sizing, chooser routing, lmscore single-scan,
-    # journey window fix, sqrt(N) hard-negative mining).
+    # --- r6 rotation: hard-signal closure. The five rows the r5
+    # verdict named (the scalarized centroids query, the two
+    # never-driver-run queries, the two retired rows-only checks — one
+    # now oracle-gated, one folded into its gate twin and dropped),
+    # every query whose MECHANISM changed this round, and one
+    # representative per core family as keepers. With this window the
+    # cumulative r1-r6 driver ledger covers all 135 registered queries
+    # and every entry has a full value oracle.
     #
-    # never-driver-verified until now (28):
-    "knn_join_ivfpq_rerank_batch", "knn_join_ivf_allpairs",
-    "knn_join_auto_batch", "hard_negatives_ivf", "negatives_in_batch",
-    "ann_pq_ip_topk", "ann_pq_rerank_topk", "ann_hamming_topk",
-    "ann_ivf_topk", "embedding_cluster_stats",
-    "embedding_centroids_by_label", "knn_per_label",
-    "dedup_minhash_signatures_arrow", "dedup_source_overlap",
-    "decontam_streaming", "events_sessionize_streaming",
-    "events_hourly_rollup", "events_value_percentiles_gate",
-    "events_funnel_within", "skew_salted_join", "cube_order_stats",
-    "cust_running_revenue", "sample_weighted_quality",
-    "sample_k_per_lang", "corpus_chunk_windows", "text_strip_markup",
-    "lm_unigram_scores", "profile_orders",
-    # new this round (3): the no-broadcast decontam tier, the batch
-    # graph-ANN join (hop/job-bounded, recall-gated), and the banded
-    # simhash pairs query exercising the bounded-bucket star guard
-    "decontam_sharded_overlap", "knn_join_graph_batch",
-    "dedup_simhash_banded_pairs",
-    # keepers (19) — family representatives & changed-mechanism rows
-    # (late-r5 swaps: knn_matryoshka_topk / embed_ingest_roundtrip /
-    # search_text_documents — all multi-round driver-green and
-    # unchanged — gave their slots to the three rows whose mechanism
-    # DID change late in r5: the banded-pairs query above plus the
-    # bounded cluster report and the shared shuffle-hash pair scorer):
-    "scan_project_limit",         # scan/projection/limit + pushdown
-    "sql_nearest_filtered",       # NEAREST TO dialect + WHERE
-    "ann_graph_recall_gate",      # graph tier — BUILD SIZING CHANGED r5
-    "knn_search_auto",            # chooser — ivf_nlist ROUTING NEW r5
-    "lm_bigram_scores",           # lmscore — single-scan rewrite r5
-    "events_user_funnel",         # journey — WINDOW-CHAIN REWRITE r5
-    "dedup_exact_clusters",       # bounded two-phase report — NEW r5
-    "dedup_jaccard_consecutive",  # shared scorer, shuffle-hash — r5
-    "dedup_minhash_pairs",        # MinHash-LSH banding
-    "dedup_components",           # connected components
-    "dedup_semantic_ivf",         # SemDeDup (IVF blocking + closure)
-    "dedup_incremental_batch",    # signature-store ingest — NEW late r5
-                                  # (slot from span_dedup_docs,
-                                  # r4-driver-green, unchanged since)
-    "decontam_bloom_overlap",     # Bloom tier (same oracle as sharded)
-    "corpus_clean_pipeline",      # end-to-end clean registry
-    "split_cluster_safe",         # leakage-safe split — NEW late r5
-                                  # (slot from mixture_token_budget,
-                                  # multi-round green, unchanged)
-    "split_train_test",           # UNSHADOWED late r5: was mis-
-                                  # registered under a duplicate name
-                                  # and never driver-run (slot from
-                                  # dsir_select_en, r4-green, unchanged)
-    "bpe_top_pairs",              # BPE induction (segment tier r5)
-    "mixture_temperature",        # temperature mixing — NEW late r5
-                                  # (slot from events_rollup_streaming,
-                                  # multi-round green, unchanged)
-    "zorder_orders_locality",     # Z-order clustering key — NEW late r5
-                                  # (slot from corpus_clean_streaming,
-                                  # r4-green, unchanged; streaming still
-                                  # repped by decontam/sessionize rows)
+    # hard-signal closure (5):
+    "embedding_centroids_by_label",  # r5 driver-RED: now scalar rows
+    "dedup_incremental_streaming",   # never driver-run until now
+    "events_funnel_within",          # never driver-run until now
+    "ann_ivf_topk",                  # was rows-only: now recall-gated
+    "knn_join_graph_batch",          # search_batch CHUNKING NEW r6
+    # changed-mechanism this round (8):
+    "dedup_minhash_signatures",      # routed onto the auto sig tier
+    "dedup_cosine_blocked",          # explicit quadratic opt-in arg
+    "dedup_semantic_ivf",            # runs the new block-size guard
+    "dedup_jaccard_consecutive",     # null-side pair filter added
+    "dedup_minhash_pairs",           # shares the pair scorer above
+    "knn_join_auto_batch",           # arrow tier: tie-complete top-k
+    "zorder_orders_locality",        # z_value null semantics changed
+    "dedup_incremental_batch",       # store feeds the intra-batch fix
+    # keepers — one per family (37):
+    "scan_project_limit", "sql_nearest_filtered", "sql_nearest_by_id",
+    "knn_cosine", "knn_search_auto", "knn_matryoshka_topk",
+    "ann_graph_recall_gate", "ann_lsh_topk", "ann_ivf_det_topk",
+    "ann_pq_rerank_topk", "ann_hamming_topk", "range_search_pruned",
+    "agg_pricing_summary", "join_region_revenue", "window_topn_orders",
+    "orders_above_cust_avg", "cube_order_stats", "asof_join_events",
+    "skew_salted_join", "events_user_funnel", "events_hourly_rollup",
+    "events_dau_error_gate", "events_sessionize_streaming",
+    "decontam_streaming", "embed_documents_values",
+    "embed_ingest_roundtrip", "search_text_documents", "text_lang_id",
+    "corpus_chunk_windows", "bpe_top_pairs", "lm_bigram_scores",
+    "dedup_exact_clusters", "dedup_components", "decontam_bloom_overlap",
+    "split_cluster_safe", "mixture_temperature", "corpus_clean_pipeline",
 ]
+
 
 
 def _apply_window_order() -> None:
