@@ -61,11 +61,15 @@ def main() -> None:
               f"{round(sum(v for v in got.values() if v >= 0), 1)}s",
               file=sys.stderr)
 
+    from bench import CORE
     total = round(sum(v for v in merged.values() if v >= 0), 3)
+    core = round(sum(v for n, v in merged.items()
+                     if n in CORE and v >= 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/"))
     print(json.dumps({"queries": merged}, separators=(",", ":")))
     print(json.dumps({"metric": "workload_total", "value": total,
-                      "unit": "sec", "sf": sf, "protocol": "chunked"},
+                      "core_total": core, "unit": "sec", "sf": sf,
+                      "protocol": "chunked"},
                      separators=(",", ":")))
 
 
