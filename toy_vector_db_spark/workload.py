@@ -2434,8 +2434,13 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for every probe query and the oracle says TRUE unconditionally. A
 # fit/search regression flips a boolean and the driver's value hash
 # fails. The deterministic-init twin ann_ivf_det_topk keeps the full
-# value-level IVF oracle. (Floor 0.6 with nprobe=3/8: measured recall
-# ~0.9-1.0 at sf0.001-0.1 — meaningful, not corpus-size-fragile.)
+# value-level IVF oracle. Recall is counted TIE-ROBUSTLY — an approx
+# hit is any result at distance <= the exact k-th distance (+1e-9) —
+# because id-set recall is meaningless under distance ties: the 100x
+# derived corpus carries ~100 exact replicas per vector, every top-10
+# distance is 0.0, and the exact tier's id pick among ties is
+# arbitrary. (nprobe=5/8, floor 0.6: measured tie-robust recall
+# >= 0.8 at sf0.001 / 0.01 / 0.1 / 100x-derived.)
 @q("ann_ivf_topk", """
 SELECT * FROM (VALUES (CAST(0 AS BIGINT), TRUE), (CAST(5 AS BIGINT), TRUE),
                       (CAST(9 AS BIGINT), TRUE)) AS t(query_id, recall_ok)
@@ -2448,13 +2453,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for vid in (0, 5, 9):
         qvec = lookup_vector(e, "vec_id", vid)
-        exact = {r["vec_id"] for r in
+        dk = max(r["distance"] for r in
                  knn(e, qvec, k=KNN_K, metric="cosine",
-                     tie_col="vec_id").collect()}
-        approx = {r["vec_id"] for r in
-                  idx.search(qvec, k=KNN_K, metric="cosine", nprobe=3)
-                  .collect()}
-        rows.append((vid, len(exact & approx) / len(exact) >= 0.6))
+                     tie_col="vec_id").collect())
+        approx = idx.search(qvec, k=KNN_K, metric="cosine",
+                            nprobe=5).collect()
+        hits = sum(1 for r in approx if r["distance"] <= dk + 1e-9)
+        rows.append((vid, hits / KNN_K >= 0.6))
     return spark.createDataFrame(rows, "query_id bigint, recall_ok boolean")
 
 
