@@ -2490,15 +2490,29 @@ def ann_graph_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions",
                    str(min(int(prev), 32)) if prev.isdigit() else "32")
     try:
-        idx = KnnGraphIndex.build(e, m=8)
+        # dedup-before-index, the graph tier's corpus contract: a
+        # bounded-degree m-NN graph over a replica-saturated corpus
+        # fragments into per-family cliques (every node's m nearest
+        # are its own replicas — no inter-family edge survives the
+        # prune), a known pathology of HNSW-style graphs on duplicate
+        # vectors. One distinct-vector collapse (min id per identical
+        # embedding; Spark partial-aggregates map-side) restores
+        # connectivity at any replication factor; recall is then
+        # measured against exact search over the SAME indexed corpus,
+        # tie-robustly (a hit = any result at distance <= the exact
+        # k-th distance, id picks among ties being arbitrary).
+        uniq = (e.groupBy("embedding")
+                .agg(F.min("vec_id").alias("vec_id"))
+                .select("vec_id", "embedding"))
+        idx = KnnGraphIndex.build(uniq, m=8)
         rows = []
         for vid in (1, 5, 9):
             qvec = lookup_vector(e, "vec_id", vid)
-            exact = {r["vec_id"] for r in
-                     knn(e, qvec, k=KNN_K, tie_col="vec_id").collect()}
-            approx = {r["vec_id"] for r in
-                      idx.search(qvec, k=KNN_K, ef=64).collect()}
-            rows.append((vid, len(exact & approx) / len(exact) >= 0.6))
+            dk = max(r["distance"] for r in
+                     knn(uniq, qvec, k=KNN_K, tie_col="vec_id").collect())
+            approx = idx.search(qvec, k=KNN_K, ef=64).collect()
+            hits = sum(1 for r in approx if r["distance"] <= dk + 1e-9)
+            rows.append((vid, hits / KNN_K >= 0.6))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.createDataFrame(rows, "query_id bigint, recall_ok boolean")
@@ -2525,7 +2539,13 @@ def knn_join_graph_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions",
                    str(min(int(prev), 32)) if prev.isdigit() else "32")
     try:
-        idx = KnnGraphIndex.build(e, m=8).with_coarse_entries()
+        # dedup-before-index + recall vs exact over the same indexed
+        # corpus — see ann_graph_recall_gate for the replica-clique
+        # pathology this collapse prevents
+        uniq = (e.groupBy("embedding")
+                .agg(F.min("vec_id").alias("vec_id"))
+                .select("vec_id", "embedding"))
+        idx = KnnGraphIndex.build(uniq, m=8).with_coarse_entries()
         q = (e.filter(F.col("vec_id") < 20)
              .select(F.col("vec_id").alias("query_id"),
                      F.col("embedding").alias("query_vec")))
@@ -2533,15 +2553,20 @@ def knn_join_graph_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Arrow exact tier: the Column fold made this 20-query gate
         # cost as much as the whole 200k-node graph build at 100x
         # (48.7 s vs 5 s, same result — parity-tested)
-        exact = knn_join_arrow(q, e, k=KNN_K)
+        exact = knn_join_arrow(q, uniq, k=KNN_K)
         jobs_ok = idx.last_jobs <= 6
-        a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
-        x = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
-        rows = []
-        for qid in range(20):
-            hits = len({p for p in a if p[0] == qid}
-                       & {p for p in x if p[0] == qid})
-            rows.append((qid, jobs_ok and hits / KNN_K >= 0.6))
+        # per-query exact k-th distance; hits counted tie-robustly
+        # (same rule as ann_ivf_topk / ann_graph_recall_gate)
+        dk: dict = {}
+        for r in exact.collect():
+            dk[r["query_id"]] = max(dk.get(r["query_id"], 0.0),
+                                    r["distance"])
+        hits: dict = {}
+        for r in approx.collect():
+            if r["distance"] <= dk[r["query_id"]] + 1e-9:
+                hits[r["query_id"]] = hits.get(r["query_id"], 0) + 1
+        rows = [(qid, jobs_ok and hits.get(qid, 0) / KNN_K >= 0.6)
+                for qid in range(20)]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.createDataFrame(rows, "query_id bigint, recall_ok boolean")
