@@ -28,6 +28,38 @@ def _qvec(emb, vid):
                 .select("embedding").first()[0])
 
 
+def test_replica_cliques_fragment_and_collapse_restores(spark):
+    """The documented corpus contract (KnnGraphIndex docstring): on a
+    replica-saturated corpus every node's m nearest are its own
+    replicas, the degree prune leaves no inter-family edges, and a
+    beam walk cannot enter the query's family unless a seed lands
+    there — so recall collapses. Collapsing to distinct vectors
+    (dedup-before-index) restores connectivity at any replication
+    factor. This pins at unit scale exactly what the 100x derived set
+    exposed in r6 (raw recall 0.2-0.4 -> 1.0 post-collapse)."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(6, 16))
+    rows = [(int(f * 100 + i), (centers[f]).tolist())
+            for f in range(6) for i in range(30)]   # 30 exact replicas
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    raw = KnnGraphIndex.build(df, m=4)
+    # every edge stays inside its replica family (same hundreds-block)
+    fams = raw.edges.select(
+        (F.col("src") / 100).cast("int").alias("fs"),
+        (F.col("dst") / 100).cast("int").alias("fd"))
+    assert fams.filter(F.col("fs") != F.col("fd")).count() == 0
+    # the collapse: one node per distinct vector
+    uniq = (df.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+            .select("vec_id", "embedding"))
+    collapsed = KnnGraphIndex.build(uniq, m=4)
+    for f in (0, 3, 5):
+        q = centers[f].tolist()
+        top = collapsed.search(q, k=1, ef=8).first()
+        assert top["distance"] == pytest.approx(0.0, abs=1e-9), f
+        assert top["vec_id"] // 100 == f
+
+
 def test_recall_gate(emb, idx):
     # mean recall@10 over a few stored queries must clear 0.8 — the
     # same harness style as test_ann_recall for the learned tiers
