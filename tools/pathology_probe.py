@@ -98,6 +98,36 @@ def main() -> None:
           f"{fam}-member family: {time.time() - t0:.1f}s — "
           f"{ndup}/64 flagged (capped candidates, not {fam}/band)")
 
+    # the r6 intra-batch sweep's own pathology: one micro-batch that
+    # IS a duplicate family, all novel to the store — the sweep's
+    # minhash_lsh_pairs runs with max_bucket=max_candidates, so the
+    # family emits star pairs (linear), one winner reaches the store
+    from toy_vector_db_spark.streaming.corpus import read_document_stream
+    from toy_vector_db_spark.streaming.incdedup import (
+        dedup_stream_against_store,
+    )
+    ibfam = min(fam, 10_000)
+    novel = "a novel boilerplate page never stored before, repeated"
+    src_dir = tempfile.mkdtemp(prefix="patho_inb_src_")
+    (spark.range(ibfam)
+     .select((F.col("id") + 8_000_000).alias("doc_id"),
+             F.lit(novel).alias("text"), F.lit("en").alias("lang"),
+             F.lit("web").alias("source"),
+             F.lit(len(novel)).cast("int").alias("n_chars"))
+     .coalesce(4).write.mode("overwrite").parquet(src_dir))
+    out = tempfile.mkdtemp(prefix="patho_inb_out_")
+    t0 = time.time()
+    dedup_stream_against_store(
+        read_document_stream(spark, src_dir, max_files_per_trigger=None),
+        st, out, tempfile.mkdtemp(prefix="patho_inb_ck_"),
+        add_unique=True)
+    got = spark.read.parquet(out)
+    nwin = got.filter("NOT is_dup").count()
+    print(f"intra-batch sweep, one {ibfam}-member novel family in ONE "
+          f"micro-batch: {time.time() - t0:.1f}s — {nwin} winner(s), "
+          f"{got.filter('is_dup').count()} flagged (star-capped, "
+          f"not {ibfam}^2/2 pairs)")
+
     # the sibling pathology for the journey funnel: one bot user whose
     # event history (fam rows) would previously sit in ONE collect_list
     # buffer; the window rewrite streams it through spillable buffers
