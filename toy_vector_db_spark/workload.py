@@ -2447,18 +2447,23 @@ SELECT * FROM (VALUES (CAST(0 AS BIGINT), TRUE), (CAST(5 AS BIGINT), TRUE),
 """)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import IvfIndex
-    from .operators.knn import knn, lookup_vector
+    from .operators.knn import knn_join_arrow
     e = _t(spark, sf_dir, "embeddings")
     idx = IvfIndex.build(e, n_centroids=8)
+    # one Arrow-tier exact join serves all three baselines (bit-equal
+    # to the Column knn, boundary ties included — parity-tested)
+    qf = (e.filter(F.col("vec_id").isin(0, 5, 9))
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    dk: dict = {}
+    for r in knn_join_arrow(qf, e, k=KNN_K, metric="cosine").collect():
+        dk[r["query_id"]] = max(dk.get(r["query_id"], 0.0), r["distance"])
+    qvecs = {r["query_id"]: list(r["query_vec"]) for r in qf.collect()}
     rows = []
     for vid in (0, 5, 9):
-        qvec = lookup_vector(e, "vec_id", vid)
-        dk = max(r["distance"] for r in
-                 knn(e, qvec, k=KNN_K, metric="cosine",
-                     tie_col="vec_id").collect())
-        approx = idx.search(qvec, k=KNN_K, metric="cosine",
+        approx = idx.search(qvecs[vid], k=KNN_K, metric="cosine",
                             nprobe=5).collect()
-        hits = sum(1 for r in approx if r["distance"] <= dk + 1e-9)
+        hits = sum(1 for r in approx if r["distance"] <= dk[vid] + 1e-9)
         rows.append((vid, hits / KNN_K >= 0.6))
     return spark.createDataFrame(rows, "query_id bigint, recall_ok boolean")
 
@@ -2478,7 +2483,6 @@ SELECT * FROM (VALUES (CAST(1 AS BIGINT), TRUE), (CAST(5 AS BIGINT), TRUE),
 """)
 def ann_graph_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import KnnGraphIndex
-    from .operators.knn import knn, lookup_vector
     e = _t(spark, sf_dir, "embeddings")
     # build + searches complete INSIDE this function (the returned frame
     # is literal rows), so the shuffle-partition override is fully
@@ -2505,13 +2509,25 @@ def ann_graph_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.min("vec_id").alias("vec_id"))
                 .select("vec_id", "embedding"))
         idx = KnnGraphIndex.build(uniq, m=8)
+        # one Arrow-tier exact join serves all three baselines — the
+        # Column fold at dim 384 made three separate exact scans the
+        # most expensive step of the whole gate (parity-tested
+        # bit-equal to knn, boundary ties included)
+        qf = (e.filter(F.col("vec_id").isin(1, 5, 9))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("query_vec")))
+        from .operators.knn import knn_join_arrow
+        dk: dict = {}
+        for r in knn_join_arrow(qf, uniq, k=KNN_K).collect():
+            dk[r["query_id"]] = max(dk.get(r["query_id"], 0.0),
+                                    r["distance"])
+        qvecs = {r["query_id"]: list(r["query_vec"])
+                 for r in qf.collect()}
         rows = []
         for vid in (1, 5, 9):
-            qvec = lookup_vector(e, "vec_id", vid)
-            dk = max(r["distance"] for r in
-                     knn(uniq, qvec, k=KNN_K, tie_col="vec_id").collect())
-            approx = idx.search(qvec, k=KNN_K, ef=64).collect()
-            hits = sum(1 for r in approx if r["distance"] <= dk + 1e-9)
+            approx = idx.search(qvecs[vid], k=KNN_K, ef=64).collect()
+            hits = sum(1 for r in approx
+                       if r["distance"] <= dk[vid] + 1e-9)
             rows.append((vid, hits / KNN_K >= 0.6))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
