@@ -75,6 +75,35 @@ CORE = frozenset([
 ])
 
 
+# Host-load instrumentation (two rounds of phantom-regression triage —
+# decontam +30% at 100x, dsir +31% at sf0.1 — were host load, proven
+# only by hand). Every row records the 1-min loadavg + MemAvailable at
+# its first attempt; rows measured under load are FLAGGED in the
+# summary so drift triage is one field lookup. A row only earns an
+# extra attempt when BOTH signals fire: load above the threshold AND
+# the two attempts disagree >2x (the scheduler-noise shape) — load
+# alone can be the bench's own 32-way tasks, spread alone is one-time
+# codegen the second attempt already absorbed.
+LOAD_FLAG_THRESHOLD = 8.0
+RETRY_SPREAD = 2.0
+
+
+def host_load() -> tuple[float, float]:
+    """(1-min loadavg, MemAvailable GiB) — the two numbers the r5/r6
+    drift forensics had to reconstruct from shell history."""
+    load1 = os.getloadavg()[0]
+    avail = -1.0
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail = int(line.split()[1]) / 1048576  # kB -> GiB
+                    break
+    except OSError:
+        pass
+    return round(load1, 2), round(avail, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -110,26 +139,38 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
 
     timings: dict[str, float] = {}
+    loads: dict[str, list] = {}
     for name in names:
         # best of 2: the machine hosts other tenants and a single run
         # can absorb multi-second scheduler noise (observed 5x swings
         # on a rotating victim query); the min is the reproducible
         # number and amortizes one-time codegen compile the way a
         # long-running cluster job would
+        load1, mem_gb = host_load()
+        attempts: list[float] = []
         best = None
-        for _ in range(2):
+        n_attempts = 2
+        tries = 0
+        while tries < n_attempts:
+            tries += 1
             t0 = time.time()
             try:
                 qs[name](spark, sf_dir).write.format("noop") \
                     .mode("overwrite").save()
                 took = round(time.time() - t0, 3)
+                attempts.append(took)
                 best = took if best is None else min(best, took)
             except Exception as e:  # a broken query must not kill the bench
                 print(f"bench error in {name}: {e}", file=sys.stderr)
                 best = -1.0
                 break
+            if (tries == 2 and n_attempts == 2
+                    and load1 > LOAD_FLAG_THRESHOLD
+                    and max(attempts) > RETRY_SPREAD * min(attempts)):
+                n_attempts = 3   # loaded AND noisy: one extra attempt
         timings[name] = best
-        print(f"bench {name}: {best}s", file=sys.stderr)
+        loads[name] = [load1, mem_gb, tries]
+        print(f"bench {name}: {best}s (load1 {load1})", file=sys.stderr)
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     # The driver captures a bounded TAIL of stdout (~2.9 KB). At 90+
     # queries a single summary-first JSON line outgrows that window and
@@ -140,9 +181,18 @@ def main() -> None:
     core = round(sum(v for n, v in timings.items()
                      if n in CORE and v >= 0), 3)
     compact = {n: round(v, 2) for n, v in timings.items()}
+    flagged = sorted(n for n, (l1, _, _) in loads.items()
+                     if l1 > LOAD_FLAG_THRESHOLD)
+    max_load = max((l1 for l1, _, _ in loads.values()), default=0.0)
+    # load line BEFORE the queries line: the driver keeps a bounded
+    # TAIL of stdout, and queries + summary are the rows that must
+    # survive truncation
+    print(json.dumps({"load": loads}, separators=(",", ":")))
     print(json.dumps({"queries": compact}, separators=(",", ":")))
     print(json.dumps({"metric": "workload_total", "value": total,
-                      "core_total": core, "unit": "sec", "sf": sf_val},
+                      "core_total": core, "unit": "sec", "sf": sf_val,
+                      "max_load1": max_load,
+                      "flagged_load": flagged},
                      separators=(",", ":")))
 
 

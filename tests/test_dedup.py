@@ -116,10 +116,51 @@ def test_word_shingles_arrow_membership_parity(spark):
         "doc_id", word_shingles(F.col("text"), 3).alias("sh")).collect()}
     arr = {r["doc_id"]: frozenset(r["sh"])
            for r in word_shingles_arrow(df, shingle_k=3).collect()}
-    # the Column tier returns null shingles for null text; the Arrow
-    # twin normalizes to the empty-text shingle — compare non-null rows
-    assert {k: v for k, v in col.items() if v is not None} \
-        == {k: arr[k] for k, v in col.items() if v is not None}
+    # strict equality on EVERY row: both tiers normalize null text to
+    # the empty-text shingle [''] (the late-r5 carve-out is closed)
+    assert col == arr
+    assert col[0] == frozenset([""])
+
+
+def test_sig_tier_parity_null_and_empty_text(spark):
+    """The Column/Arrow signature tier contract on null + empty text:
+    bit-identical signatures (null == empty == blank), identical LSH
+    pairs, and the DuckDB oracle shingle fragment reproduces the same
+    normalization — so sig_tier='auto' can never flip a null row's
+    fate with corpus size (the one r6 tier-contract carve-out)."""
+    import duckdb
+
+    from toy_vector_db_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_signature, minhash_signatures_arrow)
+    from toy_vector_db_spark.workload import _dd_shingles
+    rows = [(0, None), (1, ""), (2, "   "), (3, "real text body here"),
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    col = {r["doc_id"]: tuple(r["sig"]) for r in df.select(
+        "doc_id", minhash_signature(F.col("text"), 8, 3).alias("sig"))
+        .collect()}
+    arr = {r["doc_id"]: tuple(r["sig"]) for r in
+           minhash_signatures_arrow(df, num_perm=8, shingle_k=3).collect()}
+    assert col == arr
+    assert col[0] == col[1] == col[2]        # null == empty == blank
+    pairs = lambda t: {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                       for r in minhash_lsh_pairs(df, threshold=0.3,
+                                                  sig_tier=t).collect()}
+    pc, pa = pairs("column"), pairs("arrow")
+    assert pc == pa
+    assert (0, 1, 1.0) in pc and (0, 4, 1.0) in pc   # null rows band
+    # the oracle twin: DuckDB's shingle fragment on the same rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, {repr(t) if t is not None else 'NULL'})"
+                            for i, t in rows)
+                + ") AS t(doc_id, text)")
+    got = {i: frozenset(sh) for i, sh in con.execute(
+        f"SELECT doc_id, {_dd_shingles(3)} FROM documents").fetchall()}
+    from toy_vector_db_spark.functions.text import word_shingles
+    spark_sh = {r["doc_id"]: frozenset(r["sh"]) for r in df.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("sh")).collect()}
+    assert got == spark_sh and got[0] == frozenset([""])
 
 
 def test_minhash_auto_tier_thresholds(docs):

@@ -242,6 +242,28 @@ def test_batch_search_chunks_bound_driver_state(emb, idx):
         idx.search_batch(q, max_batch=0)
 
 
+def test_query_chunks_never_collect(emb, monkeypatch):
+    """Memory-shape assertion for the r6 residual: search_batch's
+    query consumption must stream per chunk (toLocalIterator), never
+    materialize the whole batch with a driver collect. Patching
+    DataFrame.collect to raise proves _iter_query_chunks touches no
+    collect path while still yielding every row in cap-sized chunks."""
+    from pyspark.sql import DataFrame
+
+    from toy_vector_db_spark.operators.graph import _iter_query_chunks
+    q = (emb.filter(F.col("vec_id") < 40)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+
+    def boom(self):
+        raise AssertionError("full-batch collect in the chunk feed")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    chunks = list(_iter_query_chunks(q, 16))
+    assert [len(c) for c in chunks] == [16, 16, 8]
+    assert {qid for c in chunks for qid, _ in c} == set(range(40))
+
+
 def test_batch_search_empty_and_validation(spark, idx):
     import pytest
     empty = spark.createDataFrame(

@@ -169,6 +169,80 @@ def test_streaming_ingest_intra_batch_first_copy_wins(spark, tmp_path):
     assert 911 not in stored                 # loser never appended
 
 
+def test_intra_batch_greedy_chain_and_best_partner(spark):
+    # exact id-ordered greedy over the pair graph: in a transitive
+    # chain (1~2, 2~3, 1!~3) doc 3 is ACCEPTED (its only near doc 2 is
+    # flagged), and a flagged doc's dup_of is its best ACCEPTED
+    # partner even when a flagged doc scored higher
+    from toy_vector_db_spark.streaming.incdedup import _intra_batch_greedy
+    chain = spark.createDataFrame(
+        [(1, 2, 0.8), (2, 3, 0.7)], "id_a long, id_b long, jaccard double")
+    got = {r["__flag_id"]: r for r in _intra_batch_greedy(chain).collect()}
+    assert set(got) == {2} and got[2]["__dup_of"] == 1
+
+    clique = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.8), (2, 3, 0.95)],
+        "id_a long, id_b long, jaccard double")
+    got = {r["__flag_id"]: r["__dup_of"]
+           for r in _intra_batch_greedy(clique).collect()}
+    assert got == {2: 1, 3: 1}   # both flag against the one winner
+
+    # 4 is near winner 1 (0.6) and near flagged 2 (0.9): greedy flags
+    # it against the accepted doc, never the higher-scoring flagged one
+    best = spark.createDataFrame(
+        [(1, 2, 0.8), (1, 4, 0.6), (2, 4, 0.9)],
+        "id_a long, id_b long, jaccard double")
+    got = {r["__flag_id"]: r for r in _intra_batch_greedy(best).collect()}
+    assert got[4]["__dup_of"] == 1 and got[4]["__sim"] == 0.6
+    # sim carries dedup_batch's ROUND(.., 4) output contract
+    third = spark.createDataFrame(
+        [(7, 9, 1.0 / 3.0)], "id_a long, id_b long, jaccard double")
+    assert _intra_batch_greedy(third).first()["__sim"] == 0.3333
+
+
+def test_streaming_ingest_chain_member_reaches_store(spark, tmp_path):
+    # transitive intra-batch chain x~y, y~z, x!~z (word-level jaccard:
+    # x,y and y,z share 4/8 = 0.5; x,z share 2/10 = 0.2): the greedy
+    # sweep accepts AND stores z, so a later copy of z is flagged —
+    # the store-coverage hole the one-shot sweep had (z flagged
+    # against flagged y, then a later copy accepted as novel)
+    from toy_vector_db_spark.streaming.corpus import read_document_stream
+    from toy_vector_db_spark.streaming.incdedup import (
+        dedup_stream_against_store,
+    )
+    ddl_cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    x = "alpha beta gamma delta epsilon foxtrot"
+    y = "gamma delta epsilon foxtrot golf hotel"
+    z = "epsilon foxtrot golf hotel india juliet"
+    st = MinHashStore(str(tmp_path / "store"), num_perm=8, bands=8,
+                      shingle_k=1).build(_corpus(spark))
+    out, ckpt = str(tmp_path / "out"), tmp_path / "ckpt"
+
+    def drain(n, rows):
+        src_dir = tmp_path / f"in{n}"
+        spark.createDataFrame(rows, ddl_cols).coalesce(1) \
+            .write.parquet(str(src_dir))
+        dedup_stream_against_store(
+            read_document_stream(spark, str(src_dir),
+                                 max_files_per_trigger=None),
+            st, out, str(ckpt / str(n)), threshold=0.5, add_unique=True)
+
+    drain(1, [(920, x, "en", "web", len(x)),
+              (921, y, "en", "web", len(y)),
+              (922, z, "en", "web", len(z))])
+    res = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert not res[920]["is_dup"]
+    assert res[921]["is_dup"] and res[921]["dup_of"] == 920
+    assert res[921]["sim"] == 0.5
+    assert not res[922]["is_dup"]            # chain end accepted
+    stored = {r["doc_id"] for r in
+              spark.read.parquet(st._data_path()).collect()}
+    assert 922 in stored and 921 not in stored
+    drain(2, [(923, z, "en", "web", len(z))])
+    res = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert res[923]["is_dup"] and res[923]["dup_of"] == 922
+
+
 def test_consistency_with_batch_pair_pipeline(spark, tmp_path):
     # cross-tier contract: with no cap pressure, a batch doc is flagged
     # by the STORE check iff the BATCH pipeline finds a verified

@@ -1,0 +1,120 @@
+"""Pinned-blocking-constant lint (r6 verdict item 4).
+
+The r5 bug class — a pinned blocking/partitioning constant is a
+latent N^2 (or a latent one-task bottleneck) that only shows up a
+decade of scale later — was fixed point-by-point (`ivf_nlist`,
+`max_bucket`, `cluster_cap`, `_stream_partitions`,
+`BATCH_MAX_QUERIES`, `QUADRATIC_BLOCK_MAX_ROWS`). This test keeps the
+next operator from reintroducing it: every work-bounding knob in the
+package must either ROUTE through the one sizing-policy module
+(``operators/chooser.py``) or carry an explicit ``cap:`` rationale
+where it is pinned. Adding a raw pinned knob fails this test with the
+offending file:line until its author either wires it to chooser or
+writes down why the fixed value is scale-safe.
+
+Scope (deliberately narrow so the signal stays strong):
+
+- module-level ``NAME = <int>`` whose name smells like a bound /
+  partition count (MAX/CAP/NLIST/CLUSTERS/PARTITION/BATCH/BUCKET/
+  BLOCK/CHUNK/SHARD/ROUNDS/MERGES) — rationale must sit in the
+  preceding comment block (``cap:`` or a ``chooser`` reference);
+- function parameters with a literal int default whose name is a
+  known work-bounding knob (``max_ids``, ``max_candidates``,
+  ``max_bucket``, ``max_block_rows``, ``max_batch``, ``max_pairs``,
+  ``max_bands_per_interval``, ``max_files_per_trigger``,
+  ``n_clusters``, ``n_centroids``, ``nlist``, ``*_cap``,
+  ``*_partitions``, ``*_buckets``, ``*_shards``) — rationale
+  (``cap:``) or a chooser/ivf_nlist reference must appear in the
+  function's own source (docstring included).
+
+NOT in scope: convergence/depth/radius knobs (``max_iter``,
+``max_hops``, ``max_hamming``), display widths, algorithm parameters
+(``num_perm``, ``bands``, ``bits``, ``k``) — those change answers or
+iteration counts, not the work-per-task shape at scale.
+"""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+import re
+
+PKG = pathlib.Path(__file__).resolve().parent.parent / "toy_vector_db_spark"
+
+MOD_CONST = re.compile(
+    r"(MAX|_CAP$|^CAP_|NLIST|CLUSTERS|PARTITION|BATCH|BUCKET|BLOCK|CHUNK"
+    r"|SHARD|ROUNDS|MERGES)", re.I)
+
+PARAM_EXACT = {
+    "max_ids", "max_candidates", "max_bucket", "max_block_rows",
+    "max_batch", "max_pairs", "max_bands_per_interval",
+    "max_files_per_trigger", "n_clusters", "n_centroids", "nlist",
+}
+PARAM_SUFFIX = re.compile(r".*_(cap|partitions|buckets|shards)$")
+
+RATIONALE = re.compile(r"cap:|chooser|ivf_nlist", re.I)
+
+
+def _iter_findings():
+    for f in sorted(PKG.rglob("*.py")):
+        src = f.read_text()
+        lines = src.splitlines()
+        tree = ast.parse(src)
+        for node in tree.body:
+            if (isinstance(node, ast.Assign)
+                    and isinstance(node.value, ast.Constant)
+                    and isinstance(node.value.value, int)
+                    and not isinstance(node.value.value, bool)):
+                for t in node.targets:
+                    if isinstance(t, ast.Name) and MOD_CONST.search(t.id):
+                        ctx = "\n".join(
+                            lines[max(0, node.lineno - 9):node.lineno])
+                        if not RATIONALE.search(ctx):
+                            yield (f"{f.relative_to(PKG.parent)}:"
+                                   f"{node.lineno} module constant {t.id}="
+                                   f"{node.value.value}")
+        for node in ast.walk(tree):
+            if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            args = node.args
+            pos = args.args[len(args.args) - len(args.defaults):]
+            pairs = list(zip(pos, args.defaults)) + \
+                list(zip(args.kwonlyargs, args.kw_defaults))
+            seg = None
+            for p, d in pairs:
+                if d is None or not isinstance(d, ast.Constant):
+                    continue
+                if not isinstance(d.value, int) or isinstance(d.value, bool):
+                    continue
+                if not (p.arg in PARAM_EXACT or PARAM_SUFFIX.match(p.arg)):
+                    continue
+                if seg is None:
+                    seg = ast.get_source_segment(src, node) or ""
+                if not RATIONALE.search(seg):
+                    yield (f"{f.relative_to(PKG.parent)}:{node.lineno} "
+                           f"{node.name}({p.arg}={d.value})")
+
+
+def test_every_blocking_knob_routes_through_chooser_or_declares_cap():
+    misses = list(_iter_findings())
+    assert not misses, (
+        "pinned blocking/partitioning knobs without a chooser route or "
+        "a 'cap:' rationale (the r5 latent-N^2 bug class):\n  "
+        + "\n  ".join(misses)
+        + "\nEither size the knob via operators/chooser (ivf_nlist & "
+        "friends) or write a 'cap:' comment explaining why the pinned "
+        "value is scale-safe.")
+
+
+def test_lint_catches_a_raw_knob(tmp_path):
+    """The lint itself must fire on an unannotated knob — guard the
+    guard: a refactor that silently empties the patterns would make
+    the audit vacuous."""
+    probe = PKG / "_lint_probe_tmp.py"
+    probe.write_text("MAX_PROBE_ROWS = 123\n"
+                     "def f(max_bucket: int = 7):\n    return max_bucket\n")
+    try:
+        misses = [m for m in _iter_findings() if "_lint_probe_tmp" in m]
+        assert len(misses) == 2
+    finally:
+        probe.unlink()

@@ -34,6 +34,7 @@ def main() -> None:
 
     names = list(entrymod.queries())
     merged: dict[str, float] = {}
+    merged_load: dict[str, list] = {}
     for i in range(0, len(names), chunk):
         sub = names[i:i + chunk]
         env = dict(os.environ,
@@ -50,6 +51,8 @@ def main() -> None:
                 continue
             if "queries" in obj:
                 got = obj["queries"]
+            if "load" in obj:
+                merged_load.update(obj["load"])
         if got is None:
             print(f"chunk {i // chunk}: FAILED\n{proc.stderr[-2000:]}",
                   file=sys.stderr)
@@ -61,14 +64,19 @@ def main() -> None:
               f"{round(sum(v for v in got.values() if v >= 0), 1)}s",
               file=sys.stderr)
 
-    from bench import CORE
+    from bench import CORE, LOAD_FLAG_THRESHOLD
     total = round(sum(v for v in merged.values() if v >= 0), 3)
     core = round(sum(v for n, v in merged.items()
                      if n in CORE and v >= 0), 3)
+    flagged = sorted(n for n, (l1, _, _) in merged_load.items()
+                     if l1 > LOAD_FLAG_THRESHOLD)
+    max_load = max((l1 for l1, _, _ in merged_load.values()), default=0.0)
     sf = os.path.basename(sf_dir.rstrip("/"))
+    print(json.dumps({"load": merged_load}, separators=(",", ":")))
     print(json.dumps({"queries": merged}, separators=(",", ":")))
     print(json.dumps({"metric": "workload_total", "value": total,
                       "core_total": core, "unit": "sec", "sf": sf,
+                      "max_load1": max_load, "flagged_load": flagged,
                       "protocol": "chunked"},
                      separators=(",", ":")))
 

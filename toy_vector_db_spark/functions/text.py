@@ -277,7 +277,15 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     shingle. The tokenizer (two regexp passes + split) is bound once
     per ROW via bind_once — referenced naively inside the transform
     lambda it would re-run per shingle POSITION (~n_tokens times per
-    row; measured 4x on the crossdoc shared-shingle scan)."""
+    row; measured 4x on the crossdoc shared-shingle scan).
+
+    NULL text normalizes to the empty string (one [''] shingle) — the
+    same rule as the Python tokenizer behind the Arrow signature tier
+    (dedup._shingle_set), so the Column/Arrow tier contract is
+    bit-identical on EVERY input including null, and sig_tier="auto"
+    can never flip a null row's fate with corpus size. Propagating
+    null here instead would silently drop null-text rows from banding
+    in one tier only (the late-r5 divergence this closes)."""
     from .util import bind_once
 
     def shingles(toks: Column) -> Column:
@@ -286,4 +294,5 @@ def word_shingles(text: Column, k: int = 3) -> Column:
             F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))))
 
-    return bind_once(F.split(normalize_for_fingerprint(text), " "), shingles)
+    normed = normalize_for_fingerprint(F.coalesce(text, F.lit("")))
+    return bind_once(F.split(normed, " "), shingles)

@@ -333,6 +333,10 @@ class IvfIndex(_MaintainableIndex):
         is one map-only pass over the full table. max_iter=5 measured
         within recall noise of 10 on the synthetic corpus at half the
         build jobs; raise it for strongly clustered data.
+
+        cap: the n_centroids default is a small-demo layout — corpus-
+        scale callers size it via chooser.ivf_nlist (~4*sqrt(n)), the
+        one shared IVF rule (a pinned nlist is the latent-N^2 class).
         """
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -362,7 +366,10 @@ class IvfIndex(_MaintainableIndex):
         like sampled-centroid IVF; use ``build`` for Lloyd-trained
         centroids when bit-reproducibility isn't needed. ``sample``
         short-circuits the collect when the caller already holds the
-        det_sample matrix (first ``n_centroids`` rows are used)."""
+        det_sample matrix (first ``n_centroids`` rows are used).
+
+        cap: n_centroids=8 is the oracle-demo default; scale callers
+        size via chooser.ivf_nlist (semdedup, the auto join tiers)."""
         if sample is None:
             sample = det_sample(df, n_centroids, id_col, vec_col)
         centroids = np.asarray(sample)[:n_centroids]

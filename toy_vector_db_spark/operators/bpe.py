@@ -36,6 +36,8 @@ SEP = "\x00"  # joins a symbol pair into one count key; never in text
 #: Janino abandons codegen for interpreted evaluation (correct but
 #: slow) with pathological analysis times toward 1k. Above it the
 #:  Arrow tier applies the SAME in-order greedy fuse in a pandas UDF.
+#: cap: bounds generated-PLAN size (per-row work is merge-count either
+#: way), corpus-size-independent — not a blocking knob.
 EXPR_MAX_MERGES = 50
 
 

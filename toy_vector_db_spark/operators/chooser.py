@@ -46,6 +46,8 @@ from pyspark.sql import functions as F
 # first probe. (At sf0.1 the measured flat scan is <1 s; builds are
 # 3-6 s.) Callers amortizing a PERSISTED index over many queries
 # should build explicitly rather than route per-query.
+# cap: a tier CROSSOVER (exact scan vs index), not a work bound — past
+# it the chooser moves to pruned tiers, so nothing degenerates.
 EXACT_MAX_ROWS = 200_000
 #: recall at-or-above this means "the user wants the true answer"
 EXACT_RECALL = 0.999
@@ -59,25 +61,31 @@ EXACT_RECALL = 0.999
 #: in N with a bounded constant; B=16384 is <=2.7e8 sims per block,
 #: one chunked BLAS matmul, comfortably inside one executor task.
 #: Past the cap the scale-safe path is a LEARNED block key sized by
-#: ``ivf_nlist`` (semdedup.semantic_near_dup, 5.2x/decade measured).
+#: ``ivf_nlist`` (semdedup.semantic_dup_pairs, 5.2x/decade measured).
 QUADRATIC_BLOCK_MAX_ROWS = 16_384
 
 
 def check_quadratic_block(largest_block: int, op: str,
-                          max_block_rows: int | None = None) -> None:
+                          max_block_rows: int | None = None,
+                          hint: str | None = None) -> None:
     """Refuse a blocked quadratic scorer whose largest block exceeds
     the cap — the guard that keeps fixed-key blocking from silently
     becoming the default N^2 path at corpus scale. Pure scalar policy
     (like the rest of this module) so it is unit-testable without a
-    session; callers pass their measured largest-block count."""
+    session; callers pass their measured largest-block count.
+    ``hint`` replaces the default remediation sentence — learned-key
+    callers (semdedup) must not be told to use semdedup."""
     cap = QUADRATIC_BLOCK_MAX_ROWS if max_block_rows is None else max_block_rows
     if largest_block > cap:
+        if hint is None:
+            hint = ("Use a learned blocking key sized by ivf_nlist "
+                    "(operators/semdedup.semantic_dup_pairs / "
+                    "semantic_dedup), or opt in explicitly with "
+                    "allow_quadratic=True.")
         raise ValueError(
             f"{op}: largest block has {largest_block} rows (> {cap}); "
             "a fixed blocking key this coarse is quadratic-by-contract "
-            "at corpus scale. Use a learned blocking key sized by "
-            "ivf_nlist (operators/semdedup.semantic_near_dup), or opt "
-            "in explicitly with allow_quadratic=True.")
+            f"at corpus scale. {hint}")
 
 
 def ivf_nlist(n_rows: int) -> int:
@@ -174,6 +182,9 @@ def choose_search_tier(n_rows: int, dim: int, k: int,
 
 #: query sides at or below this broadcast cleanly (same order as the
 #: autoBroadcastJoinThreshold at typical row widths)
+#: cap: a tier crossover — past it choose_join_tier switches to the
+#: cogroup tier whose state is executor-side, so bigger query sides
+#: get MORE distributed, never a bigger broadcast.
 BROADCAST_MAX_QUERIES = 100_000
 
 

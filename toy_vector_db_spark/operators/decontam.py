@@ -170,6 +170,8 @@ def contamination_report_bloom(train: DataFrame, eval_df: DataFrame,
 #: ~1.3e-5 at k=4). Oversized shards were measured QUADRATIC-ish:
 #: 16 shards at the 10x probe point put ~47k entries in each map and
 #: the probe column alone cost ~10 s.
+#: cap: per-shard map size; the SHARD COUNT derives from eval-set size
+#: / this constant, so per-task work is fixed as the eval set grows.
 HASHES_PER_SHARD = 64
 
 

@@ -67,7 +67,9 @@ def exact_dup_clusters(df: DataFrame, text_col: str = "text",
     clusters. ``n_docs``/``id_min``/``id_max`` are exact; ``ids`` is a
     deterministic sample (the ``max_ids`` smallest) so an
     arbitrarily large duplicate family never sits in one aggregation
-    buffer (see ``_bounded_clusters``)."""
+    buffer (see ``_bounded_clusters``). cap: max_ids bounds the REPORT
+    sample per cluster — aggregate work stays exact and linear at any
+    value; raising it only widens the output rows."""
     keyed = df.select(fingerprint(F.col(text_col)).alias("fingerprint"),
                       F.col(id_col))
     return _bounded_clusters(keyed, "fingerprint", id_col, max_ids)
@@ -212,11 +214,11 @@ def minhash_signatures_arrow(df: DataFrame, text_col: str = "text",
     the array as a set (array_intersect/array_union), so only the
     membership is contract.
 
-    NULL text: this tier normalizes it to the empty string (one empty
-    shingle), while the Column fold propagates null (the row drops
-    out of banding). A corpus that can carry null text should
-    coalesce it upstream before relying on cross-tier equality — the
-    bit-parity contract covers non-null text.
+    NULL text normalizes to the empty string (one empty shingle) —
+    identically in BOTH tiers (the Column tier's ``word_shingles``
+    coalesces null before tokenizing), so the bit-parity contract
+    covers every input including null/empty text
+    (test_dedup.test_sig_tier_parity_null_and_empty_text).
     """
     import hashlib
     import re
@@ -510,7 +512,8 @@ def simhash_dup_clusters(df: DataFrame, text_col: str = "text",
     """Documents sharing an identical simhash value (cheap near-dup
     tier: one hash shuffle, no pairwise work). Same bounded report
     shape as ``exact_dup_clusters``: exact count/extrema, ``ids``
-    capped to the ``max_ids`` smallest."""
+    capped to the ``max_ids`` smallest (cap: report sample only —
+    counts stay exact, work stays linear)."""
     keyed = df.select(simhash(F.col(text_col), bits).alias("simhash"),
                       F.col(id_col))
     return _bounded_clusters(keyed, "simhash", id_col, max_ids)
@@ -725,7 +728,8 @@ def cosine_near_dup_blocked(df: DataFrame, block_col: str,
                             threshold: float = 0.9,
                             arrow: bool | None = None,
                             allow_quadratic: bool = False,
-                            max_block_rows: int | None = None) -> DataFrame:
+                            max_block_rows: int | None = None,
+                            guard_hint: str | None = None) -> DataFrame:
     """Exact cosine near-dup pairs within blocking-key groups.
 
     The blocking key (a label, shard, cluster id, ...) turns the global
@@ -738,8 +742,10 @@ def cosine_near_dup_blocked(df: DataFrame, block_col: str,
     cheap aggregate) and blocks past
     ``chooser.QUADRATIC_BLOCK_MAX_ROWS`` (override via
     ``max_block_rows``) raise, pointing at the scale-safe learned key
-    (``semdedup.semantic_near_dup``, blocks sized by ``ivf_nlist`` —
-    those stay under the cap by construction). At 100 TB the block key
+    (``semdedup.semantic_dup_pairs``/``semantic_dedup``, blocks sized
+    by ``ivf_nlist`` — those stay near the cap by construction; the
+    semdedup entry points default ``allow_quadratic=True`` since the
+    learned key IS the sanctioned path). At 100 TB the block key
     would be an IVF/LSH bucket (see ``embedding_near_dup_pairs``),
     which keeps the same plan shape.
     Output: (id_a, id_b, cosine_sim >= threshold).
@@ -767,7 +773,7 @@ def cosine_near_dup_blocked(df: DataFrame, block_col: str,
         largest = (df.groupBy(block_col).count()
                    .agg(F.max("count")).first()[0]) or 0
         check_quadratic_block(int(largest), "cosine_near_dup_blocked",
-                              max_block_rows)
+                              max_block_rows, hint=guard_hint)
     if arrow is None:
         arrow = _dim_of(df, vec_col) >= ARROW_TIER_MIN_DIM
     if arrow:

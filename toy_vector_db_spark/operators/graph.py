@@ -66,7 +66,11 @@ DEFAULT_EF = 48        # search beam width (reference efSearch default 50)
 #: executor-side IVF join tiers (knn_join_ivf_arrow) instead.
 BATCH_MAX_QUERIES = 1024
 DEFAULT_ENTRIES = 4    # multi-start entry points (replaces layer descent)
-N_EDGE_BUCKETS = 64    # saved-layout partition count (see save())
+# cap: saved-layout FILE partition count (see save()); a search prunes
+# to the frontier's buckets regardless of value, and rows-per-bucket
+# growth only grows file size, never per-walk work — retune per
+# deployment for object-store file sizing, not correctness.
+N_EDGE_BUCKETS = 64
 
 
 def _src_bucket_py(src, n_buckets: int = N_EDGE_BUCKETS) -> int:
@@ -82,6 +86,27 @@ def _src_bucket_py(src, n_buckets: int = N_EDGE_BUCKETS) -> int:
 def _src_bucket_col(col, n_buckets: int = N_EDGE_BUCKETS):
     return (F.conv(F.substring(F.md5(col.cast("string")), 1, 2), 16, 10)
             .cast("int") % n_buckets)
+
+
+def _iter_query_chunks(qdf: DataFrame, cap: int):
+    """Stream a (id, vec) query frame to the driver as chunks of at
+    most ``cap`` numpy-ready tuples, WITHOUT ever materializing the
+    whole batch locally: ``toLocalIterator`` fetches one input
+    partition at a time (prefetch off), so peak driver footprint is
+    O(max(cap, one partition)) rows — the r6 residual where
+    ``search_batch`` collected the full batch ahead of the chunked
+    walk is closed by consuming through here (memory-shape test:
+    test_graph.test_query_chunks_never_collect)."""
+    import numpy as np
+
+    chunk: list = []
+    for r in qdf.toLocalIterator(prefetchPartitions=False):
+        chunk.append((r[0], np.asarray(list(r[1]), dtype=np.float64)))
+        if len(chunk) >= cap:
+            yield chunk
+            chunk = []
+    if chunk:
+        yield chunk
 
 
 def _prune_degree(scored_edges: DataFrame, max_degree: int) -> DataFrame:
@@ -387,9 +412,13 @@ class KnnGraphIndex(_MaintainableIndex):
         ``BATCH_MAX_QUERIES``) are walked in chunks so that state
         stays bounded no matter the batch size — ``last_chunks``
         records the count, ``last_jobs``/``last_hops`` become totals
-        across chunks (per-chunk each is still <= max_hops). Truly
-        corpus-sized query sets belong on the IVF join tiers
-        (knn_join_ivf_arrow) whose state lives executor-side.
+        across chunks (per-chunk each is still <= max_hops). The
+        query rows themselves STREAM to the driver per chunk
+        (``_iter_query_chunks``: toLocalIterator, one input partition
+        at a time), so the bound is end-to-end — there is no
+        batch-sized collect ahead of the walk. Truly corpus-sized
+        query sets belong on the IVF join tiers (knn_join_ivf_arrow)
+        whose state lives executor-side.
 
         Returns (query_id, vec_id, distance) like the other join tiers,
         distances in the shared _np_dists float64 semantics."""
@@ -399,7 +428,6 @@ class KnnGraphIndex(_MaintainableIndex):
             raise ValueError(f"k must be >= 1, got {k}")
         ef = max(ef, k)
         spark = self.table.sparkSession
-        qrows = queries.select(query_id_col, query_vec_col).collect()
         qid_t = dict(queries.dtypes)[query_id_col]
         id_t = dict(self.table.dtypes)[self.id_col]
         schema = (f"{query_id_col} {qid_t}, {self.id_col} {id_t}, "
@@ -407,16 +435,20 @@ class KnnGraphIndex(_MaintainableIndex):
         self.last_hops = 0
         self.last_jobs = 0
         self.last_chunks = 0
-        if not qrows:
-            return spark.createDataFrame([], schema)
-        dead = self._deleted_ids()
         cap = BATCH_MAX_QUERIES if max_batch is None else max_batch
         if cap < 1:
             raise ValueError(f"max_batch must be >= 1, got {cap}")
+        dead = None
         out: list = []
-        for c0 in range(0, len(qrows), cap):
-            qs = [(r[0], np.asarray(list(r[1]), dtype=np.float64))
-                  for r in qrows[c0:c0 + cap]]
+        # query rows stream to the driver per chunk (toLocalIterator
+        # pulls one input partition at a time), so driver footprint is
+        # O(max(chunk, one input partition)) END-TO-END — never the
+        # whole batch at once, finishing the bound _walk_chunk already
+        # gives the walk state
+        for qs in _iter_query_chunks(
+                queries.select(query_id_col, query_vec_col), cap):
+            if dead is None:
+                dead = self._deleted_ids()   # once, and only if queries
             out += self._walk_chunk(qs, k, ef, max_hops, dead)
             self.last_chunks += 1
         return spark.createDataFrame(out, schema)

@@ -194,6 +194,11 @@ class MinHashStore:
         broadcast surviving candidates only. The store is scanned
         twice but never shuffled, never broadcast, and never read with
         its shingle column except for candidate rows.
+
+        cap: max_candidates bounds verify work per batch doc against
+        a boilerplate-saturated store (md5-order keeps the cut
+        deterministic) — the same star-cap recall trade as
+        minhash_lsh_pairs' max_bucket; it never bounds store size.
         """
         rpb = self.num_perm // self.bands
         spark = batch.sparkSession

@@ -423,6 +423,8 @@ def knn_join_arrow(queries: DataFrame, corpus: DataFrame,
 #: matmul against the (broadcast-sized) centroid matrix does the same
 #: work vectorized. 32 keeps every fixed-nlist oracle query on the
 #: bit-exact fold path; sqrt(N)-sized builds take the BLAS tier.
+#: cap: a TIER-CROSSOVER (same answers both sides), not a work bound —
+#: past it the Arrow tier takes over, so nothing degenerates at scale.
 EXPR_MAX_CENTROIDS = 32
 
 

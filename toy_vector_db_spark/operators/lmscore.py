@@ -164,7 +164,9 @@ def perplexity_buckets(scored: DataFrame, n_buckets: int = 3,
     one shuffle on ``group_col``. With no group column the window is
     a single partition: fine for bounded score tables, but at corpus
     scale pass the grouping (language/source) the recipe buckets by
-    anyway, or pre-aggregate to quantile BOUNDARIES and broadcast."""
+    anyway, or pre-aggregate to quantile BOUNDARIES and broadcast.
+    (cap: n_buckets is the OUTPUT quantile count — one NTILE window at
+    any value, never a work bound.)"""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     from pyspark.sql import Window

@@ -492,7 +492,9 @@ class IvfPqIndex(_MaintainableIndex):
                             vec_col: str = "embedding") -> "IvfPqIndex":
         """One map-only pass adds both the cluster id and the code.
         Centroids and codebooks slice the SAME det_sample collect —
-        one driver job instead of two identical ones."""
+        one driver job instead of two identical ones. cap: the
+        n_centroids default is the oracle-demo layout; scale callers
+        size via chooser.ivf_nlist (the auto join/search tiers do)."""
         from .ann import det_sample
 
         sample = det_sample(df, max(n_centroids, ks), id_col, vec_col)
@@ -512,7 +514,8 @@ class IvfPqIndex(_MaintainableIndex):
         """Residual IVF-PQ with Lloyd-trained per-subspace codebooks.
         ``trained_centroids=True`` uses MLlib-KMeans coarse centroids
         (IvfIndex.build); default is the deterministic md5 sample so
-        cluster assignment stays engine-reproducible."""
+        cluster assignment stays engine-reproducible. cap: n_centroids
+        default is demo-sized; scale callers route chooser.ivf_nlist."""
         ivf = (IvfIndex.build(df, n_centroids, seed, id_col, vec_col)
                if trained_centroids else
                IvfIndex.build_deterministic(df, n_centroids, id_col, vec_col))

@@ -56,7 +56,9 @@ def banded_interval_join(left: DataFrame, right: DataFrame, point_col: str,
     domain first (matches outside it are impossible, so clamping is
     lossless); any interval still wider than
     ``max_bands_per_interval`` bands fails fast with a clear error
-    instead of an executor OOM."""
+    instead of an executor OOM. (cap: a fail-fast guard on per-row
+    expansion, enforced in-plan — the scale knob is band_width, and
+    the guard makes a mis-sized one an error, not an OOM.)"""
     w = float(band_width)
     lb = left.withColumn("__band", F.floor(F.col(point_col) / w))
     lo, hi = F.col(lo_col), F.col(hi_col)

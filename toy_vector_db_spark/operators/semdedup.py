@@ -65,25 +65,55 @@ def semantic_clusters(df: DataFrame, n_clusters: int | None = None,
     return idx.table
 
 
+#: guard text for semdedup's own (learned-key) calls into the blocked
+#: scorer — the default message recommends semdedup, which would be
+#: circular here
+_LEARNED_KEY_HINT = (
+    "The blocking key is already LEARNED (ivf_nlist-sized IVF "
+    "clusters), so a block this large means the embedding space is "
+    "heavily skewed at this n_clusters: raise n_clusters, or accept "
+    "the bounded per-cluster quadratic with allow_quadratic=True "
+    "(the semdedup default — chunked BLAS, cost ~largest_block^2).")
+
+
 def semantic_dup_pairs(df: DataFrame, n_clusters: int | None = None,
                        threshold: float = 0.95,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       deterministic: bool = True) -> DataFrame:
+                       deterministic: bool = True,
+                       allow_quadratic: bool = True,
+                       max_block_rows: int | None = None) -> DataFrame:
     """Within-cluster cosine near-dup pairs (id_a < id_b, cosine_sim).
 
     Cross-cluster near-dups are invisible by design — SemDeDup's
     documented recall/cost trade; raise n_clusters for cost, lower it
-    for recall."""
+    for recall.
+
+    ``allow_quadratic`` defaults True here (unlike the raw blocked
+    scorer): the learned ``ivf_nlist``-sized key IS the sanctioned
+    scale path — expected occupancy ~sqrt(n)/4 stays far under
+    ``chooser.QUADRATIC_BLOCK_MAX_ROWS``, and skipping the guard also
+    skips its extra full groupBy-count pass. A replica-saturated or
+    boilerplate-heavy corpus CAN still skew one learned cluster past
+    the cap; callers who would rather fail fast than pay a bounded
+    chunked-BLAS quadratic on that cluster pass
+    ``allow_quadratic=False`` (optionally with ``max_block_rows``) and
+    get a learned-key-specific error, not the circular advice to use
+    semdedup."""
     clustered = semantic_clusters(df, n_clusters, id_col, vec_col,
                                   deterministic)
     return cosine_near_dup_blocked(clustered, "__cluster", id_col=id_col,
-                                   vec_col=vec_col, threshold=threshold)
+                                   vec_col=vec_col, threshold=threshold,
+                                   allow_quadratic=allow_quadratic,
+                                   max_block_rows=max_block_rows,
+                                   guard_hint=_LEARNED_KEY_HINT)
 
 
 def semantic_dedup(df: DataFrame, n_clusters: int | None = None,
                    threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   deterministic: bool = True) -> DataFrame:
+                   deterministic: bool = True,
+                   allow_quadratic: bool = True,
+                   max_block_rows: int | None = None) -> DataFrame:
     """Survivors after semantic dedup: one representative (smallest
     id) per connected group of within-cluster near-dups; rows with no
     near-dup pass through untouched.
@@ -91,9 +121,14 @@ def semantic_dedup(df: DataFrame, n_clusters: int | None = None,
     The anti-join driver is the loser set (nodes whose component
     label — the group minimum — is not themselves), which is at most
     the number of near-dup rows: tiny next to the corpus, so Spark
-    broadcasts it and the survivors pass is map-side."""
+    broadcasts it and the survivors pass is map-side.
+
+    ``allow_quadratic``/``max_block_rows`` pass through to the blocked
+    scorer (see ``semantic_dup_pairs`` for why True is the default
+    here)."""
     pairs = semantic_dup_pairs(df, n_clusters, threshold, id_col, vec_col,
-                               deterministic)
+                               deterministic, allow_quadratic,
+                               max_block_rows)
     comps = connected_components(pairs)
     losers = comps.filter(F.col("node") != F.col("component")) \
         .select(F.col("node").alias(id_col))

@@ -37,7 +37,10 @@ DOCUMENTS_DDL = ("doc_id LONG, text STRING, lang STRING, "
 def read_document_stream(spark: SparkSession, path: str,
                          max_files_per_trigger: int | None = 1) -> DataFrame:
     """File-source stream over documents parquet (schema fixed:
-    streaming sources cannot infer)."""
+    streaming sources cannot infer). cap: max_files_per_trigger=1 is
+    the TEST default so fixtures exercise multi-batch paths; a
+    deployment sizes it to its micro-batch SLA (None = drain all) —
+    it bounds batch size, larger values only mean fewer batches."""
     reader = spark.readStream.schema(DOCUMENTS_DDL)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -30,7 +30,9 @@ EVENTS_DDL = ("event_id LONG, ts TIMESTAMP, user_id LONG, "
 def read_event_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int | None = 1) -> DataFrame:
     """File-source stream over parquet event files (schema fixed:
-    streaming sources cannot infer).
+    streaming sources cannot infer). cap: max_files_per_trigger=1 is
+    the test default (forces multi-batch paths); deployments size it
+    to their micro-batch SLA, None drains everything in one batch.
 
     The physical ``ts`` encoding varies by writer — TIMESTAMP_NTZ
     (micros, the driver testdata), TIMESTAMP (tz-adjusted, our own

@@ -29,11 +29,14 @@ Semantics:
     MinHash + verify pipeline before the store append, so two copies
     of a novel document arriving together yield one winner (smallest
     id — there is no arrival order within a batch) and one flagged
-    row; only winners reach the store. A flagged doc's ``dup_of`` is
-    its best intra-batch partner, which in a transitive near-dup
-    chain (a~b, b~c, a!~c) can itself be flagged — the store-side
-    guarantee (dup_of is always an accepted doc) applies to
-    cross-batch flags only.
+    row; only winners reach the store. The sweep is the exact
+    id-ordered greedy (``_intra_batch_greedy``): a doc is flagged iff
+    it is near an ACCEPTED smaller-id doc, so in a transitive chain
+    (a~b, b~c, a!~c) c is accepted and stored — the store-side
+    guarantee (``dup_of`` is always an accepted doc, and every
+    flagged doc's near-twin IS in the store) now holds for
+    intra-batch flags too; a later copy of any flagged doc is flagged
+    again, never re-accepted.
 
 Scale: per micro-batch cost is the batch operator's (store never
 shuffled or broadcast); the file sink appends executor-side (no
@@ -51,6 +54,65 @@ from pyspark.sql import functions as F
 
 from ..operators.incdedup import MinHashStore
 
+# cap: round bound for the greedy sweep, not a blocking knob. Each
+# round removes >=1 doc (the remaining min id always wins), and one
+# round fully resolves a clique/star replica family — the realistic
+# shapes — so rounds = near-dup CHAIN depth (a~b~c~... with
+# non-adjacent members dissimilar), pathological past a handful. Past
+# the cap the unresolved tail is ACCEPTED (a few extra near-dups reach
+# the store — the same bounded recall trade as max_bucket star caps),
+# never flagged-without-a-stored-twin.
+_SWEEP_MAX_ROUNDS = 30
+
+
+def _intra_batch_greedy(pairs: DataFrame) -> DataFrame:
+    """Exact id-ordered greedy dedup over an intra-batch near-dup pair
+    graph (``id_a < id_b``, ``jaccard``): a doc is flagged iff it is
+    near an already-ACCEPTED smaller-id doc. Returns the flagged set
+    ``(__flag_id, __dup_of, __sim)`` where ``__dup_of`` is always an
+    accepted doc (its best accepted partner: jaccard desc, id asc).
+
+    Round form of the sequential greedy (provably equivalent): a
+    round's winners are the docs with no REMAINING smaller-id
+    neighbor — any smaller neighbor removed in an earlier round was
+    removed as flagged (had it won, this doc would have been flagged
+    then), so winners are exactly the greedy-accepted docs. Winners'
+    neighbors flag; both drop from the graph; repeat while pairs
+    remain. Cliques/stars (replica families) resolve in one round;
+    rounds = chain depth otherwise, bounded by ``_SWEEP_MAX_ROUNDS``
+    (tail accepted past it — see the cap note). All frames are
+    micro-batch-sized; ``localCheckpoint`` truncates the per-round
+    lineage so late rounds don't replay early ones."""
+    cur = pairs.select("id_a", "id_b", "jaccard").localCheckpoint()
+    spark = pairs.sparkSession
+    flagged = spark.createDataFrame(
+        [], "__flag_id " + dict(pairs.dtypes)["id_a"]
+            + ", __dup_of " + dict(pairs.dtypes)["id_b"] + ", __sim double")
+    from pyspark.sql import Window
+    for _ in range(_SWEEP_MAX_ROUNDS):
+        if cur.isEmpty():
+            break
+        # winners: in the graph (as id_a) but never anyone's id_b
+        win = (cur.select("id_a").distinct()
+               .join(cur.select(F.col("id_b").alias("id_a")).distinct(),
+                     "id_a", "left_anti"))
+        best = Window.partitionBy("id_b").orderBy(F.desc("jaccard"),
+                                                  F.asc("id_a"))
+        newly = (cur.join(win, "id_a")
+                 .withColumn("__rn", F.row_number().over(best))
+                 .filter(F.col("__rn") == 1)
+                 .select(F.col("id_b").alias("__flag_id"),
+                         F.col("id_a").alias("__dup_of"),
+                         F.round("jaccard", 4).alias("__sim")))
+        flagged = flagged.union(newly).localCheckpoint()
+        removed = (win.union(newly.select(F.col("__flag_id").alias("id_a")))
+                   .distinct())
+        cur = (cur.join(removed, "id_a", "left_anti")
+               .join(removed.select(F.col("id_a").alias("id_b")),
+                     "id_b", "left_anti")
+               .localCheckpoint())
+    return flagged
+
 
 def dedup_stream_against_store(docs: DataFrame, store: MinHashStore,
                                out_dir: str, checkpoint_dir: str,
@@ -59,7 +121,9 @@ def dedup_stream_against_store(docs: DataFrame, store: MinHashStore,
                                add_unique: bool = False) -> None:
     """Drain ``docs`` (a streaming frame) through the store check with
     Trigger.AvailableNow; (id, is_dup, dup_of, sim) rows append to
-    ``out_dir`` as parquet. Returns when the stream has drained."""
+    ``out_dir`` as parquet. Returns when the stream has drained.
+    (cap: max_candidates passes through to MinHashStore.dedup_batch's
+    verify-work star cap and the sweep's max_bucket — see there.)"""
 
     def step(batch_df: DataFrame, epoch_id: int) -> None:
         res = store.dedup_batch(batch_df, threshold=threshold,
@@ -70,8 +134,6 @@ def dedup_stream_against_store(docs: DataFrame, store: MinHashStore,
             # and both be appended permanently. Same banded-minhash +
             # exact-jaccard pipeline, same store parameters, run over
             # the store-accepted slice only (batch-sized work).
-            from pyspark.sql import Window
-
             from ..operators.dedup import minhash_lsh_pairs
             accepted = batch_df.join(
                 F.broadcast(res.filter(~F.col("is_dup"))
@@ -82,13 +144,9 @@ def dedup_stream_against_store(docs: DataFrame, store: MinHashStore,
                 num_perm=store.num_perm, bands=store.bands,
                 shingle_k=store.shingle_k, threshold=threshold,
                 max_bucket=max_candidates)
-            best = Window.partitionBy("id_b").orderBy(
-                F.desc("jaccard"), F.asc("id_a"))
-            intra = (pairs.withColumn("__rn", F.row_number().over(best))
-                     .filter(F.col("__rn") == 1)
-                     .select(F.col("id_b").alias(store.id_col),
-                             F.col("id_a").alias("__dup_of"),
-                             F.col("jaccard").alias("__sim")))
+            intra = _intra_batch_greedy(pairs).select(
+                F.col("__flag_id").alias(store.id_col),
+                "__dup_of", "__sim")
             res = (res.join(F.broadcast(intra), store.id_col, "left")
                    .select(store.id_col,
                            (F.col("is_dup")

@@ -731,6 +731,9 @@ def search_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DD_NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),"
             " '\\s+', ' ', 'g'))")
+# shingle twin of functions.text.word_shingles: null text coalesces to
+# '' BEFORE normalizing (one [''] shingle), matching both engine tiers
+_DD_SHNORM = _DD_NORM.replace("lower(text)", "lower(coalesce(text, ''))")
 _DD_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
 
 
@@ -739,7 +742,7 @@ def _dd_stoplist(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
 
 
-def _dd_shingles(k: int, src: str = "string_split(" + _DD_NORM + ", ' ')") -> str:
+def _dd_shingles(k: int, src: str = "string_split(" + _DD_SHNORM + ", ' ')") -> str:
     return (f"list_distinct(list_transform("
             f"range(0, greatest(len({src}) - {k}, 0) + 1), "
             f"i -> array_to_string(list_slice({src}, i + 1, i + {k}), ' ')))")
@@ -934,6 +937,7 @@ def _simhash_banded_pairs_oracle(bits: int = 16, bands: int = 4,
                                  max_hamming: int = 3,
                                  max_bucket: int = 64,
                                  fam: int = 70) -> str:
+    # cap: oracle twin replays the QUERY-side pinned demo layout
     width = bits // bands
     mask = (1 << width) - 1
     toks = _dd_shingles(1)
@@ -1879,6 +1883,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so DuckDB reproduces the identical centroid set, cluster assignment,
 # probe selection, and ranked top-k.
 def _ann_ivf_det_oracle(n_centroids: int = 8, nprobe: int = 3) -> str:
+    # cap: oracle twin replays the QUERY-side pinned demo layout
     cos = _ORACLE_DIST["cosine"].replace("a, a", "v, v").replace("a, q", "v, q") \
         .replace("(a,", "(v,")
     eu = "sqrt(list_sum(list_transform(list_zip({x}, c), p -> (p[1]-p[2])*(p[1]-p[2]))))"
@@ -2008,6 +2013,7 @@ ORDER BY sqrt({adc}) ASC, vec_id ASC LIMIT {KNN_K}
 # the entire billion-scale search pipeline (prune -> ADC -> top-k).
 def _ann_ivfpq_oracle(n_centroids: int = 8, nprobe: int = 3,
                       m: int = 4, ks: int = 8) -> str:
+    # cap: oracle twin replays the QUERY-side pinned demo layout
     eu = ("sqrt(list_sum(list_transform(list_zip({x}, c), "
           "p -> (p[1]-p[2])*(p[1]-p[2]))))")
 
@@ -2069,6 +2075,7 @@ ORDER BY sqrt({adc}) ASC, a.vec_id ASC LIMIT {KNN_K}
 def _knn_join_ivfpq_oracle(n_centroids: int = 8, nprobe: int = 3,
                            m: int = 4, ks: int = 8, k: int = 5,
                            rerank: int = 0) -> str:
+    # cap: oracle twin replays the QUERY-side pinned demo layout
     eu = ("sqrt(list_sum(list_transform(list_zip({x}, c), "
           "pr -> (pr[1]-pr[2])*(pr[1]-pr[2]))))")
 
@@ -4296,6 +4303,7 @@ def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle replays centroid selection, assignment, both distance
 # aggregates, and the count-desc/label-asc dominant-label ranking.
 def _cluster_stats_oracle(n_centroids: int = 8) -> str:
+    # cap: oracle twin replays the QUERY-side pinned demo layout
     eu = ("sqrt(list_sum(list_transform(list_zip({x}, c), "
           "p -> (p[1]-p[2])*(p[1]-p[2]))))")
     return f"""
