@@ -163,6 +163,71 @@ def test_sig_tier_parity_null_and_empty_text(spark):
     assert got == spark_sh and got[0] == frozenset([""])
 
 
+def test_simhash_tier_parity_and_routing(spark, docs):
+    """simhash Column fold vs Arrow twin: bit-identical values on the
+    corpus AND the tokenizer edge texts (null, empty, punct-only,
+    unicode non-JVM whitespace, short, mixed case); auto routes by
+    corpus size without changing values; unknown tier raises."""
+    import pytest
+
+    from toy_vector_db_spark.operators.dedup import (
+        _SIG_ARROW_MIN_DOCS, simhash, simhash_tiered)
+    edge = [None, "", "  ", "!!! ...", "one", "A\xa0B c d",
+            "Mixed CASE, with punct! and words", "a  b\t\nc d e"]
+    both = docs.select("doc_id", "text").union(
+        spark.createDataFrame(
+            [(1000 + i, t) for i, t in enumerate(edge)],
+            "doc_id long, text string"))
+    for bits, k in ((16, 1), (16, 3), (8, 1)):
+        col = {r["doc_id"]: r["simhash"] for r in
+               simhash_tiered(both, bits=bits, shingle_k=k,
+                              tier="column").collect()}
+        arr = {r["doc_id"]: r["simhash"] for r in
+               simhash_tiered(both, bits=bits, shingle_k=k,
+                              tier="arrow").collect()}
+        assert col == arr and col
+    assert col[1000] == col[1001]            # null == empty
+    small = simhash_tiered(docs, n_docs=10)
+    big = simhash_tiered(docs, n_docs=_SIG_ARROW_MIN_DOCS)
+    assert "MapInPandas" not in small._jdf.queryExecution().toString()
+    assert "MapInPandas" in big._jdf.queryExecution().toString()
+    direct = {r["doc_id"]: r["h"] for r in docs.select(
+        "doc_id", simhash(F.col("text"), 16).alias("h")).collect()}
+    got16 = {r["doc_id"]: r["simhash"] for r in
+             simhash_tiered(docs, bits=16, tier="arrow").collect()}
+    assert {k: v for k, v in got16.items() if k in direct} == direct
+    with pytest.raises(ValueError, match="simhash tier"):
+        simhash_tiered(docs, tier="bogus")
+
+
+def test_fingerprints_tier_parity_and_routing(spark, docs):
+    """fingerprint + rolling_fp Column vs Arrow: bit-identical on the
+    corpus and the tokenizer edge texts (null stays NULL in both —
+    the fingerprint family's documented null semantics, unlike the
+    shingle family's null->empty); auto routes by corpus size."""
+    import pytest
+
+    from toy_vector_db_spark.operators.dedup import (
+        _SIG_ARROW_MIN_DOCS, fingerprints_tiered)
+    edge = [None, "", "  ", "!!! ...", "one", "one two three",
+            "A\xa0B c d", "Mixed CASE, with punct! and words here"]
+    both = docs.select("doc_id", "text").union(
+        spark.createDataFrame([(1000 + i, t) for i, t in enumerate(edge)],
+                              "doc_id long, text string"))
+    key = lambda r: (r["doc_id"], r["fingerprint"], r["rolling_fp"])
+    col = sorted(map(key, fingerprints_tiered(both, tier="column").collect()))
+    arr = sorted(map(key, fingerprints_tiered(both, tier="arrow").collect()))
+    assert col == arr
+    by_id = dict((r[0], r[1:]) for r in col)
+    assert by_id[1000] == (None, None)       # null propagates (family rule)
+    small = fingerprints_tiered(docs, n_docs=10)
+    big = fingerprints_tiered(docs, n_docs=_SIG_ARROW_MIN_DOCS)
+    assert "MapInPandas" not in small._jdf.queryExecution().toString()
+    assert "MapInPandas" in big._jdf.queryExecution().toString()
+    with pytest.raises(ValueError, match="fingerprint tier"):
+        fingerprints_tiered(docs, tier="bogus")
+
+
 def test_minhash_auto_tier_thresholds(docs):
     """auto routes by corpus size: below the crossover it must build
     the Column-fold plan (no mapInPandas/ArrowEval), above it the

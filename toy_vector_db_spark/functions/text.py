@@ -258,7 +258,12 @@ def fingerprint(text: Column) -> Column:
 def rolling_fingerprint(text: Column, window: int = 4) -> Column:
     """Winnowing-style robust fingerprint: md5 over each ``window``-word
     shingle of the normalized text, keep the lexicographic minimum.
-    Survives local edits that shift the exact hash."""
+    Survives local edits that shift the exact hash.
+
+    NULL text -> NULL, like ``fingerprint`` (the family rule, and what
+    the Arrow twin does): without the explicit gate, concat_ws and
+    greatest both swallow nulls and a null row would silently
+    fingerprint as md5('') — diverging from its own exact fingerprint."""
     from .util import bind_once
 
     def rolled(toks: Column) -> Column:
@@ -268,7 +273,8 @@ def rolling_fingerprint(text: Column, window: int = 4) -> Column:
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window)))))
 
     # tokenizer bound once per row (see word_shingles)
-    return bind_once(F.split(normalize_for_fingerprint(text), " "), rolled)
+    out = bind_once(F.split(normalize_for_fingerprint(text), " "), rolled)
+    return F.when(text.isNull(), F.lit(None).cast("string")).otherwise(out)
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:

@@ -471,6 +471,71 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     return out
 
 
+def fingerprints_arrow(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       window: int = 4) -> DataFrame:
+    """Arrow twin of the fingerprint pair (``functions.text
+    .fingerprint`` + ``rolling_fingerprint``) computed in ONE scan:
+    (id, fingerprint, rolling_fp). Bit-identical to the Column tier
+    (null text -> null outputs, same normalization, same windowing —
+    parity-tested); exists because the rolling fingerprint's Column
+    form is a per-window interpreted ``transform`` + md5 (the same
+    HOF-interpreter term the simhash/minhash Arrow tiers route
+    around; 12.1 s of the 100x ledger)."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    punct = re.compile(PUNCT_CLASS)
+    ws = re.compile(_JAVA_WS)
+    id_type = dict(df.dtypes)[id_col]
+
+    def one(t):
+        if t is None:
+            return None, None
+        norm = ws.sub(" ", punct.sub("", t.lower())).strip(" ")
+        fp = hashlib.md5(norm.encode()).hexdigest()
+        toks = norm.split(" ")
+        rolled = min(
+            hashlib.md5(" ".join(toks[i:i + window]).encode()).hexdigest()
+            for i in range(max(len(toks) - window, 0) + 1))
+        return fp, rolled
+
+    def gen(batches):
+        for pdf in batches:
+            pairs = [one(t) for t in pdf[text_col]]
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "fingerprint": [p[0] for p in pairs],
+                                "rolling_fp": [p[1] for p in pairs]})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} {id_type}, fingerprint string, rolling_fp string")
+
+
+def fingerprints_tiered(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", window: int = 4,
+                        tier: str = "auto",
+                        n_docs: int | None = None) -> DataFrame:
+    """(id, fingerprint, rolling_fp) under the shared corpus-size tier
+    rule (``_SIG_ARROW_MIN_DOCS``). Bit-identical tiers; the Column
+    rolling fingerprint pays per-window interpretation at corpus
+    scale (measured >=2x at the 100x derived set)."""
+    if tier == "auto":
+        n = df.count() if n_docs is None else n_docs
+        tier = "arrow" if n >= _SIG_ARROW_MIN_DOCS else "column"
+    if tier not in ("column", "arrow"):
+        raise ValueError(f"unknown fingerprint tier {tier!r}")
+    if tier == "arrow":
+        return fingerprints_arrow(df, text_col=text_col, id_col=id_col,
+                                  window=window)
+    from ..functions.text import fingerprint, rolling_fingerprint
+    return df.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+        rolling_fingerprint(F.col(text_col), window).alias("rolling_fp"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -506,16 +571,89 @@ def simhash(text: Column, bits: int = 16, shingle_k: int = 1) -> Column:
         F.lit(0).cast("long"), lambda s, x: s + x)
 
 
+def simhash_arrow(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", bits: int = 16,
+                  shingle_k: int = 1,
+                  out_col: str = "simhash") -> DataFrame:
+    """Arrow/bulk twin of the ``simhash`` Column fold: bit-identical
+    values (same md5-prefix per-token hash, same majority vote)
+    computed with hashlib + NumPy over Arrow batches. Exists for the
+    same regime as ``minhash_signatures_arrow``: the Column fold runs
+    in Catalyst's interpreter per shingle PER BIT, which scales worse
+    than a C md5 loop plus one vectorized vote matrix (measured at the
+    100x derived corpus — see ``simhash_tiered``). Map-only: only
+    (id, hash) leaves the scan. Output: (id_col, out_col BIGINT)."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    punct = re.compile(PUNCT_CLASS)
+    ws = re.compile(_JAVA_WS)
+    id_type = dict(df.dtypes)[id_col]
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    bitpos = np.arange(bits, dtype=np.uint32)
+
+    def gen(batches):
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, t in enumerate(pdf[text_col]):
+                shingles = _shingle_set(t, shingle_k, punct, ws)
+                hs = np.fromiter(
+                    (int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+                     for s in shingles), dtype=np.uint32,
+                    count=len(shingles))
+                # votes: +1 per set bit, -1 per clear bit, per position
+                ones = ((hs[:, None] >> bitpos) & 1).sum(axis=0)
+                counts = 2 * ones.astype(np.int64) - len(hs)
+                out[i] = int(weights[counts > 0].sum())
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} {id_type}, {out_col} long")
+
+
+def simhash_tiered(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", bits: int = 16,
+                   shingle_k: int = 1, tier: str = "auto",
+                   n_docs: int | None = None,
+                   out_col: str = "simhash") -> DataFrame:
+    """(id, simhash) under the same corpus-size tier rule as the
+    minhash signatures (``_SIG_ARROW_MIN_DOCS``): the Column fold
+    below the crossover (JVM-side, no Arrow transfer), the
+    hashlib+NumPy twin above it (the interpreted per-shingle-per-bit
+    fold was the simhash family's 5.9x/decade term in the 100x
+    ledger; the Arrow twin measured >=2x faster there). Bit-identical
+    either way (parity test incl. null/empty text), so the oracle SQL
+    and every banding consumer are tier-blind."""
+    if tier == "auto":
+        n = df.count() if n_docs is None else n_docs
+        tier = "arrow" if n >= _SIG_ARROW_MIN_DOCS else "column"
+    if tier not in ("column", "arrow"):
+        raise ValueError(f"unknown simhash tier {tier!r}")
+    if tier == "arrow":
+        return simhash_arrow(df, text_col=text_col, id_col=id_col,
+                             bits=bits, shingle_k=shingle_k,
+                             out_col=out_col)
+    return df.select(F.col(id_col),
+                     simhash(F.col(text_col), bits,
+                             shingle_k).alias(out_col))
+
+
 def simhash_dup_clusters(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", bits: int = 16,
-                         max_ids: int = 64) -> DataFrame:
+                         max_ids: int = 64, tier: str = "auto",
+                         n_docs: int | None = None) -> DataFrame:
     """Documents sharing an identical simhash value (cheap near-dup
     tier: one hash shuffle, no pairwise work). Same bounded report
     shape as ``exact_dup_clusters``: exact count/extrema, ``ids``
     capped to the ``max_ids`` smallest (cap: report sample only —
-    counts stay exact, work stays linear)."""
-    keyed = df.select(simhash(F.col(text_col), bits).alias("simhash"),
-                      F.col(id_col))
+    counts stay exact, work stays linear). Hashes route through
+    ``simhash_tiered`` (Column fold vs Arrow twin by corpus size)."""
+    keyed = simhash_tiered(df, text_col=text_col, id_col=id_col,
+                           bits=bits, tier=tier, n_docs=n_docs) \
+        .select("simhash", F.col(id_col))
     return _bounded_clusters(keyed, "simhash", id_col, max_ids)
 
 
@@ -523,7 +661,9 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", bits: int = 16,
                           bands: int = 4,
                           max_hamming: int = 3,
-                          max_bucket: int | None = None) -> DataFrame:
+                          max_bucket: int | None = None,
+                          tier: str = "auto",
+                          n_docs: int | None = None) -> DataFrame:
     """Near-dup pairs within ``max_hamming`` simhash bits — the scale
     path between exact-simhash grouping (misses 1-bit differences) and
     all-pairs Hamming (quadratic).
@@ -556,8 +696,9 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
     from ..sources.tables import ensure_parallelism
     base = ensure_parallelism(df.select(F.col(id_col).alias("__id"),
                                         F.col(text_col).alias("__text")))
-    hashed = base.select(
-        "__id", simhash(F.col("__text"), bits).alias("__h"))
+    hashed = simhash_tiered(base, text_col="__text", id_col="__id",
+                            bits=bits, tier=tier, n_docs=n_docs,
+                            out_col="__h")
 
     def band_key(h: Column, b: int) -> Column:
         mask = (1 << width) - 1
@@ -610,7 +751,8 @@ def _hamming_ball_masks(bits: int, max_hamming: int) -> list[int]:
 
 def simhash_neighbor_counts(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", bits: int = 16,
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3, tier: str = "auto",
+                            n_docs: int | None = None) -> DataFrame:
     """Per-document count of near-duplicates within ``max_hamming``
     simhash bits — the LINEAR-size answer to a question whose pair list
     is quadratic on heavily templated corpora (~3.8M qualifying pairs
@@ -638,9 +780,9 @@ def simhash_neighbor_counts(df: DataFrame, text_col: str = "text",
                                         F.col(text_col).alias("__text")))
     # localCheckpoint: both the count aggregation and the final mapping
     # join consume the hashes — one fold pass, not two
-    hashed = base.select("__id",
-                         simhash(F.col("__text"), bits).alias("__h")) \
-        .localCheckpoint()
+    hashed = simhash_tiered(base, text_col="__text", id_col="__id",
+                            bits=bits, tier=tier, n_docs=n_docs,
+                            out_col="__h").localCheckpoint()
     spark = df.sparkSession
     counts = {r["__h"]: r["cnt"] for r in
               hashed.groupBy("__h").agg(F.count("*").alias("cnt")).collect()}

@@ -820,11 +820,11 @@ SELECT doc_id, md5(norm_text) AS fingerprint,
 FROM s
 """)
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import fingerprint, rolling_fingerprint
-    d = _tp(spark, sf_dir, "documents")
-    return d.select("doc_id",
-                    fingerprint(F.col("text")).alias("fingerprint"),
-                    rolling_fingerprint(F.col("text"), 4).alias("rolling_fp"))
+    # tier-routed: the Column rolling fingerprint interprets one md5
+    # HOF per window; past the crossover the Arrow twin computes both
+    # fingerprints in one scan (bit-identical, parity-tested)
+    from .operators.dedup import fingerprints_tiered
+    return fingerprints_tiered(_tp(spark, sf_dir, "documents"), window=4)
 
 
 # ---------------------------------------------------------------------------
@@ -884,9 +884,11 @@ SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM t
 
 @q("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import simhash
-    return _tp(spark, sf_dir, "documents").select(
-        "doc_id", simhash(F.col("text"), 16).alias("simhash"))
+    # routes Column fold vs Arrow twin by corpus size (bit-identical;
+    # the pinned Column fold was the family's 5.9x/decade ledger term)
+    from .operators.dedup import simhash_tiered
+    d = _tp(spark, sf_dir, "documents")
+    return simhash_tiered(d, bits=16).select("doc_id", "simhash")
 
 
 # SimHash Hamming-ball near-dup DEGREES: the banded pigeonhole
