@@ -275,11 +275,23 @@ class SqlEngine:
             rest = rest[:lim.start()]
         wm = _WHERE_RE.search(rest)
         where = self._rewrite_meta(wm.group("cond").strip()) if wm else None
+        # anything left after USING/WHERE/LIMIT are consumed is a
+        # clause this grammar does NOT understand (ORDER BY, stray
+        # LIMIT with a non-numeric argument, ...) — refuse instead of
+        # silently dropping it (the reference's parser errors on
+        # trailing tokens too, parser.go table-driven invalid tests)
+        leftover = (rest[:wm.start()] + rest[wm.end():]) if wm else rest
+        if leftover.strip():
+            raise ValueError(
+                f"unparsed clause after NEAREST TO: {leftover.strip()!r} "
+                "(grammar: [USING metric] [WHERE ...] [LIMIT n])")
 
         qtext = m.group("q")
         exclude_id = None
         if qtext.startswith("["):
             vec = _parse_vector_literal(qtext)
+            if not vec:
+                raise ValueError("empty vector literal in NEAREST TO")
             vec_sql = "array(" + ", ".join(f"{v!r}D" for v in vec) + ")"
         elif qtext.startswith("'"):
             # id reference: look up the stored vector, exclude the self-match
@@ -302,6 +314,17 @@ class SqlEngine:
                        + ")")
 
         dist = _dist_sql(metric, vec_sql)
+        # dimension guard, folded INTO the distance expression (like
+        # rangejoin folds its band guard): zip_with silently null-pads
+        # a length mismatch, which would turn every distance NULL and
+        # return k arbitrary rows (NULLS LAST) — a wrong answer, not
+        # an error. CASE WHEN, not an additive assert_true term: null-
+        # propagating Add short-circuits in codegen and would skip the
+        # assert exactly when it must fire.
+        dist = (f"CASE WHEN size(CAST(embedding AS ARRAY<DOUBLE>)) = "
+                f"size({vec_sql}) THEN {dist} ELSE "
+                f"CAST(raise_error('NEAREST TO: query vector dimension "
+                f"does not match collection dimension') AS DOUBLE) END")
         proj = self._projection(cols_raw, knn=True)
         inner_where = []
         if exclude_id is not None:
