@@ -82,15 +82,20 @@ def _bloom_positions(sh_hash, m_bits: int, k: int):
 
 def build_shingle_bloom(eval_df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5,
-                        m_bits: int = 1 << 16, k: int = 4) -> list[int]:
+                        m_bits: int = 1 << 16, k: int = 4,
+                        hashes: DataFrame | None = None) -> list[int]:
     """Distributed Bloom-filter build over the eval set's distinct
     shingle hashes: each hash sets k seeded-xxhash64 bits; the bit
     array is assembled executor-side (explode positions → per-64-bit
     word `bit_or` aggregation) and only the m_bits/64 words reach the
-    driver — 2^16 bits = 1 KiB of longs, independent of eval size."""
+    driver — 2^16 bits = 1 KiB of longs, independent of eval size.
+    ``hashes``: a precomputed distinct (shingle_hash) frame — callers
+    that also need the hash set for exact verification pass it so the
+    eval text scans once (contamination_report_bloom does)."""
     if m_bits % 64:
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
-    ev = shingle_hash_set(eval_df, id_col, text_col, n) \
+    ev = hashes if hashes is not None else \
+        shingle_hash_set(eval_df, id_col, text_col, n) \
         .select("shingle_hash").distinct()
     pos = ev.select(F.explode(F.array(
         *_bloom_positions(F.col("shingle_hash"), m_bits, k))).alias("p"))
@@ -127,7 +132,14 @@ def contamination_report_bloom(train: DataFrame, eval_df: DataFrame,
     that, fall back to ``contamination_report(broadcast_eval=False)``
     (shuffle join) or shard the eval set across several filters.
     """
-    flt = build_shingle_bloom(eval_df, id_col, text_col, n, m_bits, k)
+    # the distinct eval hash set feeds BOTH the filter build and the
+    # exact verification semi-join: derive it ONCE (it previously ran
+    # the eval text scan + shingle pass + tier count twice — the same
+    # eval-once pattern the sharded tier already had)
+    ev = (shingle_hash_set(eval_df, id_col, text_col, n)
+          .select("shingle_hash").distinct().localCheckpoint(eager=True))
+    flt = build_shingle_bloom(eval_df, id_col, text_col, n, m_bits, k,
+                              hashes=ev)
     flt_col = F.lit(flt)
     # the narrow (id, hash) frame feeds BOTH the probe projection and
     # the per-doc totals aggregate; materialize it once so the corpus
@@ -151,8 +163,6 @@ def contamination_report_bloom(train: DataFrame, eval_df: DataFrame,
         maybe = maybe & bit_set(i)
 
     totals = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    ev = (shingle_hash_set(eval_df, id_col, text_col, n)
-          .select("shingle_hash").distinct())
     hits = (tr_p.filter(maybe).select(id_col, "shingle_hash")
             .join(F.broadcast(ev), "shingle_hash", "left_semi")
             .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared")))
@@ -264,7 +274,10 @@ def contamination_report_sharded(train: DataFrame, eval_df: DataFrame,
         import math
         n_shards = max(16, math.ceil(ev.count() / HASHES_PER_SHARD))
     filt = _bloom_from_hashes(ev, n_shards, m_bits, k)
-    tr = shingle_hash_set(train, id_col, text_col, n)
+    # probe projection AND totals aggregate both consume the train
+    # shingles: checkpoint so the corpus text scan + shingle pass runs
+    # once, not twice (the bloom tier's existing pattern)
+    tr = shingle_hash_set(train, id_col, text_col, n).localCheckpoint()
     probes = _bloom_positions(F.col("shingle_hash"), m_bits, k)
     tr_p = tr.select(id_col, "shingle_hash",
                      _shard_expr(F.col("shingle_hash"),
