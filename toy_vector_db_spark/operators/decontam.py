@@ -54,13 +54,22 @@ def shingle_hash_set(df: DataFrame, id_col: str = "doc_id",
 def contamination_report(train: DataFrame, eval_df: DataFrame,
                          id_col: str = "doc_id", text_col: str = "text",
                          n: int = 5, min_shared: int = 1,
-                         broadcast_eval: bool = True) -> DataFrame:
+                         broadcast_eval: bool = True,
+                         train_tier: str = "auto") -> DataFrame:
     """Per-train-document overlap report: ``n_shingles`` (distinct
     n-grams in the doc), ``n_shared`` (of those, how many appear
     anywhere in the eval set), ``contaminated`` (n_shared >=
     min_shared). One shuffle: the membership probe is a broadcast left
-    join, then a single groupBy(id) aggregates both counts."""
-    tr = shingle_hash_set(train, id_col, text_col, n)
+    join, then a single groupBy(id) aggregates both counts.
+
+    ``train_tier``: shingle-derivation tier for the train side. A
+    STREAMING train frame defaults to the Column tier (a streaming
+    plan cannot run the auto rule's count job, and real micro-batches
+    are small) — but a caller draining a corpus-sized batch through
+    one trigger (AvailableNow backfills) should pass "arrow"
+    explicitly: mapInPandas is streaming-legal and the Column
+    transform is the interpreted-HOF tier the crossover exists for."""
+    tr = shingle_hash_set(train, id_col, text_col, n, tier=train_tier)
     ev = (shingle_hash_set(eval_df, id_col, text_col, n)
           .select("shingle_hash").distinct()
           .withColumn("__hit", F.lit(1)))

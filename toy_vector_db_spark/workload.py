@@ -4176,8 +4176,17 @@ def decontam_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
                    _stream_partitions(spark, sf_dir))
+    # the AvailableNow drain pushes the WHOLE corpus through one
+    # trigger, so the train side's shingle tier must follow corpus
+    # size like the batch twin does — a streaming frame can't run the
+    # auto rule's count job, but the batch-side footer count can
+    # stand in for it (same table)
+    from .operators.dedup import _SIG_ARROW_MIN_DOCS
+    n_docs = _tp(spark, sf_dir, "documents").count()
+    tier = "arrow" if n_docs >= _SIG_ARROW_MIN_DOCS else "column"
     try:
-        report = contamination_report(src, ev, n=5).select(
+        report = contamination_report(src, ev, n=5,
+                                      train_tier=tier).select(
             "doc_id", F.col("n_shingles").cast("bigint").alias("n_shingles"),
             F.col("n_shared").cast("bigint").alias("n_shared"),
             "contaminated")
