@@ -228,6 +228,59 @@ def test_fingerprints_tier_parity_and_routing(spark, docs):
         fingerprints_tiered(docs, tier="bogus")
 
 
+def test_all_tier_families_parity_on_random_unicode(spark):
+    """One seeded fuzz corpus (ASCII + Latin-1 + CJK + emoji + RTL +
+    combining marks + the casing traps: Turkish I, sharp s, final
+    sigma, ligatures, fullwidth, Kelvin sign) pushed through EVERY
+    Column/Arrow tier pair — signatures, shingles, simhash,
+    fingerprints. The tier contract is bit-parity on ANY input, which
+    rests on Java and Python lowercasing/tokenizing identically; this
+    is the test that would catch a divergence before a corpus does."""
+    import random
+
+    from toy_vector_db_spark.operators.dedup import (
+        fingerprints_tiered, minhash_signatures_arrow, minhash_signature,
+        shingles_tiered, simhash_tiered)
+    rng = random.Random(42)
+    pools = [
+        "abcdefghij XYZ .,!?;: 0123456789",
+        "İıßẞΣσςΟΔ ﬁﬂ ＡＢＣ K",            # casing traps
+        "середина текста кириллицей",
+        "中文字符串 漢字 かな カナ",
+        "🎉🚀😀 ́̈ ◌",              # emoji + combining
+        "مرحبا بالعالم עברית",               # RTL
+        " \t\n\x0b\f\r\xa0 ",           # JVM vs unicode whitespace
+    ]
+    texts = [None, ""]
+    for _ in range(58):
+        pool = rng.choice(pools)
+        texts.append("".join(rng.choice(pool)
+                             for _ in range(rng.randint(1, 60))))
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    sig_c = {r[0]: tuple(r[1]) for r in df.select(
+        "doc_id", minhash_signature(F.col("text"), 8, 3)).collect()}
+    sig_a = {r[0]: tuple(r[1]) for r in
+             minhash_signatures_arrow(df, num_perm=8, shingle_k=3)
+             .select("doc_id", "sig").collect()}
+    assert sig_c == sig_a
+    sh_c = {r[0]: frozenset(r[1]) for r in
+            shingles_tiered(df, k=3, tier="column").collect()}
+    sh_a = {r[0]: frozenset(r[1]) for r in
+            shingles_tiered(df, k=3, tier="arrow").collect()}
+    assert sh_c == sh_a
+    sim_c = {r[0]: r[1] for r in
+             simhash_tiered(df, bits=16, tier="column").collect()}
+    sim_a = {r[0]: r[1] for r in
+             simhash_tiered(df, bits=16, tier="arrow").collect()}
+    assert sim_c == sim_a
+    fp_c = {r[0]: (r[1], r[2]) for r in
+            fingerprints_tiered(df, tier="column").collect()}
+    fp_a = {r[0]: (r[1], r[2]) for r in
+            fingerprints_tiered(df, tier="arrow").collect()}
+    assert fp_c == fp_a
+
+
 def test_minhash_auto_tier_thresholds(docs):
     """auto routes by corpus size: below the crossover it must build
     the Column-fold plan (no mapInPandas/ArrowEval), above it the
