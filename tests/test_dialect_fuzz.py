@@ -86,6 +86,62 @@ def test_dimension_mismatch_is_an_error_not_null_rows(engine):
                    "NEAREST TO [1.0, 0.0]").collect()
 
 
+def test_null_embedding_row_does_not_kill_query(engine, spark):
+    """ADVICE r7: size(NULL) is NULL, so a null-embedding row fell
+    through the dimension guard's CASE WHEN to the raise branch and
+    one bad row killed the whole NEAREST TO query. It must instead
+    keep a NULL distance and sort NULLS LAST (i.e. be skipped)."""
+    spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("hole", None)],
+        "id string, embedding array<double>",
+    ).createOrReplaceTempView("nullvecs")
+    rows = engine.sql("SELECT id, distance FROM nullvecs "
+                      "NEAREST TO [1.0, 0.0] LIMIT 2").collect()
+    assert [r["id"] for r in rows] == ["a", "b"]
+    # and a LIMIT big enough to reach the null row returns it last,
+    # with a NULL distance — never an error
+    rows = engine.sql("SELECT id, distance FROM nullvecs "
+                      "NEAREST TO [1.0, 0.0] LIMIT 3").collect()
+    assert rows[-1]["id"] == "hole" and rows[-1]["distance"] is None
+
+
+def test_null_embedding_does_not_mask_real_mismatch(engine, spark):
+    """The NULL branch must not swallow the guard: a genuine
+    dimension mismatch alongside null rows still raises."""
+    spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("hole", None)],
+        "id string, embedding array<double>",
+    ).createOrReplaceTempView("nullvecs2")
+    with pytest.raises(Exception, match="dimension"):
+        engine.sql("SELECT id FROM nullvecs2 "
+                   "NEAREST TO [1.0, 0.0, 0.0] LIMIT 2").collect()
+
+
+def test_limit_keyword_inside_string_literal_is_not_a_clause(engine):
+    """ADVICE r7: _WHERE_RE used to terminate the condition at any
+    \\bLIMIT\\b token — including inside a string literal — so
+    ``WHERE metadata.note = 'limit reached' LIMIT 5`` raised
+    'unparsed clause'. The clause split is now quote-masked."""
+    rows = engine.sql(
+        "SELECT id, distance FROM vmeta NEAREST TO [1.0, 0.0, 0.0, 0.0] "
+        "WHERE metadata.category != 'limit reached' LIMIT 2").collect()
+    assert len(rows) == 2        # missing-key != is TRUE, so all match
+    # same with a quoted WHERE keyword, and with the '' escape
+    rows = engine.sql(
+        "SELECT id FROM vmeta NEAREST TO [1.0, 0.0, 0.0, 0.0] "
+        "WHERE metadata.category != 'where it''s limit 9' LIMIT 3").collect()
+    assert len(rows) == 3
+
+
+def test_quoted_limit_without_real_limit_uses_default(engine):
+    """A LIMIT-shaped tail INSIDE a literal must not be consumed as
+    the real LIMIT clause; the knn default (10) applies."""
+    rows = engine.sql(
+        "SELECT id FROM vmeta NEAREST TO [1.0, 0.0, 0.0, 0.0] "
+        "WHERE metadata.category != 'LIMIT 1'").collect()
+    assert len(rows) == 5        # all rows, not 1
+
+
 def test_trailing_clause_never_silently_dropped(engine):
     """Pre-r7 the tail of the statement after WHERE/LIMIT extraction
     was discarded — 'ORDER BY id' after a knn clause parsed fine and

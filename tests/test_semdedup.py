@@ -75,6 +75,24 @@ def test_dedup_no_pairs_is_identity(vecs):
     assert kept.count() == len(VECS)
 
 
+def test_explicit_n_clusters_keeps_the_block_guard(vecs):
+    """ADVICE r7: allow_quadratic=None resolves False when n_clusters
+    is EXPLICIT — a hand-picked small cluster count on a big corpus is
+    the latent-N^2 shape the guard exists for; the ivf_nlist rationale
+    only covers the auto-sized key. max_block_rows shrinks the cap so
+    the 3-row cluster trips it in-test."""
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        semantic_dup_pairs(vecs, n_clusters=1, threshold=0.99,
+                           max_block_rows=2).collect()
+    # explicit override still wins
+    got = semantic_dup_pairs(vecs, n_clusters=1, threshold=0.99,
+                             max_block_rows=2, allow_quadratic=True)
+    assert got.count() >= 1
+    # and the auto-sized learned key skips the guard by default
+    auto = semantic_dup_pairs(vecs, threshold=0.99, max_block_rows=2)
+    assert auto.count() >= 0       # no raise — guard skipped
+
+
 def test_kmeans_path_runs(vecs):
     # the Lloyd-trained (non-oracle) path: shape only
     out = semantic_dedup(vecs, n_clusters=2, threshold=0.99,

@@ -886,8 +886,9 @@ def cosine_near_dup_blocked(df: DataFrame, block_col: str,
     ``max_block_rows``) raise, pointing at the scale-safe learned key
     (``semdedup.semantic_dup_pairs``/``semantic_dedup``, blocks sized
     by ``ivf_nlist`` — those stay near the cap by construction; the
-    semdedup entry points default ``allow_quadratic=True`` since the
-    learned key IS the sanctioned path). At 100 TB the block key
+    semdedup entry points skip the guard only for the AUTO-sized
+    learned key, and keep it when a caller hand-picks n_clusters —
+    ADVICE r7). At 100 TB the block key
     would be an IVF/LSH bucket (see ``embedding_near_dup_pairs``),
     which keeps the same plan shape.
     Output: (id_a, id_b, cosine_sim >= threshold).

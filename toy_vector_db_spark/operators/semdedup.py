@@ -80,7 +80,7 @@ def semantic_dup_pairs(df: DataFrame, n_clusters: int | None = None,
                        threshold: float = 0.95,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        deterministic: bool = True,
-                       allow_quadratic: bool = True,
+                       allow_quadratic: bool | None = None,
                        max_block_rows: int | None = None) -> DataFrame:
     """Within-cluster cosine near-dup pairs (id_a < id_b, cosine_sim).
 
@@ -88,17 +88,21 @@ def semantic_dup_pairs(df: DataFrame, n_clusters: int | None = None,
     documented recall/cost trade; raise n_clusters for cost, lower it
     for recall.
 
-    ``allow_quadratic`` defaults True here (unlike the raw blocked
-    scorer): the learned ``ivf_nlist``-sized key IS the sanctioned
-    scale path — expected occupancy ~sqrt(n)/4 stays far under
+    ``allow_quadratic=None`` (the default) resolves by how the
+    blocking key was sized (ADVICE r7): an AUTO-sized key
+    (``n_clusters=None`` → ``ivf_nlist``) skips the block-size guard —
+    the learned sqrt-scaled key IS the sanctioned scale path, expected
+    occupancy ~sqrt(n)/4 stays far under
     ``chooser.QUADRATIC_BLOCK_MAX_ROWS``, and skipping the guard also
-    skips its extra full groupBy-count pass. A replica-saturated or
-    boilerplate-heavy corpus CAN still skew one learned cluster past
-    the cap; callers who would rather fail fast than pay a bounded
-    chunked-BLAS quadratic on that cluster pass
-    ``allow_quadratic=False`` (optionally with ``max_block_rows``) and
-    get a learned-key-specific error, not the circular advice to use
-    semdedup."""
+    skips its extra full groupBy-count pass. An EXPLICITLY supplied
+    ``n_clusters`` keeps the guard: a hand-picked small cluster count
+    on a large corpus is exactly the latent-N² shape the guard exists
+    for, and the ivf_nlist rationale does not transfer to it. Pass
+    ``allow_quadratic=True``/``False`` to override either way; guard
+    failures cite the learned-key hint, not the circular advice to
+    use semdedup."""
+    if allow_quadratic is None:
+        allow_quadratic = n_clusters is None
     clustered = semantic_clusters(df, n_clusters, id_col, vec_col,
                                   deterministic)
     return cosine_near_dup_blocked(clustered, "__cluster", id_col=id_col,
@@ -112,7 +116,7 @@ def semantic_dedup(df: DataFrame, n_clusters: int | None = None,
                    threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    deterministic: bool = True,
-                   allow_quadratic: bool = True,
+                   allow_quadratic: bool | None = None,
                    max_block_rows: int | None = None) -> DataFrame:
     """Survivors after semantic dedup: one representative (smallest
     id) per connected group of within-cluster near-dups; rows with no
@@ -124,8 +128,8 @@ def semantic_dedup(df: DataFrame, n_clusters: int | None = None,
     broadcasts it and the survivors pass is map-side.
 
     ``allow_quadratic``/``max_block_rows`` pass through to the blocked
-    scorer (see ``semantic_dup_pairs`` for why True is the default
-    here)."""
+    scorer (see ``semantic_dup_pairs`` for the None default: guard
+    skipped only for the auto-sized learned key)."""
     pairs = semantic_dup_pairs(df, n_clusters, threshold, id_col, vec_col,
                                deterministic, allow_quadratic,
                                max_block_rows)

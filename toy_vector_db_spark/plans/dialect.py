@@ -95,6 +95,36 @@ class SqlResult:
         return self.df.collect() if self.df is not None else []
 
 
+def _mask_quotes(text: str) -> str:
+    """Same-length copy of ``text`` with the contents of '...' string
+    literals (including the '' escape) blanked to spaces, so clause
+    regexes (_WHERE_RE/_LIMIT_RE) can't match keywords INSIDE a
+    literal — ``WHERE note = 'limit reached' LIMIT 5`` must split at
+    the real LIMIT, not the quoted one. Same length means match
+    indices map 1:1 back into the original text."""
+    out, i, n = [], 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch != "'":
+            out.append(ch)
+            i += 1
+            continue
+        out.append("'")
+        i += 1
+        while i < n:
+            if text[i] == "'":
+                if i + 1 < n and text[i + 1] == "'":  # '' escape
+                    out.append("  ")
+                    i += 2
+                    continue
+                out.append("'")
+                i += 1
+                break
+            out.append(" ")
+            i += 1
+    return "".join(out)
+
+
 def _parse_vector_literal(text: str) -> list[float]:
     body = text.strip()[1:-1].strip()
     if not body:
@@ -269,12 +299,17 @@ class SqlEngine:
             raise ValueError(f"unsupported distance metric: {metric!r} "
                              f"(supported: {sorted(METRICS)})")
 
-        lim = _LIMIT_RE.search(rest)
+        # clause regexes run on a quote-masked shadow (same length) so
+        # a keyword inside a string literal never splits the clause;
+        # the matched spans slice the ORIGINAL text (ADVICE r7).
+        masked = _mask_quotes(rest)
+        lim = _LIMIT_RE.search(masked)
         k = int(lim.group(1)) if lim else DEFAULT_KNN_LIMIT
         if lim:
-            rest = rest[:lim.start()]
-        wm = _WHERE_RE.search(rest)
-        where = self._rewrite_meta(wm.group("cond").strip()) if wm else None
+            rest, masked = rest[:lim.start()], masked[:lim.start()]
+        wm = _WHERE_RE.search(masked)
+        where = (self._rewrite_meta(rest[wm.start("cond"):wm.end("cond")].strip())
+                 if wm else None)
         # anything left after USING/WHERE/LIMIT are consumed is a
         # clause this grammar does NOT understand (ORDER BY, stray
         # LIMIT with a non-numeric argument, ...) — refuse instead of
@@ -320,8 +355,12 @@ class SqlEngine:
         # return k arbitrary rows (NULLS LAST) — a wrong answer, not
         # an error. CASE WHEN, not an additive assert_true term: null-
         # propagating Add short-circuits in codegen and would skip the
-        # assert exactly when it must fire.
-        dist = (f"CASE WHEN size(CAST(embedding AS ARRAY<DOUBLE>)) = "
+        # assert exactly when it must fire. A NULL embedding is NOT a
+        # mismatch: it keeps a NULL distance and sorts NULLS LAST
+        # (size(NULL) is NULL, which would otherwise fall through to
+        # the raise branch and kill the whole query — ADVICE r7).
+        dist = (f"CASE WHEN embedding IS NULL THEN CAST(NULL AS DOUBLE) "
+                f"WHEN size(CAST(embedding AS ARRAY<DOUBLE>)) = "
                 f"size({vec_sql}) THEN {dist} ELSE "
                 f"CAST(raise_error('NEAREST TO: query vector dimension "
                 f"does not match collection dimension') AS DOUBLE) END")
