@@ -810,21 +810,38 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
-@q("text_fingerprints", f"""
+def _fingerprints_oracle(window: int = 4) -> str:
+    return f"""
 WITH n AS (SELECT doc_id, {_DD_NORM} AS norm_text FROM documents),
 s AS (SELECT doc_id, norm_text,
-             {_dd_shingles(4, "string_split(norm_text, ' ')")} AS rolled
+             {_dd_shingles(window, "string_split(norm_text, ' ')")} AS rolled
       FROM n)
 SELECT doc_id, md5(norm_text) AS fingerprint,
        list_aggregate(list_transform(rolled, x -> md5(x)), 'min') AS rolling_fp
 FROM s
-""")
+"""
+
+
+@q("text_fingerprints", _fingerprints_oracle())
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tier-routed: the Column rolling fingerprint interprets one md5
     # HOF per window; past the crossover the Arrow twin computes both
     # fingerprints in one scan (bit-identical, parity-tested)
     from .operators.dedup import fingerprints_tiered
     return fingerprints_tiered(_tp(spark, sf_dir, "documents"), window=4)
+
+
+# The Arrow/hashlib fingerprint tier PINNED, under the SAME oracle as
+# the tier-routed query above: fingerprints_tiered routes by corpus
+# size (crossover _SIG_ARROW_MIN_DOCS = 50k docs), so the driver at
+# sf0.01 only ever exercises the Column tier through text_fingerprints
+# — this twin makes the 100x default path driver-value-hashable too
+# (same move as dedup_minhash_signatures_arrow; VERDICT r7 next #1).
+@q("text_fingerprints_arrow", _fingerprints_oracle())
+def text_fingerprints_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import fingerprints_tiered
+    return fingerprints_tiered(_tp(spark, sf_dir, "documents"), window=4,
+                               tier="arrow")
 
 
 # ---------------------------------------------------------------------------
@@ -889,6 +906,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_tiered
     d = _tp(spark, sf_dir, "documents")
     return simhash_tiered(d, bits=16).select("doc_id", "simhash")
+
+
+# The Arrow/hashlib+NumPy simhash tier PINNED under the same oracle —
+# the default path past the 50k-doc crossover, which the driver's
+# sf0.01 corpus can never reach through the auto-routed query above
+# (VERDICT r7 next #1; mirrors dedup_minhash_signatures_arrow).
+@q("dedup_simhash_arrow", _simhash_oracle())
+def dedup_simhash_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_tiered
+    d = _tp(spark, sf_dir, "documents")
+    return simhash_tiered(d, bits=16, tier="arrow").select(
+        "doc_id", "simhash")
 
 
 # SimHash Hamming-ball near-dup DEGREES: the banded pigeonhole
