@@ -25,7 +25,13 @@ Scope (deliberately narrow so the signal stays strong):
   ``n_clusters``, ``n_centroids``, ``nlist``, ``*_cap``,
   ``*_partitions``, ``*_buckets``, ``*_shards``) — rationale
   (``cap:``) or a chooser/ivf_nlist reference must appear in the
-  function's own source (docstring included).
+  function's own source (docstring included);
+- literal partition counts at CALL sites (r7 verdict item 5): a raw
+  ``.repartition(64)`` / ``.coalesce(8)`` / ``numPartitions=16``
+  inside a function body is the same latent one-task-bottleneck /
+  tiny-task-storm shape as a pinned module constant, but the two
+  visitors above can't see it — rationale must sit within the call's
+  preceding comment block (same 8-line window as module constants).
 
 NOT in scope: convergence/depth/radius knobs (``max_iter``,
 ``max_hops``, ``max_hamming``), display widths, algorithm parameters
@@ -54,6 +60,12 @@ PARAM_SUFFIX = re.compile(r".*_(cap|partitions|buckets|shards)$")
 
 RATIONALE = re.compile(r"cap:|chooser|ivf_nlist", re.I)
 
+#: DataFrame/RDD methods whose first positional arg is a partition
+#: count, and call keywords that carry one anywhere in the API
+PARTITION_METHODS = {"repartition", "repartitionByRange", "coalesce"}
+PARTITION_KWARGS = {"numPartitions", "num_partitions", "parallelism",
+                    "numSlices"}
+
 
 def _iter_findings():
     for f in sorted(PKG.rglob("*.py")):
@@ -74,6 +86,28 @@ def _iter_findings():
                                    f"{node.lineno} module constant {t.id}="
                                    f"{node.value.value}")
         for node in ast.walk(tree):
+            if isinstance(node, ast.Call):
+                lits = []
+                if (isinstance(node.func, ast.Attribute)
+                        and node.func.attr in PARTITION_METHODS
+                        and node.args
+                        and isinstance(node.args[0], ast.Constant)
+                        and isinstance(node.args[0].value, int)
+                        and not isinstance(node.args[0].value, bool)):
+                    lits.append(f"{node.func.attr}({node.args[0].value})")
+                for kw in node.keywords:
+                    if (kw.arg in PARTITION_KWARGS
+                            and isinstance(kw.value, ast.Constant)
+                            and isinstance(kw.value.value, int)
+                            and not isinstance(kw.value.value, bool)):
+                        lits.append(f"{kw.arg}={kw.value.value}")
+                if lits:
+                    ctx = "\n".join(
+                        lines[max(0, node.lineno - 9):node.lineno])
+                    if not RATIONALE.search(ctx):
+                        for lit in lits:
+                            yield (f"{f.relative_to(PKG.parent)}:"
+                                   f"{node.lineno} call-site {lit}")
             if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
                 continue
             args = node.args
@@ -111,10 +145,21 @@ def test_lint_catches_a_raw_knob(tmp_path):
     guard: a refactor that silently empties the patterns would make
     the audit vacuous."""
     probe = PKG / "_lint_probe_tmp.py"
-    probe.write_text("MAX_PROBE_ROWS = 123\n"
-                     "def f(max_bucket: int = 7):\n    return max_bucket\n")
+    probe.write_text(
+        "MAX_PROBE_ROWS = 123\n"
+        "def f(max_bucket: int = 7):\n    return max_bucket\n"
+        "def g(df, sc):\n"
+        "    df = df.repartition(64)\n"
+        "    sc.parallelize([], numSlices=16)\n"
+        "    return df.coalesce(1)\n"
+        "def h(df):\n"
+        "    # cap: single output file for a bounded report\n"
+        "    return df.coalesce(1)\n")
     try:
         misses = [m for m in _iter_findings() if "_lint_probe_tmp" in m]
-        assert len(misses) == 2
+        # 2 knob findings + 3 call-site findings; h()'s annotated
+        # coalesce must NOT fire
+        assert len(misses) == 5, misses
+        assert sum("call-site" in m for m in misses) == 3, misses
     finally:
         probe.unlink()
