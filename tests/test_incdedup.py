@@ -200,6 +200,55 @@ def test_intra_batch_greedy_chain_and_best_partner(spark):
     assert _intra_batch_greedy(third).first()["__sim"] == 0.3333
 
 
+def test_greedy_component_form_equals_round_form(spark):
+    """r8: the default sweep is connected-components + per-component
+    sequential greedy in one applyInPandas; the pre-r8 round form
+    stays as the fallback. Both must produce identical flag sets on
+    every fixture shape — chain, clique, star, best-partner, and a
+    40-deep chain (sub-cap for the round form, so the round form is
+    exact there and serves as the oracle)."""
+    from toy_vector_db_spark.streaming.incdedup import (
+        _intra_batch_greedy, _intra_batch_greedy_rounds)
+    fixtures = {
+        "chain": [(1, 2, 0.8), (2, 3, 0.7)],
+        "clique": [(1, 2, 0.9), (1, 3, 0.8), (2, 3, 0.95)],
+        "best": [(1, 2, 0.8), (1, 4, 0.6), (2, 4, 0.9)],
+        "star": [(5, 6, 0.9), (5, 7, 0.8), (5, 8, 0.7)],
+        "two-components": [(1, 2, 0.9), (10, 11, 0.8), (11, 12, 0.7)],
+        "chain40": [(i, i + 1, 0.5 + 0.001 * i) for i in range(1, 40)],
+    }
+    for name, rows in fixtures.items():
+        df = spark.createDataFrame(
+            rows, "id_a long, id_b long, jaccard double")
+        a = sorted(tuple(r) for r in _intra_batch_greedy(df).collect())
+        b = sorted(tuple(r)
+                   for r in _intra_batch_greedy_rounds(df).collect())
+        assert a == b, (name, a, b)
+
+
+def test_greedy_deep_chain_is_exact_past_the_old_cap(spark):
+    """A 64-deep chain exceeds nothing in the component form (the
+    round form would need 32 rounds — past _SWEEP_MAX_ROUNDS=30 it
+    over-accepts the tail). Exact greedy on a path graph: evens
+    flagged against their odd predecessor, odds accepted."""
+    from toy_vector_db_spark.streaming.incdedup import _intra_batch_greedy
+    chain = spark.createDataFrame(
+        [(i, i + 1, 0.5) for i in range(1, 65)],
+        "id_a long, id_b long, jaccard double")
+    got = {r["__flag_id"]: r["__dup_of"]
+           for r in _intra_batch_greedy(chain).collect()}
+    assert got == {v: v - 1 for v in range(2, 66, 2)}
+
+
+def test_greedy_empty_pairs_fast_path(spark):
+    from toy_vector_db_spark.streaming.incdedup import _intra_batch_greedy
+    empty = spark.createDataFrame(
+        [], "id_a long, id_b long, jaccard double")
+    out = _intra_batch_greedy(empty)
+    assert out.columns == ["__flag_id", "__dup_of", "__sim"]
+    assert out.count() == 0
+
+
 def test_streaming_ingest_chain_member_reaches_store(spark, tmp_path):
     # transitive intra-batch chain x~y, y~z, x!~z (word-level jaccard:
     # x,y and y,z share 4/8 = 0.5; x,z share 2/10 = 0.2): the greedy
