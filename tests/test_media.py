@@ -1,13 +1,58 @@
-"""Multimodal plumbing: schema, Arrow batch shape, map-only plans.
-The codec itself is a documented deterministic stub (no media libs in
-this environment) — what's under test is the Spark-side pipeline."""
+"""Multimodal pipeline: schema, Arrow batch shape, map-only plans, and
+(r8) the REAL pure-NumPy PPM/BMP codec path — decode, histogram
+features, and nearest-neighbor resize are value-tested on generated
+pixel fixtures; non-decodable payloads keep the deterministic
+hash-fake contract."""
 
 from __future__ import annotations
 
+import numpy as np
+import pytest
+
 from toy_vector_db_spark.operators.media import (
-    FEATURE_DIM, decode_media, extract_media_features, frame_sample,
-    resize_plan, synth_media,
+    FEATURE_DIM, _parse_bmp, _parse_ppm, decode_media, encode_ppm,
+    extract_media_features, frame_sample, resize_media, resize_plan,
+    synth_media,
 )
+
+
+def _gradient(h: int, w: int) -> np.ndarray:
+    """Deterministic pixel fixture: per-channel gradients."""
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(x * 255 // max(w - 1, 1)),
+                     (y * 255 // max(h - 1, 1)),
+                     ((x + y) % 256)], axis=-1).astype(np.uint8)
+
+
+def _encode_bmp(arr: np.ndarray) -> bytes:
+    """Minimal 24-bit BI_RGB bottom-up BMP writer (test-side inverse
+    of _parse_bmp)."""
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, :w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # BGR bottom-up
+    body = raster.tobytes()
+    off = 14 + 40
+    size = off + len(body)
+    hdr = (b"BM" + size.to_bytes(4, "little") + b"\0\0\0\0"
+           + off.to_bytes(4, "little")
+           + (40).to_bytes(4, "little")
+           + w.to_bytes(4, "little", signed=True)
+           + h.to_bytes(4, "little", signed=True)
+           + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+           + (2835).to_bytes(4, "little") * 2
+           + (0).to_bytes(4, "little") * 2)
+    return hdr + body
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        [(mid, "image", bytearray(payload), "image/x-test",
+          None, None, None, {"source": "fixture"}) for mid, payload in rows],
+        "media_id string, modality string, payload binary, mime_type string,"
+        " width int, height int, duration_ms long,"
+        " metadata map<string,string>")
 
 
 def test_synth_media_deterministic(spark):
@@ -57,3 +102,75 @@ def test_resize_plan(spark):
     for r in rows:
         assert max(r["out_w"], r["out_h"]) <= 128
         assert r["out_w"] == int(r["width"] * r["scale"])
+
+
+# -- real codec path (r8) ----------------------------------------------------
+
+
+def test_ppm_roundtrip_and_bmp_parse():
+    px = _gradient(12, 17)
+    assert np.array_equal(_parse_ppm(encode_ppm(px)), px)
+    assert np.array_equal(_parse_bmp(_encode_bmp(px)), px)
+    # comments + multi-whitespace PPM header
+    hand = b"P6\n# a comment\n 3  2\n255\n" + bytes(range(18))
+    assert _parse_ppm(hand).shape == (2, 3, 3)
+    with pytest.raises(ValueError):
+        _parse_ppm(b"P6\n3 2\n255\n\x00\x00")           # truncated raster
+    with pytest.raises(ValueError):
+        _parse_bmp(b"BM" + b"\x00" * 60)                # size field mismatch
+
+
+def test_decode_media_real_pixels(spark):
+    px_a, px_b = _gradient(8, 10), _gradient(16, 5)
+    out = {r["media_id"]: r for r in decode_media(_media_df(spark, [
+        ("ppm", encode_ppm(px_a)), ("bmp", _encode_bmp(px_b)),
+        ("raw", b"\x01\x02\x03\x04"),
+    ])).collect()}
+    assert (out["ppm"]["width"], out["ppm"]["height"]) == (10, 8)
+    assert out["ppm"]["mean_intensity"] == pytest.approx(px_a.mean())
+    assert (out["bmp"]["width"], out["bmp"]["height"]) == (5, 16)
+    assert out["bmp"]["mean_intensity"] == pytest.approx(px_b.mean())
+    # non-decodable payload keeps the deterministic hash-fake contract
+    assert 1 <= out["raw"]["width"] <= 1920
+
+
+def test_features_are_real_histograms_for_pixels(spark):
+    px = _gradient(9, 9)
+    rows = {r["media_id"]: np.array(r["features"])
+            for r in extract_media_features(_media_df(spark, [
+                ("img", encode_ppm(px)), ("raw", b"\xde\xad\xbe\xef"),
+            ])).collect()}
+    hist, _ = np.histogram(px, bins=FEATURE_DIM, range=(0, 256))
+    want = hist / np.linalg.norm(hist)
+    assert np.allclose(rows["img"], want, atol=1e-6)
+    assert abs(np.linalg.norm(rows["raw"]) - 1) < 1e-5
+
+
+def test_resize_media_real_resample(spark):
+    px = _gradient(64, 128)
+    out = {r["media_id"]: r for r in resize_media(_media_df(spark, [
+        ("img", encode_ppm(px)), ("raw", b"\x00\x01"),
+    ]), 32, 32).collect()}
+    r = out["img"]
+    assert r["decoded"] and (r["width"], r["height"]) == (32, 16)
+    resized = _parse_ppm(bytes(r["payload"]))
+    assert resized.shape == (16, 32, 3)
+    # nearest-neighbor: every output pixel exists in the source
+    yi = (np.arange(16) * (64 / 16)).astype(int)
+    xi = (np.arange(32) * (128 / 32)).astype(int)
+    assert np.array_equal(resized, px[yi][:, xi])
+    # aspect preserved within rounding
+    assert abs(r["width"] / r["height"] - 128 / 64) < 0.2
+    # non-decodable: untouched passthrough, flagged for quarantine
+    assert not out["raw"]["decoded"]
+    assert bytes(out["raw"]["payload"]) == b"\x00\x01"
+    assert out["raw"]["width"] is None
+
+
+def test_decode_rejects_magic_collision_gracefully(spark):
+    # a payload that STARTS like a BMP but is garbage must fall back
+    # to the hash-fake (the synthetic-corpus collision case), never
+    # raise or mis-decode
+    bad = b"BM" + bytes(range(48))
+    out = decode_media(_media_df(spark, [("x", bad)])).collect()[0]
+    assert out["n_bytes"] == 50 and 1 <= out["width"] <= 1920

@@ -4,11 +4,15 @@ frame-sample operators.
 
 Beyond-parity training-data-pipeline tier. The Spark-side plumbing —
 schema, Arrow batch shape, mapInPandas signatures, partitioning — is
-real and tested. The codec layer is STUBBED: this environment ships no
-image/audio libraries, so ``decode_media`` uses a deterministic fake
-decoder (clearly marked below) unless a real backend is importable.
-Swapping in Pillow/torchaudio/PyAV means replacing ``_decode_backend``
-only; every plan shape stays identical.
+real and tested. The codec layer (r8) is REAL for two dependency-free
+formats — binary PPM (P6) and uncompressed 24-bit BMP — decoded with
+pure NumPy (``_parse_ppm``/``_parse_bmp``): width/height/intensity
+come from actual pixels, and ``resize_media`` does an actual
+nearest-neighbor resample. Payloads in any OTHER format fall back to
+a deterministic payload-hash fake (clearly marked below) so synthetic
+corpora stay testable end-to-end; plugging Pillow/torchaudio/PyAV in
+means extending ``_decode_backend``'s dispatch only — every plan
+shape stays identical.
 
 Scale notes: payloads never shuffle — decode/feature UDFs are map-only
 (mapInPandas, one Arrow batch at a time, bounded memory via
@@ -54,22 +58,107 @@ def synth_media(spark: SparkSession, n: int = 100, modality: str = "image",
 
 
 # ---------------------------------------------------------------------------
-# Codec backend — STUB
+# Codec backend — real pure-NumPy PPM/BMP, hash-fake for other formats
 # ---------------------------------------------------------------------------
 
 
+def _parse_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval <= 255) -> uint8 array (H, W, 3).
+    Header grammar: 'P6' then whitespace/comment-separated width,
+    height, maxval, then ONE whitespace byte, then the raster."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":            # comment to end of line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and data[pos:pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PPM header")
+        fields.append(int(data[start:pos]))
+    w, h, maxval = fields
+    if not (0 < w and 0 < h and 0 < maxval <= 255):
+        raise ValueError(f"unsupported PPM geometry {w}x{h} maxval={maxval}")
+    pos += 1                                     # the single ws after maxval
+    raster = data[pos:pos + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _parse_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) -> uint8
+    array (H, W, 3) in RGB order, top-down. Validates the file-size
+    field so a random 'BM'-prefixed payload (a hash collision in the
+    synthetic corpus) is rejected rather than mis-decoded."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP")
+    file_size = int.from_bytes(data[2:6], "little")
+    if file_size != len(data):
+        raise ValueError("BMP file-size field mismatch")
+    off = int.from_bytes(data[10:14], "little")
+    hdr = int.from_bytes(data[14:18], "little")
+    if hdr < 40:
+        raise ValueError("unsupported BMP header")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP variant bpp={bpp} comp={comp}")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3                    # rows pad to 4 bytes
+    raster = data[off:off + stride * h]
+    if len(raster) < stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    px = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]   # BGR -> RGB
+    return px if top_down else px[::-1]
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) -> binary PPM (P6) bytes — the inverse of
+    ``_parse_ppm``; used by ``resize_media`` output and test fixtures."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + \
+        np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+
+
+def _try_decode_pixels(payload: bytes) -> np.ndarray | None:
+    """Real decode if the payload is one of the supported formats,
+    else None. Magic-matched payloads that fail validation (e.g. a
+    synthetic payload that happens to start with 'BM') fall through
+    to None — the hash-fake keeps the synthetic contract stable."""
+    if payload[:2] in (b"P6", b"BM"):
+        try:
+            return (_parse_ppm if payload[:2] == b"P6"
+                    else _parse_bmp)(payload)
+        except ValueError:
+            return None
+    return None
+
+
 def _decode_backend(payload: bytes, modality: str) -> dict:
-    """STUB DECODER. A real deployment implements this with Pillow /
-    torchaudio / PyAV; none are available in this container, so we
-    raise for real media and fall back to a deterministic fake for
-    synthetic payloads (keeps the full pipeline testable end-to-end).
-    """
-    try:  # real backend, if ever installed
-        import PIL.Image  # noqa: F401
-        raise NotImplementedError(
-            "real image decode not wired up: plug Pillow into _decode_backend")
-    except ImportError:
-        pass
+    """Dispatch: real pixel decode for PPM/BMP; a deterministic
+    payload-hash fake for every other format (this container ships no
+    image/audio libraries — extend the dispatch with Pillow /
+    torchaudio / PyAV to cover more formats; the Spark plan shapes do
+    not change)."""
+    px = _try_decode_pixels(payload)
+    if px is not None:
+        return {
+            "n_bytes": len(payload),
+            "width": int(px.shape[1]),
+            "height": int(px.shape[0]),
+            "mean_intensity": float(px.mean()),
+        }
     # deterministic fake: statistics derived from the payload bytes —
     # stable across runs/engines, shaped like real decoder output.
     # Hashes the *hex* form so an ANSI-SQL oracle (sha256 over VARCHAR)
@@ -104,16 +193,28 @@ def decode_media(df: DataFrame) -> DataFrame:
 
 
 def extract_media_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
-    """Payload -> unit-norm feature vector (deterministic sha-seeded,
-    same contract as the text embedder) via mapInPandas."""
+    """Payload -> unit-norm feature vector via mapInPandas. Decodable
+    payloads (PPM/BMP) get a REAL feature: the dim-bin pixel-intensity
+    histogram, unit-normalized — near-identical images land near each
+    other in cosine space, so the vector is usable by the ANN /
+    near-dup operators downstream. Other formats keep the
+    deterministic sha-seeded vector (same contract as the text
+    embedder) so synthetic corpora stay stable."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = []
             for payload in pdf["payload"]:
-                digest = hashlib.sha256(bytes(payload or b"")).digest()
-                rng = np.random.RandomState(int.from_bytes(digest[:4], "big"))
-                v = rng.uniform(-1, 1, dim)
+                raw = bytes(payload or b"")
+                px = _try_decode_pixels(raw)
+                if px is not None:
+                    hist, _ = np.histogram(px, bins=dim, range=(0, 256))
+                    v = hist.astype(np.float64)
+                else:
+                    digest = hashlib.sha256(raw).digest()
+                    rng = np.random.RandomState(
+                        int.from_bytes(digest[:4], "big"))
+                    v = rng.uniform(-1, 1, dim)
                 n = np.linalg.norm(v)
                 feats.append((v / n if n else v).astype(np.float32))
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
@@ -134,8 +235,44 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def resize_plan(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Resize metadata plan (letterbox scale computation JVM-side; the
-    pixel resample itself belongs to the stubbed codec layer)."""
+    pixel resample itself is ``resize_media``)."""
     scale = F.least(target_w / F.col("width"), target_h / F.col("height"))
     return df.withColumn("scale", scale) \
              .withColumn("out_w", F.floor(F.col("width") * scale).cast("int")) \
              .withColumn("out_h", F.floor(F.col("height") * scale).cast("int"))
+
+
+RESIZED_DDL = ("media_id STRING, payload BINARY, width INT, height INT, "
+               "decoded BOOLEAN")
+
+
+def resize_media(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Actual pixel resample (nearest-neighbor, aspect-preserving
+    letterbox scale — same geometry as ``resize_plan``) for decodable
+    payloads (PPM/BMP), re-encoded as PPM. Map-only mapInPandas, same
+    no-shuffle contract as ``decode_media``. Non-decodable payloads
+    pass through untouched with ``decoded=false`` (a filter on that
+    column is the quarantine path) — never silently fabricated."""
+    if target_w <= 0 or target_h <= 0:
+        raise ValueError("resize target must be positive")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                px = _try_decode_pixels(raw)
+                if px is None:
+                    out.append((mid, raw, None, None, False))
+                    continue
+                h, w = px.shape[:2]
+                s = min(target_w / w, target_h / h)
+                ow, oh = max(int(w * s), 1), max(int(h * s), 1)
+                yi = (np.arange(oh) * (h / oh)).astype(np.int64)
+                xi = (np.arange(ow) * (w / ow)).astype(np.int64)
+                resized = px[yi][:, xi]
+                out.append((mid, encode_ppm(resized), ow, oh, True))
+            yield pd.DataFrame(out, columns=["media_id", "payload",
+                                             "width", "height", "decoded"])
+
+    return df.select("media_id", "payload").mapInPandas(batches, RESIZED_DDL)
