@@ -84,7 +84,9 @@ CORE = frozenset([
 # the two attempts disagree >2x (the scheduler-noise shape) — load
 # alone can be the bench's own 32-way tasks, spread alone is one-time
 # codegen the second attempt already absorbed.
-LOAD_FLAG_THRESHOLD = 8.0
+# env override exists for testing the flag/re-measure machinery
+# (tools/bench_chunks.py) without a loaded host, not for tuning
+LOAD_FLAG_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_FLAG", "8.0"))
 RETRY_SPREAD = 2.0
 
 
