@@ -179,6 +179,21 @@ def test_meta_rewrite_keeps_injection_shaped_literal_intact():
         "coalesce(metadata['key'] <> 'x'' OR ''1''=''1', true)"
 
 
+def test_meta_shaped_text_inside_literal_is_not_rewritten():
+    """r8: the metadata.K sugar must not fire INSIDE a string literal —
+    pre-r8 ``'see metadata.category'`` became ``'see metadata['...']'``
+    (a corrupted literal). The rewrite now locates matches on the
+    quote-masked shadow."""
+    got = SqlEngine._rewrite_meta(
+        "metadata.a = 'metadata.b' AND note = 'x != metadata.c'")
+    assert got == "metadata['a'] = 'metadata.b' AND note = 'x != metadata.c'"
+    # and the != wrapper still composes with escaped quotes around it
+    got = SqlEngine._rewrite_meta(
+        "tag = 'metadata.k != ''v''' OR metadata.k != 'v'")
+    assert got == ("tag = 'metadata.k != ''v''' OR "
+                   "coalesce(metadata['k'] <> 'v', true)")
+
+
 def test_injection_shaped_metadata_value_finds_nothing_extra(engine):
     # vmeta has no row whose 'category' equals the hostile literal, so
     # != must keep ALL rows (missing-key => TRUE quirk included) —

@@ -445,9 +445,42 @@ class SqlEngine:
     def _rewrite_meta(sql: str) -> str:
         """``metadata.K`` -> ``metadata['K']``; the != form gets the
         COALESCE wrapper so a missing key compares TRUE
-        (executor.go:716-718; Spark's null-propagating != would drop it)."""
-        sql = _META_NE_RE.sub(r"coalesce(metadata['\1'] <> \2, true)", sql)
-        return _META_RE.sub(r"metadata['\1']", sql)
+        (executor.go:716-718; Spark's null-propagating != would drop it).
+
+        Matches are located on a quote-masked shadow (same length, see
+        ``_mask_quotes``) so a ``metadata.K``-shaped substring INSIDE a
+        string literal is never rewritten — only the replacement text
+        is built from the original spans."""
+        def sub_meta(text: str) -> str:
+            out, last = [], 0
+            for m in _META_RE.finditer(_mask_quotes(text)):
+                # an unquoted match is mask==original over its span,
+                # so the key group reads identically from either
+                out.append(text[last:m.start()])
+                out.append(f"metadata['{m.group(1)}']")
+                last = m.end()
+            out.append(text[last:])
+            return "".join(out)
+
+        # NOTE: the != value group is a string literal, which the mask
+        # blanks — so run _META_NE_RE against the ORIGINAL around each
+        # masked candidate instead: find candidates on the mask, then
+        # re-match on the original at the same offset.
+        def sub_ne(text: str) -> str:
+            masked = _mask_quotes(text)
+            out, last = [], 0
+            for m in _META_NE_RE.finditer(masked):
+                om = _META_NE_RE.match(text, m.start())
+                if om is None or om.end() != m.end():
+                    continue
+                out.append(text[last:om.start()])
+                out.append(f"coalesce(metadata['{om.group(1)}'] <> "
+                           f"{om.group(2)}, true)")
+                last = om.end()
+            out.append(text[last:])
+            return "".join(out)
+
+        return sub_meta(sub_ne(sql))
 
     # -- DML / DDL -------------------------------------------------------
 
