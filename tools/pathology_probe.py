@@ -152,6 +152,45 @@ def main() -> None:
           f"{time.time() - t0:.1f}s — {nu} users, bot completed "
           f"{brow['steps_completed']} steps")
 
+    # the greedy sweep's adversarial shape: a DEEP near-dup chain in
+    # one micro-batch (adjacent word-jaccard 0.5, skip-one 0.2 — a
+    # path graph). The r7 round-form sweep hit its 30-round cap here
+    # (37.7 s, tail over-accepted); the r8 component form is one CC
+    # pass + one applyInPandas, exact at any depth. Invariants
+    # checked: every dup_of stored, every accepted doc stored.
+    chain_n = 200
+    docs = [(i, " ".join(f"w{j}" for j in range(2 * i, 2 * i + 6)),
+             "en", "web", 30) for i in range(chain_n)]
+    csrc = tempfile.mkdtemp(prefix="patho_chain_src_")
+    (spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+              " n_chars int")
+     .coalesce(1).write.mode("overwrite").parquet(csrc))
+    cst = MinHashStore(tempfile.mkdtemp(prefix="patho_chain_store_"),
+                       shingle_k=1)
+    cst.build(spark.createDataFrame(
+        [(10_000_000, "completely unrelated seed document text",
+          "en", "web", 30)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars int"))
+    cout = tempfile.mkdtemp(prefix="patho_chain_out_")
+    t0 = time.time()
+    dedup_stream_against_store(
+        read_document_stream(spark, csrc, max_files_per_trigger=None),
+        cst, cout, tempfile.mkdtemp(prefix="patho_chain_ck_"),
+        add_unique=True)
+    wall = time.time() - t0
+    cres = spark.read.parquet(cout)
+    cflag = {r["doc_id"]: r["dup_of"]
+             for r in cres.filter("is_dup").collect()}
+    cacc = {r["doc_id"] for r in cres.filter("NOT is_dup").collect()}
+    cstored = {r["doc_id"]
+               for r in spark.read.parquet(cst._data_path()).collect()}
+    print(f"{chain_n}-deep chain, one micro-batch: {wall:.1f}s — "
+          f"{len(cflag)} flagged / {len(cacc)} accepted; "
+          f"dup_of all stored: {all(d in cstored for d in cflag.values())}; "
+          f"accepted all stored: {all(a in cstored for a in cacc)}")
+
 
 if __name__ == "__main__":
     main()
