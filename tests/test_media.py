@@ -174,3 +174,48 @@ def test_decode_rejects_magic_collision_gracefully(spark):
     bad = b"BM" + bytes(range(48))
     out = decode_media(_media_df(spark, [("x", bad)])).collect()[0]
     assert out["n_bytes"] == 50 and 1 <= out["width"] <= 1920
+
+
+# -- JVM-side real-format generators (r8 driver queries) ---------------------
+
+
+def _formula_raster(i: int, n: int) -> np.ndarray:
+    """The generators' shared pixel formula (media._PX)."""
+    return np.array([(i * 37 + j * 11) % 251 for j in range(n)],
+                    dtype=np.uint8)
+
+
+def test_synth_ppm_bytes_match_real_parser(spark):
+    from toy_vector_db_spark.operators.media import synth_ppm
+    for r in synth_ppm(spark, n=8).collect():
+        i = int(r["media_id"].split("_")[1])
+        px = _parse_ppm(bytes(r["payload"]))
+        assert px.shape == (r["height"], r["width"], 3)
+        want = _formula_raster(i, r["width"] * r["height"] * 3)
+        assert np.array_equal(px.reshape(-1), want)
+
+
+def test_synth_bmp_bytes_match_real_parser(spark):
+    from toy_vector_db_spark.operators.media import synth_bmp
+    for r in synth_bmp(spark, n=6).collect():
+        i = int(r["media_id"].split("_")[1])
+        px = _parse_bmp(bytes(r["payload"]))
+        assert px.shape == (r["height"], 4, 3)
+        # parser un-does BGR bottom-up; re-apply to recover raster order
+        raw = px[::-1, :, ::-1].reshape(-1)
+        assert np.array_equal(raw, _formula_raster(i, 12 * r["height"]))
+
+
+def test_synth_ppm_fixed_dims_resize_chain(spark):
+    from pyspark.sql import functions as F
+    from toy_vector_db_spark.operators.media import synth_ppm
+    src = synth_ppm(spark, n=3, width=8, height=4)
+    out = decode_media(
+        resize_media(src, 2, 2).withColumn("modality", F.lit("image")))
+    for r in out.collect():
+        i = int(r["media_id"].split("_")[1])
+        assert (r["width"], r["height"], r["n_bytes"]) == (2, 1, 17)
+        want = _formula_raster(i, 96)[[0, 1, 2, 12, 13, 14]].mean()
+        assert r["mean_intensity"] == pytest.approx(float(want))
+    with pytest.raises(ValueError):
+        synth_ppm(spark, n=1, width=10)  # header math is single-digit

@@ -57,6 +57,85 @@ def synth_media(spark: SparkSession, n: int = 100, modality: str = "image",
     return base
 
 
+#: pixel-byte formula shared by the real-format generators below and
+#: their ANSI-SQL oracles: byte j of image id is (id*37 + j*11) % 251.
+#: 251 is prime and coprime to both strides, so every image gets a
+#: distinct non-degenerate raster; the modulus stays < 256 so each
+#: value is a single byte and < 2^53 so float64 sums are exact.
+_PX = "lpad(hex((id*37 + j*11) % 251), 2, '0')"
+
+
+def synth_ppm(spark: SparkSession, n: int = 40,
+              width: int | None = None, height: int | None = None) -> DataFrame:
+    """Deterministic REAL binary-PPM corpus, generated JVM-side (pure
+    Column expressions — no Python in the generator): image ``id`` is
+    ``(id%4)+2 x (id%3)+2`` (or the fixed ``width x height``), pixel
+    byte ``j`` = ``(id*37 + j*11) % 251``. Because every decoded
+    statistic is closed-form in (id, w, h), a DuckDB oracle can
+    value-hash the real ``_parse_ppm`` path end to end."""
+    if width is not None and not (0 < width <= 9):
+        raise ValueError("fixed width must be a single digit (header math)")
+    if height is not None and not (0 < height <= 9):
+        raise ValueError("fixed height must be a single digit (header math)")
+    df = spark.range(n).select(
+        "id",
+        (F.lit(width) if width is not None
+         else F.pmod("id", F.lit(4)) + 2).cast("int").alias("w"),
+        (F.lit(height) if height is not None
+         else F.pmod("id", F.lit(3)) + 2).cast("int").alias("h"))
+    header_hex = F.hex(F.concat(
+        F.lit("P6\n"), F.col("w").cast("string"), F.lit(" "),
+        F.col("h").cast("string"), F.lit("\n255\n")))
+    raster_hex = F.expr(
+        f"array_join(transform(sequence(0, w*h*3 - 1), j -> {_PX}), '')")
+    return df.select(
+        F.concat(F.lit("ppm_"), F.col("id").cast("string")).alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.to_binary(F.concat(header_hex, raster_hex), F.lit("hex")).alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("mime_type"),
+        F.col("w").alias("width"), F.col("h").alias("height"),
+        F.lit(0).cast("long").alias("duration_ms"),
+        F.create_map(F.lit("source"), F.lit("synthetic-ppm")).alias("metadata"))
+
+
+def _le32(hex_low_byte: str) -> str:
+    """SQL fragment: little-endian 4-byte hex of a value < 256."""
+    return f"lpad(hex({hex_low_byte}), 2, '0') || '000000'"
+
+
+def synth_bmp(spark: SparkSession, n: int = 20) -> DataFrame:
+    """Deterministic REAL uncompressed 24-bit BMP corpus, JVM-side.
+    Width is fixed at 4 so the row stride (w*3 rounded up to 4 bytes)
+    is exactly 12 — NO padding bytes, so the raster is precisely the
+    pixel formula and the oracle's mean needs no pad exclusion (mean
+    intensity is invariant to the bottom-up row order and BGR channel
+    order the decoder undoes). height = (id%3)+2; file size 54+12*h
+    (< 256, so every multi-byte header field fits one low byte)."""
+    df = spark.range(n).select(
+        "id", (F.pmod("id", F.lit(3)) + 2).cast("int").alias("h"))
+    header_hex = F.expr(
+        "'424D'"                                    # 'BM'
+        f" || {_le32('54 + 12*h')}"                 # file size
+        " || '00000000'"                            # reserved
+        " || '36000000'"                            # pixel offset 54
+        " || '28000000'"                            # BITMAPINFOHEADER 40
+        f" || {_le32('4')}"                         # width 4
+        f" || {_le32('h')}"                         # height (bottom-up)
+        " || '0100' || '1800'"                      # planes 1, bpp 24
+        " || '00000000'"                            # compression BI_RGB
+        " || repeat('0', 40)")                      # imagesize/ppm/colors
+    raster_hex = F.expr(
+        f"array_join(transform(sequence(0, 12*h - 1), j -> {_PX}), '')")
+    return df.select(
+        F.concat(F.lit("bmp_"), F.col("id").cast("string")).alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.to_binary(F.concat(header_hex, raster_hex), F.lit("hex")).alias("payload"),
+        F.lit("image/bmp").alias("mime_type"),
+        F.lit(4).cast("int").alias("width"), F.col("h").alias("height"),
+        F.lit(0).cast("long").alias("duration_ms"),
+        F.create_map(F.lit("source"), F.lit("synthetic-bmp")).alias("metadata"))
+
+
 # ---------------------------------------------------------------------------
 # Codec backend — real pure-NumPy PPM/BMP, hash-fake for other formats
 # ---------------------------------------------------------------------------

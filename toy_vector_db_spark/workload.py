@@ -1490,6 +1490,96 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL codec path, driver-value-hashable (r8). synth_ppm/synth_bmp
+# build actual binary-PPM / 24-bit-BMP payloads JVM-side with pixel
+# byte j = (id*37 + j*11) % 251, so every statistic the real NumPy
+# parsers (_parse_ppm/_parse_bmp) produce is closed-form in (id, w, h)
+# and DuckDB reproduces it without parsing a byte. Integer pixel sums
+# are exact in float64 (<= 60 bytes of values < 251), so the 4dp
+# round matches bit-for-bit on both engines.
+# ---------------------------------------------------------------------------
+
+# PPM header "P6\n{w} {h}\n255\n" is 11 bytes for single-digit dims.
+@q("media_decode_ppm", """
+WITH g AS (SELECT range AS id FROM range(0, 40)),
+d AS (SELECT id, (id % 4) + 2 AS w, (id % 3) + 2 AS h FROM g)
+SELECT 'ppm_' || id AS media_id,
+       CAST(11 + w*h*3 AS BIGINT) AS n_bytes,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       ROUND(list_aggregate(list_transform(range(0, w*h*3),
+             j -> CAST((id*37 + j*11) % 251 AS DOUBLE)), 'avg'), 4)
+         AS mean_intensity
+FROM d
+""")
+def media_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.media import decode_media, synth_ppm
+    decoded = decode_media(synth_ppm(spark, n=40))
+    return decoded.select(
+        "media_id", F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.round("mean_intensity", 4).alias("mean_intensity"))
+
+
+# BMP: 54-byte header + 12-byte rows (width 4 => stride 12, no pad);
+# mean intensity is invariant to the BGR/bottom-up layout the decoder
+# undoes, so the oracle mean is the same raster formula.
+@q("media_decode_bmp", """
+WITH g AS (SELECT range AS id FROM range(0, 20)),
+d AS (SELECT id, (id % 3) + 2 AS h FROM g)
+SELECT 'bmp_' || id AS media_id,
+       CAST(54 + 12*h AS BIGINT) AS n_bytes,
+       CAST(4 AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       ROUND(list_aggregate(list_transform(range(0, 12*h),
+             j -> CAST((id*37 + j*11) % 251 AS DOUBLE)), 'avg'), 4)
+         AS mean_intensity
+FROM d
+""")
+def media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.media import decode_media, synth_bmp
+    decoded = decode_media(synth_bmp(spark, n=20))
+    return decoded.select(
+        "media_id", F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.round("mean_intensity", 4).alias("mean_intensity"))
+
+
+# Resize round-trip: 8x4 source -> target 2x2 -> letterbox scale
+# min(2/8, 2/4) = 0.25 -> out 2x1; nearest-neighbor index maps
+# (operators/media.resize_media: yi = floor(r*h/oh), xi = floor(c*w/ow))
+# pick source pixels (0,0) and (0,4), i.e. raster bytes
+# {0,1,2, 12,13,14} — all ratios are exact binary fractions, so the
+# index arithmetic cannot drift between engines. The resized payload
+# is re-encoded PPM ("P6\\n2 1\\n255\\n" + 6 bytes = 17) and decoded
+# AGAIN through the real parser, so encode->resize->decode round-trips
+# under the driver hash.
+@q("media_resize_ppm", """
+WITH g AS (SELECT range AS id FROM range(0, 30))
+SELECT 'ppm_' || id AS media_id,
+       CAST(17 AS BIGINT) AS n_bytes,
+       CAST(2 AS BIGINT) AS width,
+       CAST(1 AS BIGINT) AS height,
+       ROUND(list_aggregate(list_transform([0, 1, 2, 12, 13, 14],
+             j -> CAST((id*37 + j*11) % 251 AS DOUBLE)), 'avg'), 4)
+         AS mean_intensity
+FROM g
+""")
+def media_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.media import decode_media, resize_media, synth_ppm
+    resized = resize_media(synth_ppm(spark, n=30, width=8, height=4),
+                           target_w=2, target_h=2) \
+        .withColumn("modality", F.lit("image"))
+    return decode_media(resized).select(
+        "media_id", F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.round("mean_intensity", 4).alias("mean_intensity"))
+
+
+# ---------------------------------------------------------------------------
 # Flagship composite: the full training-corpus cleaning pipeline.
 # quality filter -> exact dedup (keep lowest id) -> MinHash-LSH
 # near-dup removal (drop the higher id of each verified pair >= 0.5).
@@ -4572,31 +4662,30 @@ def dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- r6 rotation: hard-signal closure. The five rows the r5
-    # verdict named (the scalarized centroids query, the two
-    # never-driver-run queries, the two retired rows-only checks — one
-    # now oracle-gated, one folded into its gate twin and dropped),
-    # every query whose MECHANISM changed this round, and one
-    # representative per core family as keepers. With this window the
-    # cumulative r1-r6 driver ledger covers all 135 registered queries
-    # and every entry has a full value oracle.
+    # --- r8 rotation: every query whose MECHANISM changed this round
+    # plus one representative per core family as keepers. Queries
+    # rotated OUT (the r6 closure set: centroids, funnel_within,
+    # ann_ivf_topk, the knn_join and minhash-pair families, zorder)
+    # are unchanged since their green r7 rows — the cumulative r1-r8
+    # driver ledger keeps covering all 140 registered queries.
     #
-    # hard-signal closure (5):
-    "embedding_centroids_by_label",  # r5 driver-RED: now scalar rows
-    "dedup_incremental_streaming",   # never driver-run until now
-    "events_funnel_within",          # never driver-run until now
-    "ann_ivf_topk",                  # was rows-only: now recall-gated
-    "knn_join_graph_batch",          # search_batch CHUNKING NEW r6
+    # new this round — never driver-run (5):
+    "text_fingerprints_arrow",       # Arrow tier PINNED (r7 next #1)
+    "dedup_simhash_arrow",           # Arrow tier PINNED (r7 next #1)
+    "media_decode_ppm",              # REAL _parse_ppm, closed-form oracle
+    "media_decode_bmp",              # REAL _parse_bmp, closed-form oracle
+    "media_resize_ppm",              # encode->NN-resize->decode round-trip
     # changed-mechanism this round (8):
-    "dedup_minhash_signatures",      # routed onto the auto sig tier
-    "dedup_cosine_blocked",          # explicit quadratic opt-in arg
-    "dedup_semantic_ivf",            # runs the new block-size guard
-    "dedup_jaccard_consecutive",     # null-side pair filter added
-    "dedup_minhash_pairs",           # shares the pair scorer above
-    "knn_join_auto_batch",           # arrow tier: tie-complete top-k
-    "zorder_orders_locality",        # z_value null semantics changed
-    "dedup_incremental_batch",       # store feeds the intra-batch fix
-    # keepers — one per family (37):
+    "text_fingerprints",             # tier-routed twin of the arrow pin
+    "dedup_simhash",                 # tier-routed twin of the arrow pin
+    "media_decode_stats",            # decode dispatch: magic-sniff first
+    "media_frame_sample",            # media module reshaped around codecs
+    "dedup_incremental_batch",       # greedy now component-form exact
+    "dedup_incremental_streaming",   # same sweep inside foreachBatch
+    "sql_meta_ne_dialect",           # metadata.K rewrite now quote-safe
+    "dedup_semantic_ivf",            # allow_quadratic pass-through change
+    # keepers — one per family (37; sql_nearest_* also carry the r8
+    # dialect null-guard + quote-aware WHERE/LIMIT changes):
     "scan_project_limit", "sql_nearest_filtered", "sql_nearest_by_id",
     "knn_cosine", "knn_search_auto", "knn_matryoshka_topk",
     "ann_graph_recall_gate", "ann_lsh_topk", "ann_ivf_det_topk",
