@@ -65,6 +65,19 @@ EXACT_RECALL = 0.999
 QUADRATIC_BLOCK_MAX_ROWS = 16_384
 
 
+#: Edge-count crossover for ``components.connected_components``
+#: tier="auto": at or below this the whole (deduped, bidirectional)
+#: edge list runs union-find as ONE executor task — linear work, ~2 s
+#: for 4M edges, vs O(log diameter) label-propagation rounds at 3-4
+#: Spark jobs each (the measured CC stage was ~17 s at the 100x
+#: derived scale on a ~100k-edge graph: round-trip latency, not
+#: compute). Above it the iterative propagation tier takes over.
+#: cap: a tier CROSSOVER, not a work bound — 4M edges is ~128 MB on
+#: one executor (well inside a task), and past it the distributed
+#: tier handles any size.
+CC_LOCAL_MAX_EDGES = 4_000_000
+
+
 def check_quadratic_block(largest_block: int, op: str,
                           max_block_rows: int | None = None,
                           hint: str | None = None) -> None:
