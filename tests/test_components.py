@@ -134,10 +134,52 @@ def test_auto_routes_small_graph_local(spark, monkeypatch):
 
 def test_local_tier_multi_batch_accumulation(spark):
     # the union-find generator must accumulate across Arrow batches of
-    # the single coalesced partition: a 4k-edge chain spans batches at
-    # the default maxRecordsPerBatch only in pathological configs, so
-    # force tiny batches via repartitioned input -> still one output
-    pairs = _df(spark, [(i, i + 1) for i in range(4000)])
-    got = connected_components(pairs, tier="local").collect()
+    # the single coalesced partition: 4k chain edges become 8k
+    # bidirectional rows, UNDER the default 10k maxRecordsPerBatch, so
+    # force 500-row batches (16+ batches) for the duration of the call
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "500")
+    try:
+        pairs = _df(spark, [(i, i + 1) for i in range(4000)])
+        got = connected_components(pairs, tier="local").collect()
+    finally:
+        spark.conf.set(key, old)
     assert {r["component"] for r in got} == {0}
     assert len(got) == 4001
+
+
+@pytest.mark.parametrize("tier", TIERS)
+def test_null_edges_dropped(spark, tier):
+    # a null endpoint carries no duplicate evidence: the edge is
+    # dropped before routing (the local tier's Arrow conversion would
+    # otherwise turn the BIGINT column float64 and find(NaN) would
+    # never terminate). Non-null edges are untouched.
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, None), (None, None), (2, 4)],
+        "id_a BIGINT, id_b BIGINT")
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs, tier=tier).collect()}
+    assert got == {1: 1, 2: 1, 4: 1}
+
+
+def test_auto_string_ids_route_by_byte_estimate(spark, monkeypatch):
+    # long string ids must route through the byte budget, not the raw
+    # edge count: shrink the budget so even a 3-edge graph of 64-char
+    # ids overflows it and auto falls back to the propagate tier
+    from toy_vector_db_spark.operators import components as mod
+    import toy_vector_db_spark.operators.chooser as chooser
+
+    wide = [("a" * 64 + str(i), "b" * 64 + str(i + 1)) for i in range(3)]
+    pairs = spark.createDataFrame(wide, "id_a STRING, id_b STRING")
+    calls = []
+    real_local = mod._components_local
+    monkeypatch.setattr(mod, "_components_local",
+                        lambda e: calls.append("local") or real_local(e))
+    mod.connected_components(pairs).collect()
+    assert calls == ["local"]          # fits the default budget
+
+    monkeypatch.setattr(chooser, "CC_LOCAL_MEM_BUDGET_BYTES", 100)
+    calls.clear()
+    got = mod.connected_components(pairs).collect()
+    assert calls == [] and len(got) == 6   # propagate path, same answer

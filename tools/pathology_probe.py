@@ -191,6 +191,28 @@ def main() -> None:
           f"dup_of all stored: {all(d in cstored for d in cflag.values())}; "
           f"accepted all stored: {all(a in cstored for a in cacc)}")
 
+    # r9: the local components tier with LONG STRING ids — the
+    # union-find dict holds the id objects, so a 64-char-id graph
+    # costs ~1.8x an int graph per edge (measured: 433 vs 235 B/edge).
+    # The auto route must still take the local tier while the byte
+    # estimate (chooser.cc_local_fits) fits the budget, and the one
+    # task must finish in seconds, not minutes.
+    from toy_vector_db_spark.operators.chooser import cc_local_fits
+    n_str = 1_000_000
+    sedges = (spark.range(n_str).select(
+        F.concat(F.lit("doc-"),
+                 F.lpad(F.col("id").cast("string"), 60, "0")).alias("id_a"),
+        F.concat(F.lit("doc-"),
+                 F.lpad((F.col("id") + 1).cast("string"), 60, "0"))
+        .alias("id_b")))
+    t0 = time.time()
+    scc = connected_components(sedges)      # tier="auto"
+    nodes = scc.count()
+    ncomp2 = scc.select("component").distinct().count()
+    print(f"string-id chain ({n_str} edges x 64-char ids, auto tier): "
+          f"{time.time() - t0:.1f}s — {nodes} nodes, {ncomp2} component(s); "
+          f"cc_local_fits({2 * n_str}, 128) = {cc_local_fits(2 * n_str, 128.0)}")
+
 
 if __name__ == "__main__":
     main()

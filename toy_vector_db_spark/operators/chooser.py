@@ -67,15 +67,47 @@ QUADRATIC_BLOCK_MAX_ROWS = 16_384
 
 #: Edge-count crossover for ``components.connected_components``
 #: tier="auto": at or below this the whole (deduped, bidirectional)
-#: edge list runs union-find as ONE executor task — linear work, ~2 s
-#: for 4M edges, vs O(log diameter) label-propagation rounds at 3-4
-#: Spark jobs each (the measured CC stage was ~17 s at the 100x
-#: derived scale on a ~100k-edge graph: round-trip latency, not
-#: compute). Above it the iterative propagation tier takes over.
-#: cap: a tier CROSSOVER, not a work bound — 4M edges is ~128 MB on
-#: one executor (well inside a task), and past it the distributed
-#: tier handles any size.
+#: edge list runs union-find as ONE executor task — linear work, vs
+#: O(log diameter) label-propagation rounds at 3-4 Spark jobs each
+#: (the measured CC stage was ~17 s at the 100x derived scale on a
+#: ~100k-edge graph: round-trip latency, not compute). Above it the
+#: iterative propagation tier takes over.
+#: cap: a tier CROSSOVER, not a work bound — sized against MEASURED
+#: Python-worker RSS, not raw edge bytes (r8's "~128 MB" counted only
+#: the Arrow input): at 4M random int edges the union-find dict +
+#: output list peak at ~0.94 GB / ~13 s in one worker (64-char string
+#: ids: ~1.7 GB — which is why string-id graphs route through the
+#: byte estimate in ``cc_local_fits``, not this count alone). Past
+#: the crossover the distributed tier handles any size.
 CC_LOCAL_MAX_EDGES = 4_000_000
+
+#: Worker-memory budget for the local components tier. Measured
+#: per-edge worker cost (peak RSS / edges, includes dict + output
+#: tuples + the result pandas frame): ~235 B for int ids, and
+#: ~235 + 1.5 x (avg combined id length) for string ids (64+64-char
+#: pairs measured 433 B/edge => model 240 + 1.5*128 = 432). 1.6 GB
+#: keeps the one task inside a 2 GB-ish Python-worker budget with
+#: headroom; int ids at the 4M-edge crossover use ~0.94 GB.
+CC_LOCAL_MEM_BUDGET_BYTES = 1_600_000_000
+
+#: measured bytes/edge model constants (see CC_LOCAL_MEM_BUDGET_BYTES)
+_CC_BYTES_PER_EDGE_BASE = 240
+_CC_BYTES_PER_ID_CHAR = 1.5
+
+
+def cc_local_fits(n_edges: int, avg_pair_len: float | None = None) -> bool:
+    """True when a (deduped, bidirectional) edge list of ``n_edges``
+    rows fits the single-task union-find tier. ``avg_pair_len`` is the
+    average combined length of the two string ids on an edge (None for
+    integral ids, whose footprint is id-length-independent). Pure
+    scalar policy — callers pass measured aggregates."""
+    if n_edges > CC_LOCAL_MAX_EDGES:
+        return False
+    if avg_pair_len is None:
+        return True
+    est = n_edges * (_CC_BYTES_PER_EDGE_BASE
+                     + _CC_BYTES_PER_ID_CHAR * avg_pair_len)
+    return est <= CC_LOCAL_MEM_BUDGET_BYTES
 
 
 def check_quadratic_block(largest_block: int, op: str,

@@ -4,7 +4,9 @@ Near-dup pairs are edges; the training-pipeline need is the transitive
 cluster (keep one doc per component, not per pair — A~B, B~C must
 collapse A,B,C together even when A~C was never scored).
 
-Two tiers (r8), routed by edge count (``chooser.CC_LOCAL_MAX_EDGES``):
+Two tiers (r8), routed by measured size (``chooser.cc_local_fits`` —
+edge count for integral ids, a measured-RSS byte estimate for string
+ids whose objects live in the union-find dict):
 small graphs — micro-batch sweeps, LSH-capped candidate sets — run
 union-find as ONE executor task (``_components_local``: linear work,
 no iteration, ~2 s at 4M edges vs ~17 s of round-trip latency the
@@ -83,7 +85,14 @@ def _components_local(edges: DataFrame) -> DataFrame:
             return root
 
         for pdf in batches:
-            for a, b in zip(pdf["src"], pdf["dst"]):
+            # .tolist() up front: Python ints/strs, not boxed numpy
+            # scalars — measured 12.2 s vs 14.8 s at 4M edges, and the
+            # dict holds one shared object per node instead of a ~32 B
+            # numpy box per reference. The caller already dropped null
+            # edges, so a BIGINT column arrives int64 (a null would
+            # have forced float64 and >2^53 ids would lose precision —
+            # and find(NaN) would loop forever since NaN != NaN).
+            for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
                 parent.setdefault(a, a)
                 parent.setdefault(b, b)
                 ra, rb = find(a), find(b)
@@ -93,10 +102,11 @@ def _components_local(edges: DataFrame) -> DataFrame:
         yield pd.DataFrame([(n, find(n)) for n in parent],
                            columns=["node", "component"])
 
-    # cap: single-task by DESIGN — this tier only runs when the edge
-    # count is at or under chooser.CC_LOCAL_MAX_EDGES (the auto route
-    # checks it; explicit tier="local" callers own the bound), so the
-    # one task holds <= ~128 MB and the distributed tier takes over
+    # cap: single-task by DESIGN — this tier only runs when the auto
+    # route's byte estimate fits chooser.CC_LOCAL_MEM_BUDGET (explicit
+    # tier="local" callers own the bound). Measured worker peak at the
+    # 4M-edge crossover: ~0.9 GB for int ids, ~1.7 GB for 64-char
+    # string ids (see chooser.py) — the distributed tier takes over
     # past the crossover.
     return edges.coalesce(1).mapInPandas(uf, schema)
 
@@ -112,20 +122,40 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     any diameter, no rounds — right for micro-batch pair graphs and
     LSH-capped candidate sets); "propagate" is the iterative
     min-label propagation documented above (right for corpus-scale
-    graphs); "auto" routes by edge count against
-    ``chooser.CC_LOCAL_MAX_EDGES`` (one cheap count over the
-    checkpointed edge frame). ``max_iter`` applies to the propagate
-    tier only."""
+    graphs); "auto" routes via ``chooser.cc_local_fits`` (one cheap
+    agg over the checkpointed edge frame — edge count, plus avg id
+    length for string ids whose footprint scales with length).
+    ``max_iter`` applies to the propagate tier only. Edges with a
+    null endpoint are dropped before routing (no duplicate evidence;
+    and NaN ids would hang the local tier's union-find)."""
     if tier not in ("auto", "local", "propagate"):
         raise ValueError(f"unknown components tier {tier!r}")
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    edges = fwd.unionByName(rev).distinct().localCheckpoint()
+    # Drop edges with a null endpoint BEFORE routing: a null id carries
+    # no duplicate evidence (the candidate generators never emit one),
+    # and the local tier's union-find would otherwise hang — Arrow
+    # converts a BIGINT column containing a null to float64, and
+    # find(NaN) loops forever because NaN != NaN. Dropping also keeps
+    # BIGINT ids int64 in pandas (no >2^53 float64 precision loss).
+    edges = fwd.unionByName(rev).na.drop().distinct().localCheckpoint()
 
     if tier == "auto":
-        from .chooser import CC_LOCAL_MAX_EDGES
-        tier = ("local" if edges.count() <= CC_LOCAL_MAX_EDGES
-                else "propagate")
+        from .chooser import cc_local_fits
+        from pyspark.sql.types import StringType
+        if isinstance(edges.schema["src"].dataType, StringType):
+            # string ids: the union-find dict holds the id OBJECTS, so
+            # the footprint scales with id length — estimate bytes
+            # from the measured per-edge cost (one agg over the
+            # checkpointed frame; avg twice is fine, it is cheap).
+            n, avg_len = edges.agg(
+                F.count(F.lit(1)),
+                F.avg(F.length("src") + F.length("dst"))).first()
+            tier = "local" if cc_local_fits(n, avg_len or 0.0) \
+                else "propagate"
+        else:
+            tier = "local" if cc_local_fits(edges.count()) \
+                else "propagate"
     if tier == "local":
         return _components_local(edges)
 
