@@ -1,0 +1,133 @@
+"""Perceptual image dedup (operators/imagedup): dHash bit math against
+a hand-computed fixture, banding completeness, the null-quarantine
+path, and Hamming-ball grouping via connected components."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from toy_vector_db_spark.operators.imagedup import (
+    dhash_bits, dhash_hamming_pairs, dhash_media, image_dup_groups,
+    image_dup_pairs,
+)
+from toy_vector_db_spark.operators.media import encode_ppm, synth_ppm
+
+
+def test_dhash_bits_hand_computed():
+    # 8x9 gradient image: luminance strictly increases left-to-right,
+    # so every adjacent comparison g[c] > g[c+1] is False -> hash 0;
+    # the mirrored image sets every bit -> hash = -1 (all 64 bits on,
+    # two's complement).
+    grad = np.tile(np.arange(9, dtype=np.uint8) * 20, (8, 1))
+    px = np.stack([grad] * 3, axis=-1)
+    assert dhash_bits(px) == 0
+    assert dhash_bits(px[:, ::-1]) == -1
+
+
+def test_dhash_bits_single_bit_position():
+    # flat image except sample (0,0) brighter than (0,1): exactly bit
+    # r*8+c = 0 is set
+    px = np.full((8, 9, 3), 100, dtype=np.uint8)
+    px[0, 0] = 200
+    assert dhash_bits(px) == 1
+    # brighter at sampled cell (7,7) vs (7,8): bit 63 -> negative pack
+    px2 = np.full((8, 9, 3), 100, dtype=np.uint8)
+    px2[7, 7] = 200
+    assert dhash_bits(px2) == -(1 << 63)
+
+
+def test_dhash_resize_invariance():
+    # dHash of an image and its 2x NN upscale sample identical pixels
+    # (grid indices (i*2h)//8 pick the same source rows doubled)
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (8, 9, 3), dtype=np.uint8)
+    up = px.repeat(2, axis=0).repeat(2, axis=1)
+    assert dhash_bits(px) == dhash_bits(up)
+
+
+def test_dhash_media_null_for_undecodable(spark):
+    rows = [("ok", bytearray(encode_ppm(
+                np.zeros((2, 2, 3), dtype=np.uint8)))),
+            ("bad", bytearray(b"\x89PNGnotreally")),
+            ("empty", bytearray(b""))]
+    df = spark.createDataFrame(rows, "media_id STRING, payload BINARY")
+    got = {r["media_id"]: r["dhash"] for r in dhash_media(df).collect()}
+    assert got["ok"] is not None
+    assert got["bad"] is None and got["empty"] is None
+
+
+def test_hamming_pairs_pigeonhole_complete(spark):
+    # every pair within max_hamming MUST be emitted: 3 flipped bits
+    # spread over 3 different bands still leaves band 3 intact
+    base = 0x0123456789ABCDEF
+    near = base ^ (1 << 0) ^ (1 << 17) ^ (1 << 34)   # hamming 3
+    far = base ^ ((1 << 20) - 1)                      # hamming 20
+    df = spark.createDataFrame(
+        [("a", base), ("b", near), ("c", far)],
+        "media_id STRING, dhash LONG")
+    got = [(r["id_a"], r["id_b"], r["hamming"])
+           for r in dhash_hamming_pairs(df).collect()]
+    assert got == [("a", "b", 3)]
+
+
+def test_hamming_pairs_negative_hash_bands(spark):
+    # bit 63 set -> negative packed hash; band 3 extraction must mask
+    # the sign-extended shift, and identical hashes must pair
+    h = -(1 << 63) | 5
+    df = spark.createDataFrame(
+        [("a", h), ("b", h)], "media_id STRING, dhash LONG")
+    got = dhash_hamming_pairs(df).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == \
+        [("a", "b", 0)]
+
+
+def test_hamming_pairs_param_validation(spark):
+    df = spark.createDataFrame([("a", 1)], "media_id STRING, dhash LONG")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dhash_hamming_pairs(df, bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="divide"):
+        dhash_hamming_pairs(df, bands=5)
+
+
+def test_image_pairs_end_to_end_retouch(spark):
+    # one-pixel retouch twins must pair with their base within 2 bits;
+    # exact byte-duplicates (id_mod) must pair at hamming 0
+    base = synth_ppm(spark, n=6, width=6, height=4)
+    twin = synth_ppm(spark, n=6, width=6, height=4, bump=(0, 125),
+                     id_prefix="ppmB_")
+    pairs = image_dup_pairs(base.unionByName(twin), max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    for i in range(6):
+        key = tuple(sorted((f"ppm_{i}", f"ppmB_{i}")))
+        assert key in got and got[key] <= 2
+
+
+def test_hamming_ball_grouping(spark):
+    # transitive closure: base, retouched twin, and an exact copy of
+    # the base (id_mod residue) all collapse into one group whose
+    # keeper is the minimum media_id
+    base = synth_ppm(spark, n=4, width=6, height=4)
+    twin = synth_ppm(spark, n=4, width=6, height=4, bump=(0, 125),
+                     id_prefix="ppmB_")
+    copy = synth_ppm(spark, n=4, width=6, height=4, id_prefix="ppmC_")
+    groups = image_dup_groups(base.unionByName(twin).unionByName(copy))
+    rows = {r["media_id"]: r for r in groups.collect()}
+    for i in range(4):
+        trio = [f"ppm_{i}", f"ppmB_{i}", f"ppmC_{i}"]
+        gids = {rows[m]["group_id"] for m in trio if m in rows}
+        assert len(gids) == 1, f"family {i} split across {gids}"
+        any_m = next(m for m in trio if m in rows)
+        assert rows[any_m]["n_members"] >= 3
+        assert rows[any_m]["keep"] == min(
+            m for m, r in rows.items()
+            if r["group_id"] == rows[any_m]["group_id"])
+
+
+def test_synth_ppm_id_mod_exact_duplicates(spark):
+    df = synth_ppm(spark, n=8, width=6, height=4, id_mod=4)
+    pay = {r["media_id"]: bytes(r["payload"]) for r in df.collect()}
+    for i in range(4):
+        assert pay[f"ppm_{i}"] == pay[f"ppm_{i + 4}"]
+    assert pay["ppm_0"] != pay["ppm_1"]

@@ -66,13 +66,23 @@ _PX = "lpad(hex((id*37 + j*11) % 251), 2, '0')"
 
 
 def synth_ppm(spark: SparkSession, n: int = 40,
-              width: int | None = None, height: int | None = None) -> DataFrame:
+              width: int | None = None, height: int | None = None,
+              id_mod: int | None = None,
+              bump: tuple[int, int] | None = None,
+              id_prefix: str = "ppm_") -> DataFrame:
     """Deterministic REAL binary-PPM corpus, generated JVM-side (pure
     Column expressions — no Python in the generator): image ``id`` is
     ``(id%4)+2 x (id%3)+2`` (or the fixed ``width x height``), pixel
-    byte ``j`` = ``(id*37 + j*11) % 251``. Because every decoded
+    byte ``j`` = ``(eid*37 + j*11) % 251``. Because every decoded
     statistic is closed-form in (id, w, h), a DuckDB oracle can
-    value-hash the real ``_parse_ppm`` path end to end."""
+    value-hash the real ``_parse_ppm`` path end to end.
+
+    Near-dup corpus knobs (r9, for the perceptual-dedup queries —
+    both stay closed-form for the oracle): ``id_mod`` makes the
+    effective formula id ``id % id_mod`` (ids sharing a residue are
+    byte-identical duplicates); ``bump=(j0, delta)`` adds ``delta``
+    to raster byte ``j0`` before the modulus — a one-pixel retouch
+    that perturbs only the dHash grid cells sampling that pixel."""
     if width is not None and not (0 < width <= 9):
         raise ValueError("fixed width must be a single digit (header math)")
     if height is not None and not (0 < height <= 9):
@@ -86,10 +96,13 @@ def synth_ppm(spark: SparkSession, n: int = 40,
     header_hex = F.hex(F.concat(
         F.lit("P6\n"), F.col("w").cast("string"), F.lit(" "),
         F.col("h").cast("string"), F.lit("\n255\n")))
+    eid = f"(id % {int(id_mod)})" if id_mod else "id"
+    bump_t = f" + if(j = {int(bump[0])}, {int(bump[1])}, 0)" if bump else ""
+    px = f"lpad(hex(({eid}*37 + j*11{bump_t}) % 251), 2, '0')"
     raster_hex = F.expr(
-        f"array_join(transform(sequence(0, w*h*3 - 1), j -> {_PX}), '')")
+        f"array_join(transform(sequence(0, w*h*3 - 1), j -> {px}), '')")
     return df.select(
-        F.concat(F.lit("ppm_"), F.col("id").cast("string")).alias("media_id"),
+        F.concat(F.lit(id_prefix), F.col("id").cast("string")).alias("media_id"),
         F.lit("image").alias("modality"),
         F.to_binary(F.concat(header_hex, raster_hex), F.lit("hex")).alias("payload"),
         F.lit("image/x-portable-pixmap").alias("mime_type"),

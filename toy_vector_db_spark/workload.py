@@ -1580,6 +1580,114 @@ def media_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Perceptual image dedup (r9): dHash over the REAL PPM decode path.
+# Corpus = 16 distinct 6x4 images (pixel byte j = (id*37 + j*11) % 251)
+# plus a one-pixel-retouched twin of each (byte 0 bumped by 125 before
+# the modulus) — twins land within <=2 dHash bits of their base. The
+# oracle replays EVERY bit from the closed-form formula: NN grid
+# indices ((i*dim)//n) and the luminance channel-sum are precomputed
+# Python-side into 64 integer CASE expressions, then the pigeonhole
+# band join + xor-popcount verify run as plain SQL — the whole
+# decode -> hash -> band -> verify pipeline is value-hashed.
+# ---------------------------------------------------------------------------
+
+_DHASH_N, _DHASH_W, _DHASH_H, _DHASH_BUMP = 16, 6, 4, (0, 125)
+
+
+def _dhash_bits_sql(bump: tuple[int, int] | None,
+                    w: int = _DHASH_W, h: int = _DHASH_H,
+                    grid: int = 8) -> str:
+    """DuckDB list literal of the 64 dHash bits for a synth_ppm image
+    of fixed (w, h) — grid indices resolved to constants here, exactly
+    the integer maps operators/imagedup.dhash_bits uses."""
+    yi = [r * h // grid for r in range(grid)]
+    xi = [c * w // (grid + 1) for c in range(grid + 1)]
+
+    def lum(r: int, c: int) -> str:
+        j = (yi[r] * w + xi[c]) * 3
+        terms = []
+        for ch in range(3):
+            jj = j + ch
+            d = bump[1] if bump and jj == bump[0] else 0
+            terms.append(f"(id*37 + {jj * 11 + d}) % 251")
+        return " + ".join(terms)
+
+    exprs = []
+    for b in range(grid * grid):
+        r, c = divmod(b, grid)
+        exprs.append(f"CASE WHEN {lum(r, c)} > {lum(r, c + 1)} "
+                     "THEN 1 ELSE 0 END")
+    return "[" + ", ".join(exprs) + "]"
+
+
+def _dhash_imgs_cte() -> str:
+    """CTE producing (media_id, bits LIST) for the base + twin corpus."""
+    return f"""g AS (SELECT range AS id FROM range(0, {_DHASH_N})),
+imgs AS (
+  SELECT 'ppm_' || id AS media_id, {_dhash_bits_sql(None)} AS bits FROM g
+  UNION ALL
+  SELECT 'ppmB_' || id AS media_id,
+         {_dhash_bits_sql(_DHASH_BUMP)} AS bits FROM g
+)"""
+
+
+def _dhash_corpus(spark: SparkSession) -> DataFrame:
+    from .operators.media import synth_ppm
+    base = synth_ppm(spark, n=_DHASH_N, width=_DHASH_W, height=_DHASH_H)
+    twin = synth_ppm(spark, n=_DHASH_N, width=_DHASH_W, height=_DHASH_H,
+                     bump=_DHASH_BUMP, id_prefix="ppmB_")
+    return base.unionByName(twin)
+
+
+# two's-complement pack: bit 63 contributes -2^63, everything signed
+# stays inside BIGINT — no HUGEINT wrap needed on either engine.
+_DHASH_PACK = (" + ".join(f"bits[{i + 1}]*{1 << i}" for i in range(63))
+               + " + bits[64]*(-9223372036854775807 - 1)")
+
+@q("media_dhash", f"""
+WITH {_dhash_imgs_cte()}
+SELECT media_id, CAST({_DHASH_PACK} AS BIGINT) AS dhash FROM imgs
+""")
+def media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the REAL decode -> grid-sample -> bit-pack path (imagedup.dhash_media)
+    from .operators.imagedup import dhash_media
+    return dhash_media(_dhash_corpus(spark)).select(
+        "media_id", F.col("dhash").cast("bigint").alias("dhash"))
+
+
+@q("dedup_image_dhash", f"""
+WITH {_dhash_imgs_cte()},
+banded AS (
+  SELECT media_id, bits, b.range AS band,
+         {" + ".join(f"bits[16*b.range + {i + 1}]*{1 << i}"
+                     for i in range(16))} AS bval
+  FROM imgs, range(0, 4) b
+),
+cand AS (
+  SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bval = y.bval AND x.media_id < y.media_id
+),
+ham AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_filter(range(0, 64),
+              i -> a.bits[i + 1] != b.bits[i + 1])) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN imgs a ON a.media_id = c.id_a
+  JOIN imgs b ON b.media_id = c.id_b
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+""")
+def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end perceptual near-dup pairs: decode -> dHash -> banded
+    # buckets (1 shuffle of (id, 16-bit band)) -> xor/popcount verify
+    from .operators.imagedup import image_dup_pairs
+    return image_dup_pairs(_dhash_corpus(spark), bands=4, max_hamming=3) \
+        .select("id_a", "id_b", F.col("hamming").cast("bigint")
+                .alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
 # Flagship composite: the full training-corpus cleaning pipeline.
 # quality filter -> exact dedup (keep lowest id) -> MinHash-LSH
 # near-dup removal (drop the higher id of each verified pair >= 0.5).
