@@ -219,3 +219,77 @@ def test_synth_ppm_fixed_dims_resize_chain(spark):
         assert r["mean_intensity"] == pytest.approx(float(want))
     with pytest.raises(ValueError):
         synth_ppm(spark, n=1, width=10)  # header math is single-digit
+
+
+# ---------------------------------------------------------------------------
+# PNG (r9): stdlib-zlib codec
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_every_filter():
+    from toy_vector_db_spark.operators.media import _parse_png, encode_png
+    rng = np.random.RandomState(11)
+    for h, w in [(1, 1), (2, 3), (7, 5), (16, 9)]:
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            got = _parse_png(encode_png(px, filters=filters))
+            assert np.array_equal(got, px), (h, w, filters)
+
+
+def test_png_rejects_corruption_and_variants():
+    from toy_vector_db_spark.operators.media import (
+        _parse_png, _try_decode_pixels, encode_png,
+    )
+    px = _gradient(4, 4)
+    good = encode_png(px)
+    # CRC: flip one IDAT byte
+    bad = bytearray(good)
+    bad[45] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        _parse_png(bytes(bad))
+    assert _try_decode_pixels(bytes(bad)) is None
+    # unsupported variant: patch IHDR color type to grayscale (and
+    # refresh the chunk CRC so only the variant check can fire)
+    import zlib as _z
+    hacked = bytearray(good)
+    hacked[8 + 8 + 9] = 0                    # IHDR payload byte 9: color
+    crc = _z.crc32(bytes(hacked[12:29])) & 0xFFFFFFFF
+    hacked[29:33] = crc.to_bytes(4, "big")
+    with pytest.raises(ValueError, match="unsupported"):
+        _parse_png(bytes(hacked))
+    # truncation
+    with pytest.raises(ValueError):
+        _parse_png(good[:30])
+
+
+def test_synth_png_bytes_match_real_parser(spark):
+    from toy_vector_db_spark.operators.media import _parse_png, synth_png
+    for r in synth_png(spark, n=10).collect():
+        i = int(r["media_id"].split("_")[1])
+        px = _parse_png(bytes(r["payload"]))
+        assert px.shape == (r["height"], r["width"], 3)
+        want = _formula_raster(i, r["width"] * r["height"] * 3)
+        assert np.array_equal(px.reshape(-1), want)
+
+
+def test_png_through_decode_and_resize_and_dhash(spark):
+    # the dispatch seam: PNG payloads flow through decode_media,
+    # resize_media, and dhash_media exactly like PPM/BMP
+    from pyspark.sql import functions as F
+    from toy_vector_db_spark.operators.imagedup import (
+        dhash_bits, dhash_media,
+    )
+    from toy_vector_db_spark.operators.media import (
+        _parse_png, synth_png,
+    )
+    corpus = synth_png(spark, n=6)
+    dec = {r["media_id"]: r for r in decode_media(corpus).collect()}
+    pay = {r["media_id"]: bytes(r["payload"]) for r in corpus.collect()}
+    for mid, r in dec.items():
+        px = _parse_png(pay[mid])
+        assert (r["width"], r["height"]) == (px.shape[1], px.shape[0])
+        assert r["mean_intensity"] == pytest.approx(float(px.mean()))
+    rs = resize_media(corpus, 2, 2)
+    assert rs.filter("NOT decoded").count() == 0
+    dh = {r["media_id"]: r["dhash"] for r in dhash_media(corpus).collect()}
+    for mid, val in dh.items():
+        assert val == dhash_bits(_parse_png(pay[mid]))

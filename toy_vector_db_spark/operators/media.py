@@ -4,11 +4,12 @@ frame-sample operators.
 
 Beyond-parity training-data-pipeline tier. The Spark-side plumbing —
 schema, Arrow batch shape, mapInPandas signatures, partitioning — is
-real and tested. The codec layer (r8) is REAL for two dependency-free
-formats — binary PPM (P6) and uncompressed 24-bit BMP — decoded with
-pure NumPy (``_parse_ppm``/``_parse_bmp``): width/height/intensity
-come from actual pixels, and ``resize_media`` does an actual
-nearest-neighbor resample. Payloads in any OTHER format fall back to
+real and tested. The codec layer is REAL for three dependency-free
+formats — binary PPM (P6), uncompressed 24-bit BMP (both r8, pure
+NumPy), and 8-bit RGB PNG (r9: stdlib zlib inflate + NumPy scanline
+unfiltering, ``_parse_png``): width/height/intensity come from actual
+pixels, and ``resize_media`` does an actual nearest-neighbor
+resample. Payloads in any OTHER format fall back to
 a deterministic payload-hash fake (clearly marked below) so synthetic
 corpora stay testable end-to-end; plugging Pillow/torchaudio/PyAV in
 means extending ``_decode_backend``'s dispatch only — every plan
@@ -22,6 +23,7 @@ Scale notes: payloads never shuffle — decode/feature UDFs are map-only
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -215,6 +217,179 @@ def _parse_bmp(data: bytes) -> np.ndarray:
     return px if top_down else px[::-1]
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(left: int, up: int, ul: int) -> int:
+    """PNG Paeth predictor (RFC 2083 section 6.6)."""
+    p = left + up - ul
+    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+    if pa <= pb and pa <= pc:
+        return left
+    return up if pb <= pc else ul
+
+
+def _parse_png(data: bytes) -> np.ndarray:
+    """PNG (8-bit RGB, color type 2, non-interlaced) -> uint8 array
+    (H, W, 3). Pure stdlib + NumPy: chunk walk with CRC32
+    verification, zlib inflate of the concatenated IDAT stream, then
+    per-row reversal of all five scanline filters (None/Sub/Up/
+    Average/Paeth). Sub uses a per-channel cumsum (vectorized);
+    Average/Paeth are inherently sequential in x (each byte needs the
+    RECONSTRUCTED left neighbor) so they take a per-byte loop — fine
+    for the thumbnail-scale work this tier does; a Pillow-backed
+    backend plugs into the same ``_try_decode_pixels`` seam for bulk
+    crawls. Anything but 8-bit/RGB/deflate/no-interlace is rejected,
+    never mis-decoded."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(data):
+        ln = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + ln]
+        if len(chunk) != ln:
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(data[pos + 8 + ln:pos + 12 + ln], "big")
+        if zlib.crc32(typ + chunk) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = chunk
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("missing PNG IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG variant depth={depth} color={ctype} "
+            f"interlace={interlace}")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNG geometry")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 3
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG raster size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)],
+            dtype=np.uint8)
+        if ft == 0:                                   # None
+            cur = line.copy()
+        elif ft == 1:                                 # Sub: channel cumsum
+            cur = np.cumsum(line.reshape(w, 3), axis=0,
+                            dtype=np.uint64).astype(np.uint8).reshape(stride)
+        elif ft == 2:                                 # Up (uint8 wraps)
+            cur = line + prior
+        elif ft in (3, 4):                            # Average / Paeth
+            cur = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(cur[i - 3]) if i >= 3 else 0
+                up = int(prior[i])
+                if ft == 3:
+                    pred = (left + up) >> 1
+                else:
+                    ul = int(prior[i - 3]) if i >= 3 else 0
+                    pred = _paeth(left, up, ul)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = cur
+        prior = cur
+    return out.reshape(h, w, 3)
+
+
+def encode_png(arr: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """uint8 (H, W, 3) -> PNG bytes (8-bit RGB, non-interlaced) — the
+    inverse of ``_parse_png``. ``filters`` picks the scanline filter
+    per row (default Sub everywhere); the synthetic corpus cycles all
+    five so every reversal branch sits under the driver hash. Encoding
+    vectorizes cleanly (predictors read RAW neighbors)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    stride = w * 3
+    rows = arr.reshape(h, stride).astype(np.int16)
+    zero = np.zeros(stride, dtype=np.int16)
+    pieces = []
+    for r in range(h):
+        ft = filters[r % len(filters)] if filters else 1
+        raw = rows[r]
+        left = np.concatenate([np.zeros(3, dtype=np.int16), raw[:-3]])
+        up = rows[r - 1] if r else zero
+        ul = (np.concatenate([np.zeros(3, dtype=np.int16), up[:-3]])
+              if r else zero)
+        if ft == 0:
+            pred = zero
+        elif ft == 1:
+            pred = left
+        elif ft == 2:
+            pred = up
+        elif ft == 3:
+            pred = (left + up) >> 1
+        elif ft == 4:
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, up, ul))
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        pieces.append(bytes([ft]))
+        pieces.append(((raw - pred) & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (len(payload).to_bytes(4, "big") + typ + payload
+                + (zlib.crc32(typ + payload) & 0xFFFFFFFF)
+                .to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(pieces), 6))
+            + chunk(b"IEND", b""))
+
+
+def synth_png(spark: SparkSession, n: int = 30) -> DataFrame:
+    """Deterministic REAL PNG corpus: image ``id`` is ``(id%5)+3 x
+    (id%4)+2`` RGB, pixel byte ``j`` = ``(id*37 + j*11) % 251`` (the
+    shared closed-form raster), scanline filters cycling
+    ``(id + row) % 5`` so all five filter reversals are exercised.
+    Generated via mapInPandas (deflate has no Column expression, so
+    unlike synth_ppm this generator runs Python-side) — still fully
+    deterministic: zlib output feeds only the DECODER, and every
+    decoded statistic the oracle checks is closed-form in (id, w, h),
+    independent of how deflate packed the bytes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = i % 5 + 3, i % 4 + 2
+                j = np.arange(w * h * 3, dtype=np.int64)
+                px = ((i * 37 + j * 11) % 251).astype(np.uint8) \
+                    .reshape(h, w, 3)
+                payload = encode_png(px, filters=[(i + r) % 5
+                                                  for r in range(h)])
+                out.append((f"png_{i}", "image", payload, "image/png",
+                            w, h, 0, {"source": "synthetic-png"}))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "modality", "payload", "mime_type",
+                "width", "height", "duration_ms", "metadata"])
+
+    return spark.range(n).mapInPandas(gen, (
+        "media_id STRING, modality STRING, payload BINARY, "
+        "mime_type STRING, width INT, height INT, duration_ms LONG, "
+        "metadata MAP<STRING,STRING>"))
+
+
 def encode_ppm(arr: np.ndarray) -> bytes:
     """uint8 (H, W, 3) -> binary PPM (P6) bytes — the inverse of
     ``_parse_ppm``; used by ``resize_media`` output and test fixtures."""
@@ -228,6 +403,11 @@ def _try_decode_pixels(payload: bytes) -> np.ndarray | None:
     else None. Magic-matched payloads that fail validation (e.g. a
     synthetic payload that happens to start with 'BM') fall through
     to None — the hash-fake keeps the synthetic contract stable."""
+    if payload[:8] == _PNG_MAGIC:
+        try:
+            return _parse_png(payload)
+        except (ValueError, zlib.error):
+            return None
     if payload[:2] in (b"P6", b"BM"):
         try:
             return (_parse_ppm if payload[:2] == b"P6"
@@ -238,7 +418,7 @@ def _try_decode_pixels(payload: bytes) -> np.ndarray | None:
 
 
 def _decode_backend(payload: bytes, modality: str) -> dict:
-    """Dispatch: real pixel decode for PPM/BMP; a deterministic
+    """Dispatch: real pixel decode for PPM/BMP/PNG; a deterministic
     payload-hash fake for every other format (this container ships no
     image/audio libraries — extend the dispatch with Pillow /
     torchaudio / PyAV to cover more formats; the Spark plan shapes do

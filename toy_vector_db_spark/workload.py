@@ -1579,6 +1579,33 @@ def media_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_intensity", 4).alias("mean_intensity"))
 
 
+# PNG (r9): stdlib-zlib inflate + NumPy filter reversal — the first
+# COMPRESSED format through the real-codec seam. The generator cycles
+# all five scanline filters ((id + row) % 5), so None/Sub/Up/Average/
+# Paeth reversal all sit under this one value hash; deflate output
+# never reaches the oracle (width/height/mean come from the decoded
+# pixels, which are the closed-form raster formula).
+@q("media_decode_png", """
+WITH g AS (SELECT range AS id FROM range(0, 30)),
+d AS (SELECT id, (id % 5) + 3 AS w, (id % 4) + 2 AS h FROM g)
+SELECT 'png_' || id AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       ROUND(list_aggregate(list_transform(range(0, w*h*3),
+             j -> CAST((id*37 + j*11) % 251 AS DOUBLE)), 'avg'), 4)
+         AS mean_intensity
+FROM d
+""")
+def media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.media import decode_media, synth_png
+    decoded = decode_media(synth_png(spark, n=30))
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.round("mean_intensity", 4).alias("mean_intensity"))
+
+
 # ---------------------------------------------------------------------------
 # Perceptual image dedup (r9): dHash over the REAL PPM decode path.
 # Corpus = 16 distinct 6x4 images (pixel byte j = (id*37 + j*11) % 251)
