@@ -293,3 +293,60 @@ def test_png_through_decode_and_resize_and_dhash(spark):
     dh = {r["media_id"]: r["dhash"] for r in dhash_media(corpus).collect()}
     for mid, val in dh.items():
         assert val == dhash_bits(_parse_png(pay[mid]))
+
+
+# ---------------------------------------------------------------------------
+# WAV (r9): RIFF/WAVE PCM16 codec
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip():
+    from toy_vector_db_spark.operators.media import _parse_wav, encode_wav
+    rng = np.random.RandomState(5)
+    for frames, ch, rate in [(1, 1, 8000), (100, 2, 44100), (7, 3, 16000)]:
+        s = rng.randint(-32768, 32768, (frames, ch)).astype(np.int16)
+        back, r2 = _parse_wav(encode_wav(s, rate))
+        assert r2 == rate and np.array_equal(back, s)
+
+
+def test_wav_rejects_bad_payloads():
+    from toy_vector_db_spark.operators.media import _parse_wav, encode_wav
+    s = np.zeros((10, 1), dtype=np.int16)
+    good = encode_wav(s, 8000)
+    with pytest.raises(ValueError, match="RIFF"):
+        _parse_wav(b"JUNK" + good[4:])
+    with pytest.raises(ValueError, match="size field"):
+        _parse_wav(good + b"extra")
+    # non-PCM codec tag
+    hacked = bytearray(good)
+    hacked[20] = 3                                 # IEEE float tag
+    with pytest.raises(ValueError, match="unsupported"):
+        _parse_wav(bytes(hacked))
+    with pytest.raises(ValueError):
+        _parse_wav(good[:30])
+
+
+def test_synth_wav_bytes_match_real_parser(spark):
+    from toy_vector_db_spark.operators.media import _parse_wav, synth_wav
+    for r in synth_wav(spark, n=8).collect():
+        i = int(r["media_id"].split("_")[1])
+        samples, rate = _parse_wav(bytes(r["payload"]))
+        ns = (i % 4 + 1) * 50
+        assert samples.shape == (ns, 1)
+        assert rate == 8000 + (i % 3) * 4000
+        want = (i * 1009 + np.arange(ns) * 757) % 30011
+        assert np.array_equal(samples[:, 0], want.astype(np.int16))
+
+
+def test_decode_audio_quarantines_undecodable(spark):
+    from toy_vector_db_spark.operators.media import decode_audio, encode_wav
+    s = (np.arange(6, dtype=np.int16) - 3).reshape(-1, 1)
+    rows = [("ok", bytearray(encode_wav(s, 8000))),
+            ("bad", bytearray(b"not audio at all"))]
+    df = spark.createDataFrame(rows, "media_id STRING, payload BINARY")
+    got = {r["media_id"]: r for r in decode_audio(df).collect()}
+    assert got["ok"]["decoded"] and got["ok"]["n_samples"] == 6
+    assert got["ok"]["mean_amplitude"] == pytest.approx(
+        np.abs(np.arange(6) - 3).mean())
+    assert not got["bad"]["decoded"]
+    assert got["bad"]["n_samples"] is None
+    assert got["bad"]["n_bytes"] == 16

@@ -398,6 +398,143 @@ def encode_ppm(arr: np.ndarray) -> bytes:
         np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
 
 
+def _parse_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM (16-bit) -> (int16 array (n_frames, channels),
+    sample_rate). Walks the chunk list (word-aligned sizes per the
+    RIFF spec), validates the RIFF size field and the fmt codec tag,
+    and rejects anything but integer PCM16 rather than mis-decoding."""
+    if data[:4] != b"RIFF" or len(data) < 12 or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    riff_size = int.from_bytes(data[4:8], "little")
+    if riff_size != len(data) - 8:
+        raise ValueError("RIFF size field mismatch")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        typ = data[pos:pos + 4]
+        ln = int.from_bytes(data[pos + 4:pos + 8], "little")
+        chunk = data[pos + 8:pos + 8 + ln]
+        if len(chunk) != ln:
+            raise ValueError("truncated WAV chunk")
+        if typ == b"fmt ":
+            fmt = chunk
+        elif typ == b"data":
+            pcm = chunk
+        pos += 8 + ln + (ln & 1)                 # chunks are word-aligned
+    if fmt is None or pcm is None or len(fmt) < 16:
+        raise ValueError("missing WAV fmt/data chunk")
+    codec = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if codec != 1 or bits != 16 or channels < 1:
+        raise ValueError(
+            f"unsupported WAV variant codec={codec} bits={bits}")
+    if len(pcm) % (2 * channels):
+        raise ValueError("WAV data size not frame-aligned")
+    samples = np.frombuffer(pcm, dtype="<i2").reshape(-1, channels)
+    return samples, rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n_frames, channels) int16 + rate -> RIFF/WAVE PCM16 bytes —
+    the inverse of ``_parse_wav``; test fixture + export path."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    channels = samples.shape[1]
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    block = 2 * channels
+    fmt = ((1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+           + sample_rate.to_bytes(4, "little")
+           + (sample_rate * block).to_bytes(4, "little")
+           + block.to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    body = (b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(pcm).to_bytes(4, "little") + pcm)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def synth_wav(spark: SparkSession, n: int = 30) -> DataFrame:
+    """Deterministic REAL RIFF/WAVE PCM16 corpus, generated JVM-side
+    (pure Column expressions, like synth_ppm/synth_bmp): audio ``id``
+    is mono, ``(id%4 + 1)*50`` samples at ``8000 + (id%3)*4000`` Hz,
+    sample ``j`` = ``(id*1009 + j*757) % 30011`` — non-negative and
+    < 2^15, so every sample is exactly representable, |amplitude|
+    sums are exact integers, and a DuckDB oracle value-hashes the
+    real ``_parse_wav`` path with closed-form arithmetic."""
+    df = spark.range(n).select(
+        "id",
+        ((F.pmod("id", F.lit(4)) + 1) * 50).cast("int").alias("ns"),
+        (F.lit(8000) + F.pmod("id", F.lit(3)) * 4000).cast("int").alias("sr"))
+
+    def le16(x: str) -> str:
+        return (f"lpad(hex(({x}) % 256), 2, '0') || "
+                f"lpad(hex((({x}) div 256) % 256), 2, '0')")
+
+    def le32_small(x: str) -> str:               # values < 2^16
+        return f"{le16(x)} || '0000'"
+
+    header_hex = F.expr(
+        "'52494646'"                              # 'RIFF'
+        f" || {le32_small('36 + ns*2')}"          # riff size
+        " || '57415645'"                          # 'WAVE'
+        " || '666D7420' || '10000000'"            # 'fmt ', length 16
+        " || '0100' || '0100'"                    # PCM, mono
+        f" || {le32_small('sr')}"                 # sample rate
+        f" || {le32_small('sr*2')}"               # byte rate
+        " || '0200' || '1000'"                    # block align 2, 16 bit
+        " || '64617461'"                          # 'data'
+        f" || {le32_small('ns*2')}")
+    data_hex = F.expr(
+        "array_join(transform(sequence(0, ns - 1), "
+        f"j -> {le16('(id*1009 + j*757) % 30011')}), '')")
+    return df.select(
+        F.concat(F.lit("wav_"), F.col("id").cast("string")).alias("media_id"),
+        F.lit("audio").alias("modality"),
+        F.to_binary(F.concat(header_hex, data_hex), F.lit("hex"))
+        .alias("payload"),
+        F.lit("audio/wav").alias("mime_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("ns").cast("long") * 1000 / F.col("sr")).cast("long")
+        .alias("duration_ms"),
+        F.create_map(F.lit("source"), F.lit("synthetic-wav")).alias("metadata"))
+
+
+AUDIO_DDL = ("media_id STRING, n_bytes LONG, n_samples LONG, "
+             "sample_rate LONG, channels LONG, mean_amplitude DOUBLE, "
+             "decoded BOOLEAN")
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Audio twin of ``decode_media``: RIFF/WAVE PCM16 payloads get
+    REAL stats from ``_parse_wav`` (frame count, rate, channels, mean
+    |amplitude|); undecodable payloads pass through with NULL stats
+    and ``decoded=false`` — the quarantine path, never fabricated.
+    Map-only mapInPandas, same no-shuffle contract as the image
+    decoders."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                try:
+                    samples, rate = _parse_wav(raw)
+                except ValueError:
+                    out.append((mid, len(raw), None, None, None, None,
+                                False))
+                    continue
+                out.append((
+                    mid, len(raw), samples.shape[0], rate,
+                    samples.shape[1],
+                    float(np.abs(samples.astype(np.int64)).mean())
+                    if samples.size else 0.0, True))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "n_bytes", "n_samples", "sample_rate",
+                "channels", "mean_amplitude", "decoded"])
+
+    return df.select("media_id", "payload").mapInPandas(batches, AUDIO_DDL)
+
+
 def _try_decode_pixels(payload: bytes) -> np.ndarray | None:
     """Real decode if the payload is one of the supported formats,
     else None. Magic-matched payloads that fail validation (e.g. a

@@ -1606,6 +1606,36 @@ def media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_intensity", 4).alias("mean_intensity"))
 
 
+# WAV (r9): second real MODALITY through the codec tier — RIFF/WAVE
+# PCM16 parsed by _parse_wav, generated JVM-side like synth_ppm.
+# Samples are (id*1009 + j*757) % 30011 (non-negative < 2^15), so
+# frame counts, rates, and mean |amplitude| are all exact-integer
+# closed form for the oracle.
+@q("media_decode_wav", """
+WITH g AS (SELECT range AS id FROM range(0, 30)),
+d AS (SELECT id, (id % 4 + 1) * 50 AS ns, 8000 + (id % 3) * 4000 AS sr
+      FROM g)
+SELECT 'wav_' || id AS media_id,
+       CAST(44 + ns*2 AS BIGINT) AS n_bytes,
+       CAST(ns AS BIGINT) AS n_samples,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS channels,
+       ROUND(list_aggregate(list_transform(range(0, ns),
+             j -> CAST((id*1009 + j*757) % 30011 AS DOUBLE)), 'avg'), 4)
+         AS mean_amplitude
+FROM d
+""")
+def media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.media import decode_audio, synth_wav
+    decoded = decode_audio(synth_wav(spark, n=30))
+    return decoded.select(
+        "media_id", F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("channels").cast("bigint").alias("channels"),
+        F.round("mean_amplitude", 4).alias("mean_amplitude"))
+
+
 # ---------------------------------------------------------------------------
 # Perceptual image dedup (r9): dHash over the REAL PPM decode path.
 # Corpus = 16 distinct 6x4 images (pixel byte j = (id*37 + j*11) % 251)
