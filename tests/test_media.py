@@ -350,3 +350,20 @@ def test_decode_audio_quarantines_undecodable(spark):
     assert not got["bad"]["decoded"]
     assert got["bad"]["n_samples"] is None
     assert got["bad"]["n_bytes"] == 16
+
+
+def test_synth_bmp_padded_width_matches_parser(spark):
+    # width 5 -> stride 16 with one pad byte per row; the parser must
+    # slice the pad out, so the recovered raster is the formula at the
+    # PIXEL positions only
+    from toy_vector_db_spark.operators.media import synth_bmp
+    for r in synth_bmp(spark, n=6, width=5).collect():
+        i = int(r["media_id"].split("_")[1])
+        px = _parse_bmp(bytes(r["payload"]))
+        h = r["height"]
+        assert px.shape == (h, 5, 3)
+        raw = px[::-1, :, ::-1].reshape(h, 15)      # undo top-down + RGB
+        full = _formula_raster(i, 16 * h).reshape(h, 16)
+        assert np.array_equal(raw, full[:, :15])
+    with pytest.raises(ValueError, match="header math"):
+        synth_bmp(spark, n=1, width=20)

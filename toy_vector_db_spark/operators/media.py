@@ -118,35 +118,44 @@ def _le32(hex_low_byte: str) -> str:
     return f"lpad(hex({hex_low_byte}), 2, '0') || '000000'"
 
 
-def synth_bmp(spark: SparkSession, n: int = 20) -> DataFrame:
+def synth_bmp(spark: SparkSession, n: int = 20,
+              width: int = 4) -> DataFrame:
     """Deterministic REAL uncompressed 24-bit BMP corpus, JVM-side.
-    Width is fixed at 4 so the row stride (w*3 rounded up to 4 bytes)
-    is exactly 12 — NO padding bytes, so the raster is precisely the
-    pixel formula and the oracle's mean needs no pad exclusion (mean
-    intensity is invariant to the bottom-up row order and BGR channel
-    order the decoder undoes). height = (id%3)+2; file size 54+12*h
-    (< 256, so every multi-byte header field fits one low byte)."""
+    The row stride is ``w*3`` rounded up to 4 bytes; the default
+    width 4 gives stride 12 with NO padding (the raster is precisely
+    the pixel formula), while e.g. width 5 gives stride 16 with one
+    pad byte per row — pad positions also carry the formula, and the
+    DECODER must skip them (``_parse_bmp`` slices ``rows[:, :w*3]``),
+    so a pad-width corpus puts the stride arithmetic under the driver
+    value hash (the oracle's mean then excludes pad positions; mean
+    intensity stays invariant to the bottom-up row order and BGR
+    channel order the decoder undoes). height = (id%3)+2; file size
+    54 + stride*h must stay < 256 so every multi-byte header field
+    fits one low byte."""
+    stride = (width * 3 + 3) & ~3
+    if not 0 < width or 54 + stride * 4 > 255:
+        raise ValueError(f"width {width} overflows the one-byte header math")
     df = spark.range(n).select(
         "id", (F.pmod("id", F.lit(3)) + 2).cast("int").alias("h"))
     header_hex = F.expr(
         "'424D'"                                    # 'BM'
-        f" || {_le32('54 + 12*h')}"                 # file size
+        f" || {_le32(f'54 + {stride}*h')}"          # file size
         " || '00000000'"                            # reserved
         " || '36000000'"                            # pixel offset 54
         " || '28000000'"                            # BITMAPINFOHEADER 40
-        f" || {_le32('4')}"                         # width 4
+        f" || {_le32(str(width))}"                  # width
         f" || {_le32('h')}"                         # height (bottom-up)
         " || '0100' || '1800'"                      # planes 1, bpp 24
         " || '00000000'"                            # compression BI_RGB
         " || repeat('0', 40)")                      # imagesize/ppm/colors
     raster_hex = F.expr(
-        f"array_join(transform(sequence(0, 12*h - 1), j -> {_PX}), '')")
+        f"array_join(transform(sequence(0, {stride}*h - 1), j -> {_PX}), '')")
     return df.select(
         F.concat(F.lit("bmp_"), F.col("id").cast("string")).alias("media_id"),
         F.lit("image").alias("modality"),
         F.to_binary(F.concat(header_hex, raster_hex), F.lit("hex")).alias("payload"),
         F.lit("image/bmp").alias("mime_type"),
-        F.lit(4).cast("int").alias("width"), F.col("h").alias("height"),
+        F.lit(width).cast("int").alias("width"), F.col("h").alias("height"),
         F.lit(0).cast("long").alias("duration_ms"),
         F.create_map(F.lit("source"), F.lit("synthetic-bmp")).alias("metadata"))
 

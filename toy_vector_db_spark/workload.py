@@ -1606,6 +1606,36 @@ def media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_intensity", 4).alias("mean_intensity"))
 
 
+# BMP with ROW PADDING (r9): width 5 -> stride 16, one pad byte per
+# row that also carries the pixel formula — the decoder must SKIP it
+# (rows[:, :15]), so the oracle's mean runs over pixel positions only:
+# byte k of the 15 real bytes in row r sits at raster offset
+# (k div 15)*16 + (k % 15). A wrong stride slice shifts every row and
+# the hash catches it. (The no-pad width-4 corpus keeps its own query
+# above — both branches stay anchored.)
+@q("media_decode_bmp_pad", """
+WITH g AS (SELECT range AS id FROM range(0, 20)),
+d AS (SELECT id, (id % 3) + 2 AS h FROM g)
+SELECT 'bmp_' || id AS media_id,
+       CAST(54 + 16*h AS BIGINT) AS n_bytes,
+       CAST(5 AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       ROUND(list_aggregate(list_transform(range(0, 15*h),
+             k -> CAST((id*37 + ((k // 15)*16 + (k % 15))*11) % 251
+                       AS DOUBLE)), 'avg'), 4)
+         AS mean_intensity
+FROM d
+""")
+def media_decode_bmp_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.media import decode_media, synth_bmp
+    decoded = decode_media(synth_bmp(spark, n=20, width=5))
+    return decoded.select(
+        "media_id", F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.round("mean_intensity", 4).alias("mean_intensity"))
+
+
 # WAV (r9): second real MODALITY through the codec tier — RIFF/WAVE
 # PCM16 parsed by _parse_wav, generated JVM-side like synth_ppm.
 # Samples are (id*1009 + j*757) % 30011 (non-negative < 2^15), so
