@@ -231,3 +231,49 @@ def test_sample_k_per_group_exact_quota_and_stability(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sample_k_per_group(df, "doc_id", "grp", k=0)
+
+
+def test_token_budget_sample_pretokenized_counts(spark):
+    # n_tok_col: the walk runs on supplied (e.g. BPE) counts, not the
+    # whitespace token_count of text — same ordering, different cutoff
+    from toy_vector_db_spark.operators.sampling import token_budget_sample
+    rows = [(i, "s", "one two three", 10) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, source STRING, text STRING, bpe LONG")
+    ws = token_budget_sample(df, {"s": 30})
+    bpe = token_budget_sample(df, {"s": 30}, n_tok_col="bpe")
+    # whitespace counts are 3/doc -> 10 docs kept; BPE counts are
+    # 10/doc -> only 3 cross the same budget
+    assert ws.count() == 10 and bpe.count() == 3
+    got = bpe.orderBy("cum_before").collect()
+    assert [r["n_tok"] for r in got] == [10, 10, 10]
+    assert [r["cum_before"] for r in got] == [0, 10, 20]
+    # membership prefix agrees with the whitespace walk's md5 order
+    ws_ids = [r["doc_id"] for r in ws.orderBy("cum_before").collect()]
+    assert [r["doc_id"] for r in got] == ws_ids[:3]
+
+
+def test_bpe_budget_composition_matches_manual(spark):
+    # end-to-end: the registered query's pieces — learned merges,
+    # segmentation counts, budget walk — agree with a hand-replayed
+    # pipeline on a small corpus
+    from toy_vector_db_spark.operators.bpe import (
+        _segment_word_py, learn_bpe, segment,
+    )
+    from pyspark.sql import functions as F
+    from toy_vector_db_spark.functions.text import normalize_for_fingerprint
+    rows = [(i, "s", ("aa ab " * (i + 1)).strip()) for i in range(4)]
+    d = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    merges, _ = learn_bpe(d, n_merges=2)
+    toks = F.split(normalize_for_fingerprint(F.col("text")), " ")
+    wpd = (d.select("doc_id", F.explode(toks).alias("word"))
+           .filter(F.col("word") != ""))
+    wn = segment(wpd.select("word").distinct(), merges) \
+        .select("word", F.size("syms").alias("n_sym"))
+    got = {r["doc_id"]: r["n"] for r in
+           wpd.join(wn, "word").groupBy("doc_id")
+           .agg(F.sum("n_sym").alias("n")).collect()}
+    for i in range(4):
+        want = sum(len(_segment_word_py(w, merges))
+                   for w in ("aa ab " * (i + 1)).strip().split())
+        assert got[i] == want

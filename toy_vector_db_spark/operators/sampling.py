@@ -84,7 +84,8 @@ def weighted_sample(df: DataFrame, key: str, weight: Column,
 def token_budget_sample(df: DataFrame, budgets: dict[str, int],
                         key: str = "doc_id", source_col: str = "source",
                         text_col: str = "text",
-                        salt: str = "budget") -> DataFrame:
+                        salt: str = "budget",
+                        n_tok_col: str | None = None) -> DataFrame:
     """Per-source token-budget mixture construction (the Pile/Dolma
     recipe: "take ~N tokens from each source"): within every source,
     walk the docs in deterministic md5 order and keep them until the
@@ -125,7 +126,11 @@ def token_budget_sample(df: DataFrame, budgets: dict[str, int],
     w = (Window.partitionBy(source_col)
          .orderBy(hash_uniform(F.col(key), salt), F.col(key))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    n_tok = token_count(F.col(text_col))
+    # n_tok_col: pre-tokenized counts (a real tokenizer — e.g. BPE
+    # symbol counts from operators/bpe.segment) instead of the default
+    # whitespace token_count; the walk itself is tokenizer-agnostic
+    n_tok = (F.col(n_tok_col) if n_tok_col
+             else token_count(F.col(text_col)))
     staged = df.withColumn("n_tok", n_tok.cast("bigint")) \
         .withColumn("cum_before",
                     (F.sum("n_tok").over(w) - F.col("n_tok")).cast("bigint"))

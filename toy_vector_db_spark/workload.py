@@ -4158,6 +4158,99 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tok", "cum_before")
 
 
+# Token budgeting on REAL BPE counts (r9): the end-to-end shape a
+# training pipeline runs — induce a merge table (learn_bpe), segment
+# every document word with it (bpe.segment, the tokenizer-inference
+# path), count symbols per doc, then the exact md5-order budget walk.
+# The oracle replays ALL of it: each merge round is two CTEs (argmax
+# pair by weight desc / lex asc, then the greedy left-to-right fuse
+# as a replace() over a chr(1)/chr(2)-wrapped symbol string — scan
+# semantics identical to the _fuse fold), then the per-doc symbol
+# counts and the same window arithmetic as mixture_token_budget.
+_BPE_BUDGET_MERGES = 6
+_BPE_BUDGETS = {"src0": 4000, "src1": 1000}
+
+
+def _bpe_budget_oracle(n_merges: int = _BPE_BUDGET_MERGES,
+                       budgets: dict[str, int] | None = None) -> str:
+    budgets = budgets or _BPE_BUDGETS
+    w1, w2 = "chr(1)", "chr(2)"
+    wrap = (f"{w1} || array_to_string(string_split(word, ''), "
+            f"{w2} || {w1}) || {w2}")
+
+    def unwrap(col: str) -> str:
+        return f"string_split(substr({col}, 2, len({col}) - 2), {w2} || {w1})"
+
+    parts = [f"""w AS (
+  SELECT t AS word, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split({_DD_NORM}, ' ')) AS t FROM documents)
+  WHERE t <> '' GROUP BY t),
+v0 AS (SELECT word, freq, {wrap} AS s FROM w)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""p{k} AS (
+  SELECT s2[i] AS lsym, s2[i + 1] AS rsym
+  FROM (SELECT freq, {unwrap('s')} AS s2 FROM v{k - 1}),
+       UNNEST(range(1, greatest(len(s2), 1))) AS t(i)
+  GROUP BY lsym, rsym
+  ORDER BY SUM(freq) DESC, lsym ASC, rsym ASC LIMIT 1)""")
+        parts.append(f"""v{k} AS (
+  SELECT word, freq,
+         replace(s, {w1} || lsym || {w2} || {w1} || rsym || {w2},
+                 {w1} || lsym || rsym || {w2}) AS s
+  FROM v{k - 1}, p{k})""")
+    where = " OR ".join(f"(source = '{s}' AND cum_before < {int(b)})"
+                        for s, b in sorted(budgets.items()))
+    parts.append(f"""wn AS (
+  SELECT word, len({unwrap('s')}) AS n_sym FROM v{n_merges}),
+wpd AS (
+  SELECT doc_id, t AS word
+  FROM (SELECT doc_id, unnest(string_split({_DD_NORM}, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''),
+dt AS (
+  SELECT p.doc_id, SUM(n.n_sym) AS n_tok
+  FROM wpd p JOIN wn n USING (word) GROUP BY p.doc_id),
+dtok AS (
+  SELECT d.doc_id, d.source,
+         CAST(COALESCE(t.n_tok, 0) AS BIGINT) AS n_tok,
+         {_DD_U.format(salt='budget').replace('doc_id', 'd.doc_id')} AS u
+  FROM documents d LEFT JOIN dt t ON d.doc_id = t.doc_id),
+wk AS (
+  SELECT doc_id, source, n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+           AS BIGINT) AS cum_before
+  FROM dtok)
+SELECT doc_id, source, n_tok, cum_before FROM wk WHERE {where}""")
+    return "WITH " + ",\n".join(parts)
+
+
+@q("mixture_token_budget_bpe", _bpe_budget_oracle())
+def mixture_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize_for_fingerprint
+    from .operators.bpe import learn_bpe, segment
+    from .operators.sampling import token_budget_sample
+    d = _tp(spark, sf_dir, "documents")
+    merges, _ = learn_bpe(d, n_merges=_BPE_BUDGET_MERGES)
+    toks = F.split(normalize_for_fingerprint(F.col("text")), " ")
+    wpd = (d.select("doc_id", "source", F.explode(toks).alias("word"))
+           .filter(F.col("word") != ""))
+    # tokenizer inference over the distinct-word table (vocab-sized),
+    # then one join back — never segment per occurrence
+    wn = segment(wpd.select("word").distinct(), merges) \
+        .select("word", F.size("syms").alias("__n_sym"))
+    per_doc = (wpd.join(wn, "word")
+               .groupBy("doc_id", "source")
+               .agg(F.sum("__n_sym").alias("n_tok_bpe")))
+    dtok = (d.select("doc_id", "source")
+            .join(per_doc, ["doc_id", "source"], "left")
+            .withColumn("n_tok_bpe",
+                        F.coalesce("n_tok_bpe", F.lit(0)).cast("bigint")))
+    return token_budget_sample(dtok, _BPE_BUDGETS,
+                               n_tok_col="n_tok_bpe") \
+        .select("doc_id", "source", "n_tok", "cum_before")
+
+
 # Temperature-flattened source mixing (sampling.temperature_sample):
 # per-source keep fraction min(1, f*N*q_s/n_s) with q_s ∝ n_s^alpha —
 # the exponential-smoothing recipe that keeps big sources from
