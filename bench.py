@@ -90,6 +90,85 @@ LOAD_FLAG_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_FLAG", "8.0"))
 RETRY_SPREAD = 2.0
 
 
+#: max seconds the re-measure pass waits for host load1 to fall under
+#: the flag threshold (the common flag source is a co-tenant burst or
+#: this suite's own prior work shutting down — minutes, not hours; if
+#: the host never settles, re-measuring anyway still records the
+#: honest second load1). cap: bounded wall-clock, not a data knob.
+SETTLE_MAX_S = float(os.environ.get("SPARK_GRAFT_SETTLE_MAX_S", "300"))
+SETTLE_POLL_S = 15
+
+
+def run_subset(sub: list[str], sf_dir: str) -> tuple[dict, dict]:
+    """One FRESH bench session (subprocess) over `sub`; returns
+    (timings, loads) parsed from its JSON lines ({} on failure). The
+    child never re-measures (SPARK_GRAFT_NO_REMEASURE) — recursion
+    guard for the idle pass below."""
+    import subprocess
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_ONLY=",".join(sub),
+               SPARK_GRAFT_NO_REMEASURE="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, cwd=REPO, capture_output=True, text=True)
+    got, loads = None, {}
+    for line in proc.stdout.splitlines():
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if "queries" in obj:
+            got = obj["queries"]
+        if "load" in obj:
+            loads = obj["load"]
+    if got is None:
+        print(f"subset FAILED ({sub[0]}..{sub[-1]})\n{proc.stderr[-2000:]}",
+              file=sys.stderr)
+        return {}, {}
+    return got, loads
+
+
+def remeasure_flagged(merged: dict, merged_load: dict, sf_dir: str,
+                      chunk: int = 16) -> dict:
+    """Auto-re-measure rows timed under host load (r8 VERDICT #3 —
+    previously only tools/bench_chunks.py had this; the driver's
+    primary single-session artifact carried load-polluted rows with
+    no fresh twins). Waits (bounded) for load1 to settle, re-runs
+    just the flagged rows in fresh sessions, and REPLACES their
+    timings/loads in `merged`/`merged_load` with the fresh values.
+    Returns {name: {"loaded": [t, load1], "fresh": [t, load1]}} so
+    both numbers stay on the record; rows whose re-measure was itself
+    loaded remain flagged via merged_load."""
+    import time
+    flagged = sorted(n for n, (l1, *_) in merged_load.items()
+                     if l1 > LOAD_FLAG_THRESHOLD and merged.get(n, -1) >= 0)
+    remeasured: dict[str, dict] = {}
+    if not flagged:
+        return remeasured
+    waited = 0
+    while (os.getloadavg()[0] > LOAD_FLAG_THRESHOLD
+           and waited < SETTLE_MAX_S):
+        time.sleep(SETTLE_POLL_S)
+        waited += SETTLE_POLL_S
+    print(f"re-measuring {len(flagged)} flagged-load rows "
+          f"(settled {waited}s, load1 {os.getloadavg()[0]:.1f})",
+          file=sys.stderr)
+    for i in range(0, len(flagged), chunk):
+        sub = flagged[i:i + chunk]
+        got, loads = run_subset(sub, sf_dir)
+        for n in sub:
+            if n not in got:
+                continue
+            remeasured[n] = {
+                "loaded": [merged[n], merged_load[n][0]],
+                "fresh": [got[n], loads.get(n, [None])[0]],
+            }
+            merged[n] = got[n]          # queries carries the fresh value
+            merged_load[n] = loads[n]
+    return remeasured
+
+
 def host_load() -> tuple[float, float]:
     """(1-min loadavg, MemAvailable GiB) — the two numbers the r5/r6
     drift forensics had to reconstruct from shell history."""
@@ -173,6 +252,14 @@ def main() -> None:
         timings[name] = best
         loads[name] = [load1, mem_gb, tries]
         print(f"bench {name}: {best}s (load1 {load1})", file=sys.stderr)
+
+    # idle re-measure pass (skipped inside run_subset children): rows
+    # timed under host load get fresh-session twins, and the summary
+    # carries the fresh value — the reproducible number drift analysis
+    # needs. Emitted as its own JSON line with BOTH values per row.
+    remeasured = {}
+    if not os.environ.get("SPARK_GRAFT_NO_REMEASURE"):
+        remeasured = remeasure_flagged(timings, loads, sf_dir)
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     # The driver captures a bounded TAIL of stdout (~2.9 KB). At 90+
     # queries a single summary-first JSON line outgrows that window and
@@ -190,6 +277,8 @@ def main() -> None:
     # TAIL of stdout, and queries + summary are the rows that must
     # survive truncation
     print(json.dumps({"load": loads}, separators=(",", ":")))
+    if remeasured:
+        print(json.dumps({"remeasured": remeasured}, separators=(",", ":")))
     print(json.dumps({"queries": compact}, separators=(",", ":")))
     print(json.dumps({"metric": "workload_total", "value": total,
                       "core_total": core, "unit": "sec", "sf": sf_val,

@@ -9,14 +9,11 @@ steady state a real cluster job sees — each chunk still gets the
 warm-up + best-of-2 protocol from bench.py itself.
 
 Rows measured while the host was loaded (load1 above bench.py's
-LOAD_FLAG_THRESHOLD) are AUTO-RE-MEASURED in a final idle pass
-(VERDICT r7 next #3 — r5-r7 produced those fresh numbers by hand):
-after the main sweep the runner waits for load1 to settle, re-runs
-just the flagged rows in fresh sessions, and emits a "remeasured"
-JSON line carrying BOTH values per row ({"loaded": [t, load1],
-"fresh": [t, load1]}). The merged "queries" line carries the fresh
-value (the reproducible number drift analysis needs); rows whose
-re-measure was ITSELF loaded stay in flagged_load.
+LOAD_FLAG_THRESHOLD) are AUTO-RE-MEASURED in a final idle pass. r9:
+that pass now LIVES in bench.py (``remeasure_flagged`` — the
+single-session protocol the driver records runs it too); this runner
+shares it, so both artifacts carry {"loaded", "fresh"} twins and the
+merged "queries" line carries the fresh value.
 
 Usage:
     python tools/bench_chunks.py [sf_dir] [chunk_size]
@@ -29,46 +26,10 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-
-#: max seconds to wait for host load1 to fall below the flag threshold
-#: before the re-measure pass (the common flag source is a co-tenant
-#: burst or this suite's own prior chunk shutting down — minutes, not
-#: hours; if the host never settles, re-measuring anyway still records
-#: the honest second load1). cap: bounded wall-clock, not a data knob.
-_SETTLE_MAX_S = float(os.environ.get("SPARK_GRAFT_SETTLE_MAX_S", "300"))
-_SETTLE_POLL_S = 15
-
-
-def _run_chunk(sub: list[str], sf_dir: str) -> tuple[dict, dict]:
-    """One fresh bench.py session over `sub`; returns (timings, loads)
-    parsed from its JSON lines ({} on a failed chunk)."""
-    env = dict(os.environ,
-               SPARK_GRAFT_SF_DIR=sf_dir,
-               SPARK_GRAFT_ONLY=",".join(sub))
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, cwd=REPO, capture_output=True, text=True)
-    got, loads = None, {}
-    for line in proc.stdout.splitlines():
-        try:
-            obj = json.loads(line)
-        except ValueError:
-            continue
-        if "queries" in obj:
-            got = obj["queries"]
-        if "load" in obj:
-            loads = obj["load"]
-    if got is None:
-        print(f"chunk FAILED ({sub[0]}..{sub[-1]})\n{proc.stderr[-2000:]}",
-              file=sys.stderr)
-        return {}, {}
-    return got, loads
 
 
 def main() -> None:
@@ -76,14 +37,16 @@ def main() -> None:
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
     import __spark_entry__ as entrymod
-    from bench import CORE, LOAD_FLAG_THRESHOLD
+    from bench import (
+        CORE, LOAD_FLAG_THRESHOLD, remeasure_flagged, run_subset,
+    )
 
     names = list(entrymod.queries())
     merged: dict[str, float] = {}
     merged_load: dict[str, list] = {}
     for i in range(0, len(names), chunk):
         sub = names[i:i + chunk]
-        got, loads = _run_chunk(sub, sf_dir)
+        got, loads = run_subset(sub, sf_dir)
         merged_load.update(loads)
         if not got:
             for n in sub:
@@ -94,31 +57,7 @@ def main() -> None:
               f"{round(sum(v for v in got.values() if v >= 0), 1)}s",
               file=sys.stderr)
 
-    # -- auto-re-measure pass: rows timed under host load ------------------
-    flagged = sorted(n for n, (l1, *_) in merged_load.items()
-                     if l1 > LOAD_FLAG_THRESHOLD and merged.get(n, -1) >= 0)
-    remeasured: dict[str, dict] = {}
-    if flagged:
-        waited = 0
-        while (os.getloadavg()[0] > LOAD_FLAG_THRESHOLD
-               and waited < _SETTLE_MAX_S):
-            time.sleep(_SETTLE_POLL_S)
-            waited += _SETTLE_POLL_S
-        print(f"re-measuring {len(flagged)} flagged-load rows "
-              f"(settled {waited}s, load1 {os.getloadavg()[0]:.1f})",
-              file=sys.stderr)
-        for i in range(0, len(flagged), chunk):
-            sub = flagged[i:i + chunk]
-            got, loads = _run_chunk(sub, sf_dir)
-            for n in sub:
-                if n not in got:
-                    continue
-                remeasured[n] = {
-                    "loaded": [merged[n], merged_load[n][0]],
-                    "fresh": [got[n], loads.get(n, [None])[0]],
-                }
-                merged[n] = got[n]          # queries carries the fresh value
-                merged_load[n] = loads[n]
+    remeasured = remeasure_flagged(merged, merged_load, sf_dir, chunk)
 
     total = round(sum(v for v in merged.values() if v >= 0), 3)
     core = round(sum(v for n, v in merged.items()
