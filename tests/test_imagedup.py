@@ -131,3 +131,28 @@ def test_synth_ppm_id_mod_exact_duplicates(spark):
     for i in range(4):
         assert pay[f"ppm_{i}"] == pay[f"ppm_{i + 4}"]
     assert pay["ppm_0"] != pay["ppm_1"]
+
+
+def test_ahash_bits_hand_computed():
+    from toy_vector_db_spark.operators.imagedup import ahash_bits
+    # half dark / half bright rows: exactly the bright half above mean
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[4:] = 200
+    got = ahash_bits(px)
+    want = sum(1 << b for b in range(32, 64))
+    assert got == want - (1 << 64)  # top bit set -> negative pack
+    # uniform image: no cell exceeds the mean (strict >) -> 0
+    assert ahash_bits(np.full((8, 8, 3), 77, dtype=np.uint8)) == 0
+
+
+def test_ahash_media_and_banding_reuse(spark):
+    from toy_vector_db_spark.operators.imagedup import (
+        ahash_media, dhash_hamming_pairs,
+    )
+    base = synth_ppm(spark, n=4, width=6, height=4)
+    copy = synth_ppm(spark, n=4, width=6, height=4, id_prefix="ppmC_")
+    hashed = ahash_media(base.unionByName(copy))
+    pairs = dhash_hamming_pairs(hashed, hash_col="ahash")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    for i in range(4):
+        assert got.get((f"ppmC_{i}", f"ppm_{i}")) == 0

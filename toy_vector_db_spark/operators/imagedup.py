@@ -66,6 +66,40 @@ def dhash_bits(px: np.ndarray, grid: int = GRID) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
+def ahash_bits(px: np.ndarray, grid: int = GRID) -> int:
+    """Average hash (the dHash's mean-threshold sibling): sample a
+    grid x grid luminance grid, set bit ``r*grid + c`` iff the cell
+    exceeds the grid MEAN. The compare is ``n*s > total`` — integer
+    multiply instead of a float mean, so ties break deterministically
+    to 0 and the oracle replays it exactly."""
+    h, w = px.shape[:2]
+    yi = (np.arange(grid) * h) // grid
+    xi = (np.arange(grid) * w) // grid
+    g = px[yi][:, xi].sum(axis=2, dtype=np.int64).flatten()
+    bits = g * g.size > g.sum()
+    val = int(bits @ (1 << np.arange(bits.size, dtype=np.uint64)))
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def ahash_media(df: DataFrame, grid: int = GRID) -> DataFrame:
+    """(media_id, payload, ...) -> (media_id, ahash BIGINT); same
+    map-only / NULL-quarantine contract as ``dhash_media``. The
+    banding verifier (``dhash_hamming_pairs``) is hash-agnostic, so
+    aHash near-dup pairs reuse it unchanged."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = _try_decode_pixels(bytes(payload or b""))
+                out.append((mid, ahash_bits(px, grid)
+                            if px is not None else None))
+            yield pd.DataFrame(out, columns=["media_id", "ahash"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, "media_id STRING, ahash LONG")
+
+
 def dhash_media(df: DataFrame, grid: int = GRID) -> DataFrame:
     """(media_id, payload, ...) -> (media_id, dhash BIGINT). Map-only
     mapInPandas (same no-shuffle contract as ``media.decode_media``);

@@ -1742,6 +1742,46 @@ def media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", F.col("dhash").cast("bigint").alias("dhash"))
 
 
+# Average hash, same corpus: the luminance GRID goes through a plain
+# list so the mean threshold (64*s > total) is one lambda — every bit
+# still closed-form. dHash and aHash disagreeing on this corpus is
+# expected (different predicates); both are anchored independently.
+def _ahash_lums_sql(bump: tuple[int, int] | None,
+                    w: int = _DHASH_W, h: int = _DHASH_H,
+                    grid: int = 8) -> str:
+    yi = [r * h // grid for r in range(grid)]
+    xi = [c * w // grid for c in range(grid)]
+    cells = []
+    for b in range(grid * grid):
+        r, c = divmod(b, grid)
+        j = (yi[r] * w + xi[c]) * 3
+        cells.append(" + ".join(
+            f"(id*37 + {(j + ch) * 11 + (bump[1] if bump and j + ch == bump[0] else 0)}) % 251"
+            for ch in range(3)))
+    return "[" + ", ".join(cells) + "]"
+
+
+@q("media_ahash", f"""
+WITH g AS (SELECT range AS id FROM range(0, {_DHASH_N})),
+lums AS (
+  SELECT 'ppm_' || id AS media_id, {_ahash_lums_sql(None)} AS gl FROM g
+  UNION ALL
+  SELECT 'ppmB_' || id AS media_id,
+         {_ahash_lums_sql(_DHASH_BUMP)} AS gl FROM g
+),
+imgs AS (
+  SELECT media_id,
+         list_transform(gl, s -> CASE WHEN 64*s > list_sum(gl)
+                                 THEN 1 ELSE 0 END) AS bits
+  FROM lums)
+SELECT media_id, CAST({_DHASH_PACK} AS BIGINT) AS ahash FROM imgs
+""")
+def media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.imagedup import ahash_media
+    return ahash_media(_dhash_corpus(spark)).select(
+        "media_id", F.col("ahash").cast("bigint").alias("ahash"))
+
+
 @q("dedup_image_dhash", f"""
 WITH {_dhash_imgs_cte()},
 banded AS (
