@@ -130,7 +130,13 @@ def dhash_hamming_pairs(hashed: DataFrame, id_col: str = "media_id",
     least one of ``bands`` contiguous bands agrees when fewer than
     ``bands`` bits differ); band extraction masks after the shift, so
     a negative packed hash (bit 63 set) bands correctly. NULL hashes
-    (undecodable payloads) are excluded up front."""
+    (undecodable payloads) are excluded up front.
+
+    cap: max_bucket=64 is the same star-cap default as the text
+    MinHash/SimHash banding (dedup._bucket_pairs): a corpus-sized
+    family of identical images degrades to linear star candidates
+    instead of one quadratic bucket; the trade is pair recall inside
+    oversized families, never correctness of emitted pairs."""
     if not 0 < bands <= bits:
         raise ValueError(f"bands must be in 1..{bits}, got {bands}")
     if max_hamming >= bands:
@@ -175,7 +181,8 @@ def image_dup_pairs(df: DataFrame, grid: int = GRID, bands: int = 4,
     decode -> dHash -> banded buckets -> verified (id_a, id_b,
     hamming). One shuffle total (the band groupBy; hashing is
     map-only), so the shape survives a 100 TB image corpus — the
-    shuffle carries (id, 64-bit hash) rows, never pixels."""
+    shuffle carries (id, 64-bit hash) rows, never pixels.
+    cap: max_bucket=64 — the dhash_hamming_pairs star-cap default."""
     return dhash_hamming_pairs(dhash_media(df, grid), bands=bands,
                                max_hamming=max_hamming,
                                max_bucket=max_bucket)
@@ -187,7 +194,8 @@ def image_dup_groups(df: DataFrame, grid: int = GRID, bands: int = 4,
     """Hamming-ball grouping: transitive closure of the near-dup pair
     graph via ``components.connected_components`` -> (media_id,
     group_id, n_members, keep) with ``keep`` = the group's minimum id
-    (the deterministic survivor a dedup pass retains)."""
+    (the deterministic survivor a dedup pass retains).
+    cap: max_bucket=64 — the dhash_hamming_pairs star-cap default."""
     pairs = image_dup_pairs(df, grid, bands, max_hamming, max_bucket)
     from .components import connected_components
     cc = connected_components(pairs, a_col="id_a", b_col="id_b")

@@ -4207,6 +4207,10 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as a replace() over a chr(1)/chr(2)-wrapped symbol string — scan
 # semantics identical to the _fuse fold), then the per-doc symbol
 # counts and the same window arithmetic as mixture_token_budget.
+# cap: demo merge-table size — each merge is one vocab-sized Spark
+# round AND two oracle CTEs, so the pinned 6 keeps the DuckDB replay
+# tractable; production tables (1k-10k merges) route through
+# bpe.segment's Arrow tier past EXPR_MAX_MERGES, same semantics.
 _BPE_BUDGET_MERGES = 6
 _BPE_BUDGETS = {"src0": 4000, "src1": 1000}
 
@@ -4990,30 +4994,34 @@ def dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- r8 rotation: every query whose MECHANISM changed this round
+    # --- r9 rotation: every query whose MECHANISM changed this round
     # plus one representative per core family as keepers. Queries
-    # rotated OUT (the r6 closure set: centroids, funnel_within,
-    # ann_ivf_topk, the knn_join and minhash-pair families, zorder)
-    # are unchanged since their green r7 rows — the cumulative r1-r8
-    # driver ledger keeps covering all 140 registered queries.
+    # rotated OUT (the r8 closure set: the Arrow fingerprint/simhash
+    # pins, frame-sample, the dialect quote-guards, mixture_temperature,
+    # corpus_clean_pipeline) are unchanged since their green r8 rows —
+    # the cumulative r1-r9 driver ledger keeps covering all registered
+    # queries.
     #
-    # new this round — never driver-run (5):
-    "text_fingerprints_arrow",       # Arrow tier PINNED (r7 next #1)
-    "dedup_simhash_arrow",           # Arrow tier PINNED (r7 next #1)
-    "media_decode_ppm",              # REAL _parse_ppm, closed-form oracle
-    "media_decode_bmp",              # REAL _parse_bmp, closed-form oracle
-    "media_resize_ppm",              # encode->NN-resize->decode round-trip
-    # changed-mechanism this round (8):
-    "text_fingerprints",             # tier-routed twin of the arrow pin
-    "dedup_simhash",                 # tier-routed twin of the arrow pin
-    "media_decode_stats",            # decode dispatch: magic-sniff first
-    "media_frame_sample",            # media module reshaped around codecs
-    "dedup_incremental_batch",       # greedy now component-form exact
+    # new this round — never driver-run (7):
+    "media_dhash",                   # dHash bits over the real decode
+    "media_ahash",                   # mean-threshold sibling hash
+    "dedup_image_dhash",             # banded perceptual near-dup pairs
+    "media_decode_png",              # stdlib-zlib codec, all 5 filters
+    "media_decode_wav",              # RIFF/PCM16 audio modality
+    "media_decode_bmp_pad",          # stride-pad branch value-hashed
+    "mixture_token_budget_bpe",      # BPE segmentation -> budget walk
+    # changed-mechanism this round (10):
+    "dedup_components",              # null-drop + cc_local_fits route
+    "dedup_semantic_ivf",            # closure rides the new route
+    "dedup_incremental_batch",       # intra-batch sweep rides it too
     "dedup_incremental_streaming",   # same sweep inside foreachBatch
-    "sql_meta_ne_dialect",           # metadata.K rewrite now quote-safe
-    "dedup_semantic_ivf",            # allow_quadratic pass-through change
-    # keepers — one per family (37; sql_nearest_* also carry the r8
-    # dialect null-guard + quote-aware WHERE/LIMIT changes):
+    "split_cluster_safe",            # leakage splits ride components
+    "media_decode_stats",            # dispatch gained the PNG branch
+    "media_decode_ppm",              # synth_ppm gained id_mod/bump
+    "media_decode_bmp",              # synth_bmp gained width param
+    "media_resize_ppm",              # resize output re-enters dispatch
+    "mixture_token_budget",          # token_budget_sample n_tok_col
+    # keepers — one per family (33):
     "scan_project_limit", "sql_nearest_filtered", "sql_nearest_by_id",
     "knn_cosine", "knn_search_auto", "knn_matryoshka_topk",
     "ann_graph_recall_gate", "ann_lsh_topk", "ann_ivf_det_topk",
@@ -5025,8 +5033,7 @@ _WINDOW = [
     "decontam_streaming", "embed_documents_values",
     "embed_ingest_roundtrip", "search_text_documents", "text_lang_id",
     "corpus_chunk_windows", "bpe_top_pairs", "lm_bigram_scores",
-    "dedup_exact_clusters", "dedup_components", "decontam_bloom_overlap",
-    "split_cluster_safe", "mixture_temperature", "corpus_clean_pipeline",
+    "dedup_exact_clusters", "decontam_bloom_overlap",
 ]
 
 
