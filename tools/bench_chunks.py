@@ -8,8 +8,9 @@ worker outright 48 queries in. Chunked fresh sessions measure the
 steady state a real cluster job sees — each chunk still gets the
 warm-up + best-of-2 protocol from bench.py itself.
 
-Rows measured while the host was loaded (load1 above bench.py's
-LOAD_FLAG_THRESHOLD) are AUTO-RE-MEASURED in a final idle pass. r9:
+Rows flagged by bench.py's evidence-based load predicate (session
+started loaded, or in-row attempt spread under high load — see
+bench.row_flagged) are AUTO-RE-MEASURED in a final idle pass. r9:
 that pass now LIVES in bench.py (``remeasure_flagged`` — the
 single-session protocol the driver records runs it too); this runner
 shares it, so both artifacts carry {"loaded", "fresh"} twins and the
@@ -37,9 +38,7 @@ def main() -> None:
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
     import __spark_entry__ as entrymod
-    from bench import (
-        CORE, LOAD_FLAG_THRESHOLD, remeasure_flagged, run_subset,
-    )
+    from bench import CORE, remeasure_flagged, row_flagged, run_subset
 
     names = list(entrymod.queries())
     merged: dict[str, float] = {}
@@ -62,9 +61,9 @@ def main() -> None:
     total = round(sum(v for v in merged.values() if v >= 0), 3)
     core = round(sum(v for n, v in merged.items()
                      if n in CORE and v >= 0), 3)
-    still_flagged = sorted(n for n, (l1, *_) in merged_load.items()
-                           if l1 > LOAD_FLAG_THRESHOLD)
-    max_load = max((l1 for l1, *_ in merged_load.values()), default=0.0)
+    still_flagged = sorted(n for n, e in merged_load.items()
+                           if row_flagged(e))
+    max_load = max((e[0] for e in merged_load.values()), default=0.0)
     sf = os.path.basename(sf_dir.rstrip("/"))
     print(json.dumps({"load": merged_load}, separators=(",", ":")))
     if remeasured:
