@@ -156,3 +156,37 @@ def test_ahash_media_and_banding_reuse(spark):
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
     for i in range(4):
         assert got.get((f"ppmC_{i}", f"ppm_{i}")) == 0
+
+
+def test_grouping_covers_every_image_despite_star_cap(spark):
+    # the pathology the class-level grouping exists for: two
+    # byte-identical families whose hashes share band 0 but differ by
+    # >max_hamming bits overall. Raw-image banding with a tiny star
+    # cap can lose the far family entirely (all its star pairs fail
+    # the Hamming verify); class-level grouping must cover everything.
+    from toy_vector_db_spark.operators.imagedup import dhash_media
+    imgs = synth_ppm(spark, n=60, width=6, height=4, id_mod=3)
+    got = image_dup_groups(imgs, max_bucket=2)      # brutal cap
+    rows = got.collect()
+    assert len(rows) == 60                          # full coverage
+    by_hash = {}
+    for r in dhash_media(imgs).collect():
+        by_hash.setdefault(r["dhash"], set()).add(r["media_id"])
+    gid = {r["media_id"]: r["group_id"] for r in rows}
+    for members in by_hash.values():                # classes never split
+        assert len({gid[m] for m in members}) == 1
+    keeps = {r["media_id"]: r["keep"] for r in rows}
+    for r in rows:                                  # keep = group min id
+        grp_members = [m for m, g in gid.items() if g == r["group_id"]]
+        assert keeps[r["media_id"]] == min(grp_members)
+
+
+def test_grouping_includes_singletons(spark):
+    # a unique image with no near-dups is its own group of 1 (the
+    # pair-graph-only closure used to drop it from the report)
+    imgs = synth_ppm(spark, n=3, width=6, height=4)
+    rows = {r["media_id"]: r for r in image_dup_groups(imgs).collect()}
+    assert set(rows) == {"ppm_0", "ppm_1", "ppm_2"}
+    for mid, r in rows.items():
+        if r["n_members"] == 1:
+            assert r["keep"] == mid and r["group_id"] == mid

@@ -213,6 +213,43 @@ def main() -> None:
           f"{time.time() - t0:.1f}s — {nodes} nodes, {ncomp2} component(s); "
           f"cc_local_fits({2 * n_str}, 128) = {cc_local_fits(2 * n_str, 128.0)}")
 
+    # r9: the PERCEPTUAL image-dedup family with a degenerate
+    # duplicate family. 200k real binary-PPM payloads, id_mod=48
+    # (lcm of the dim cycles, so residue-mates are byte-identical):
+    # ~48 distinct images x ~4.2k copies each. Every copy shares a
+    # dHash, so each band bucket IS a 4.2k-member family — the
+    # max_bucket=64 star cap must keep candidates linear (~4 x 200k
+    # star pairs, not 48 x 4.2k^2/2 ~ 420M), and the Hamming-ball
+    # closure must still produce <= 48-ish groups covering all 200k.
+    from toy_vector_db_spark.operators.imagedup import (
+        dhash_hamming_pairs, dhash_media, image_dup_groups,
+    )
+    from toy_vector_db_spark.operators.media import synth_ppm
+    n_img = min(fam, 200_000)
+    imgs = synth_ppm(spark, n=n_img, id_mod=48) \
+        .repartition(32).localCheckpoint()
+    t0 = time.time()
+    hashed = dhash_media(imgs).localCheckpoint()
+    t_hash = time.time() - t0
+    t0 = time.time()
+    ipairs = dhash_hamming_pairs(hashed).localCheckpoint()
+    nip = ipairs.count()
+    t_pairs = time.time() - t0
+    # the grouping operator itself bands CLASS REPRESENTATIVES (48
+    # rows here, not 200k), so it must cover EVERY image — raw-image
+    # banding lost whole families to the star cap when a far family
+    # held the bucket min on every band (the r9 probe caught this)
+    t0 = time.time()
+    grp = image_dup_groups(imgs).localCheckpoint()
+    ngroups = grp.select("group_id").distinct().count()
+    ncovered = grp.count()
+    t_grp = time.time() - t0
+    print(f"image dhash x {n_img} (48 exact-dup families): decode+hash "
+          f"{t_hash:.1f}s; raw banded pairs {t_pairs:.1f}s — {nip} "
+          f"(star-capped, not ~4e8); class-level grouping {t_grp:.1f}s "
+          f"— {ngroups} groups covering {ncovered}/{n_img} images")
+    assert ncovered == n_img, "image grouping must cover every image"
+
 
 if __name__ == "__main__":
     main()
