@@ -184,8 +184,12 @@ def remeasure_flagged(merged: dict, merged_load: dict, sf_dir: str,
                 "loaded": [merged[n], merged_load[n][0]],
                 "fresh": [got[n], loads.get(n, [None])[0]],
             }
-            merged[n] = got[n]          # queries carries the fresh value
-            merged_load[n] = loads[n]
+            if got[n] >= 0:             # queries carries the fresh value
+                merged[n] = got[n]
+                merged_load[n] = loads[n]
+            # a failed re-measure (-1) keeps the loaded timing — a
+            # real measurement must not be replaced by a broken run
+            # (both values stay on record in `remeasured`)
     return remeasured
 
 
@@ -288,6 +292,12 @@ def main() -> None:
     # needs. Emitted as its own JSON line with BOTH values per row.
     remeasured = {}
     if not os.environ.get("SPARK_GRAFT_NO_REMEASURE"):
+        if any(row_flagged(e) and timings.get(n, -1) >= 0
+               for n, e in loads.items()):
+            # stop the parent session first: the fresh child sessions
+            # should measure what bench_chunks measures — no resident
+            # parent JVM heap competing for the same cores/memory
+            spark.stop()
         remeasured = remeasure_flagged(timings, loads, sf_dir)
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     # The driver captures a bounded TAIL of stdout (~2.9 KB). At 90+

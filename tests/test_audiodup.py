@@ -1,0 +1,84 @@
+"""Audio fingerprint dedup (operators/audiodup.py): bit exactness vs
+a naive reference, empty-frame short clips, NULL quarantine, stereo
+channel summing, and banded near-dup pairs over the real WAV path."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from toy_vector_db_spark.operators.audiodup import (
+    audio_dup_pairs, audio_fp, audio_fp_bits,
+)
+from toy_vector_db_spark.operators.media import encode_wav, synth_wav
+
+
+def _naive_bits(mag: list[int], frames: int = 65) -> int:
+    n = len(mag)
+    e = []
+    for k in range(frames):
+        lo, hi = (k * n) // frames, ((k + 1) * n) // frames
+        e.append(sum(mag[lo:hi]))
+    val = 0
+    for k in range(frames - 1):
+        if e[k] > e[k + 1]:
+            val |= 1 << k
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def test_bits_match_naive():
+    rng = np.random.RandomState(0)
+    for n in (1, 50, 64, 65, 130, 1000):
+        s = rng.randint(-30000, 30000, (n, 1)).astype(np.int16)
+        assert audio_fp_bits(s) == _naive_bits(
+            [abs(int(x)) for x in s[:, 0]])
+
+
+def test_short_clip_empty_frames_deterministic():
+    # 50 samples < 65 frames: trailing frames are empty (energy 0);
+    # equal adjacent zeros compare false -> deterministic bits
+    s = np.full((50, 1), 100, dtype=np.int16)
+    b1 = audio_fp_bits(s)
+    b2 = audio_fp_bits(s.copy())
+    assert b1 == b2
+
+
+def test_stereo_channels_summed():
+    rng = np.random.RandomState(1)
+    mono = rng.randint(0, 30000, (130, 1)).astype(np.int16)
+    stereo = np.repeat(mono, 2, axis=1)
+    # |a|+|a| per frame doubles every energy: same comparisons
+    assert audio_fp_bits(stereo) == audio_fp_bits(mono)
+
+
+def test_one_sample_retouch_flips_at_most_one_bit():
+    rng = np.random.RandomState(2)
+    s = rng.randint(0, 30000, (200, 1)).astype(np.int16)
+    t = s.copy()
+    t[0, 0] = (int(t[0, 0]) + 5000) % 30011
+    ham = bin((audio_fp_bits(s) ^ audio_fp_bits(t))
+              & ((1 << 64) - 1)).count("1")
+    assert ham <= 1  # sample 0 is only in frame 0 -> only bit 0
+
+
+def test_quarantine_and_values(spark):
+    df = spark.createDataFrame(
+        [("good", encode_wav(np.arange(130, dtype=np.int16)
+                             .reshape(-1, 1), 8000)),
+         ("junk", b"not audio at all")],
+        "media_id string, payload binary")
+    rows = {r["media_id"]: r["afp"] for r in audio_fp(df).collect()}
+    assert rows["junk"] is None
+    mag = [abs(int(x)) for x in np.arange(130)]
+    assert rows["good"] == _naive_bits(mag)
+
+
+def test_dup_pairs_find_retouched_twins(spark):
+    base = synth_wav(spark, n=8)
+    twin = synth_wav(spark, n=8, bump=(0, 5000), id_prefix="wavB_")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             audio_dup_pairs(base.unionByName(twin),
+                             bands=4, max_hamming=3).collect()}
+    # every base/twin pair differs in at most bit 0 -> all found
+    for i in range(8):
+        key = tuple(sorted([f"wav_{i}", f"wavB_{i}"]))
+        assert key in pairs and pairs[key] <= 1

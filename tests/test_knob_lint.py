@@ -31,7 +31,16 @@ Scope (deliberately narrow so the signal stays strong):
   inside a function body is the same latent one-task-bottleneck /
   tiny-task-storm shape as a pinned module constant, but the two
   visitors above can't see it — rationale must sit within the call's
-  preceding comment block (same 8-line window as module constants).
+  preceding comment block (same 8-line window as module constants);
+- driver-round LOOPS (r9 verdict item 8, after learn_bpe's batching):
+  a ``for``/``while`` whose BODY materializes a frame (``collect``/
+  ``count``/``localCheckpoint``/``checkpoint``/``toPandas``) runs one-
+  or-more Spark jobs PER ITERATION — the job-count wall class that
+  made learn_bpe unusable at 32k merges. Rationale (``cap:`` or a
+  chooser reference) must appear in the enclosing function's source.
+  Loops over a literal tuple/list/constant are exempt (bounded by
+  construction), as are calls in the loop's ITER expression (one job,
+  iterating the result).
 
 NOT in scope: convergence/depth/radius knobs (``max_iter``,
 ``max_hops``, ``max_hamming``), display widths, algorithm parameters
@@ -66,12 +75,29 @@ PARTITION_METHODS = {"repartition", "repartitionByRange", "coalesce"}
 PARTITION_KWARGS = {"numPartitions", "num_partitions", "parallelism",
                     "numSlices"}
 
+#: unambiguous Spark driver-materializers (``head``/``take``/``first``
+#: excluded: pandas shares those names inside Arrow-batch generators)
+DRIVER_CALLS = {"collect", "count", "localCheckpoint", "checkpoint",
+                "toPandas"}
+
+
+def _loop_body_driver_calls(node) -> set[str]:
+    hits: set[str] = set()
+    for stmt in node.body + node.orelse:
+        for sub in ast.walk(stmt):
+            if (isinstance(sub, ast.Call)
+                    and isinstance(sub.func, ast.Attribute)
+                    and sub.func.attr in DRIVER_CALLS):
+                hits.add(sub.func.attr)
+    return hits
+
 
 def _iter_findings():
     for f in sorted(PKG.rglob("*.py")):
         src = f.read_text()
         lines = src.splitlines()
         tree = ast.parse(src)
+        seen_loops: set[int] = set()  # dedupe loops inside nested defs
         for node in tree.body:
             if (isinstance(node, ast.Assign)
                     and isinstance(node.value, ast.Constant)
@@ -110,6 +136,26 @@ def _iter_findings():
                                    f"{node.lineno} call-site {lit}")
             if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
                 continue
+            fn_seg = None
+            for sub in ast.walk(node):
+                if not isinstance(sub, (ast.For, ast.While)):
+                    continue
+                if (isinstance(sub, ast.For)
+                        and isinstance(sub.iter,
+                                       (ast.Tuple, ast.List, ast.Constant))):
+                    continue  # literal sequence: bounded by construction
+                if sub.lineno in seen_loops:
+                    continue
+                calls = _loop_body_driver_calls(sub)
+                if not calls:
+                    continue
+                seen_loops.add(sub.lineno)
+                if fn_seg is None:
+                    fn_seg = ast.get_source_segment(src, node) or ""
+                if not RATIONALE.search(fn_seg):
+                    yield (f"{f.relative_to(PKG.parent)}:{sub.lineno} "
+                           f"driver-round loop in {node.name}() "
+                           f"({', '.join(sorted(calls))} per iteration)")
             args = node.args
             pos = args.args[len(args.args) - len(args.defaults):]
             pairs = list(zip(pos, args.defaults)) + \
@@ -154,12 +200,28 @@ def test_lint_catches_a_raw_knob(tmp_path):
         "    return df.coalesce(1)\n"
         "def h(df):\n"
         "    # cap: single output file for a bounded report\n"
-        "    return df.coalesce(1)\n")
+        "    return df.coalesce(1)\n"
+        "def loopy(df, n):\n"
+        "    for _ in range(n):\n        df = df.localCheckpoint()\n"
+        "    return df\n"
+        "def loopy_ok(df, n):\n"
+        "    '''cap: n is a convergence bound, jobs stay vocab-sized'''\n"
+        "    for _ in range(n):\n        df = df.localCheckpoint()\n"
+        "    return df\n"
+        "def loopy_lit(df):\n"
+        "    out = []\n"
+        "    for i in (1, 2, 3):\n        out.append(df.count())\n"
+        "    return out\n"
+        "def loopy_iter(df):\n"
+        "    for r in df.collect():\n        pass\n")
     try:
         misses = [m for m in _iter_findings() if "_lint_probe_tmp" in m]
-        # 2 knob findings + 3 call-site findings; h()'s annotated
-        # coalesce must NOT fire
-        assert len(misses) == 5, misses
+        # 2 knob findings + 3 call-site findings + 1 driver-round
+        # loop; h()'s annotated coalesce, loopy_ok's cap'd loop,
+        # loopy_lit's literal-tuple loop, and loopy_iter's
+        # iterate-the-result loop must NOT fire
+        assert len(misses) == 6, misses
         assert sum("call-site" in m for m in misses) == 3, misses
+        assert sum("driver-round loop" in m for m in misses) == 1, misses
     finally:
         probe.unlink()

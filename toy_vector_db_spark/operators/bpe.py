@@ -87,45 +87,11 @@ def _fuse(syms: Column, a: str, b: str) -> Column:
         ).otherwise(F.concat(acc, F.array(s))))
 
 
-def learn_bpe(docs: DataFrame, n_merges: int,
-              text_col: str = "text") -> tuple[list[tuple[str, str]],
-                                               DataFrame]:
-    """Run ``n_merges`` BPE rounds; returns (merge list in order,
-    final (word, syms, freq) vocab frame). Ties on pair weight break
-    to the lexicographically smallest (left, right) so the induced
-    merges are deterministic and engine-reproducible. Each round
-    checkpoints the fused vocab (the frames are vocab-sized; without
-    the cut the fuse lineage would re-run every prior round)."""
-    if n_merges < 1:
-        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    vocab = (word_freqs(docs, text_col)
-             .select("word", F.split(F.col("word"), "").alias("syms"),
-                     "freq")
-             .localCheckpoint(eager=True))
-    merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        top = (pair_counts(vocab)
-               .orderBy(F.col("weight").desc(), F.col("left").asc(),
-                        F.col("right").asc())
-               .limit(1).collect())
-        if not top:
-            break  # vocabulary fully fused
-        a, b = top[0]["left"], top[0]["right"]
-        merges.append((a, b))
-        vocab = (vocab.select("word",
-                              _fuse(F.col("syms"), a, b).alias("syms"),
-                              "freq")
-                 .localCheckpoint(eager=True))
-    return merges, vocab
-
-
-def _segment_word_py(w: str, merges: list[tuple[str, str]]) -> list[str]:
-    """In-order greedy fuse of one word — the exact Python twin of
-    folding ``_fuse`` once per merge (property-tested equivalent).
-    The symbol-set guard skips merges whose parts can't occur, so a
-    production-sized merge table costs ~active merges per word, not
-    the full list length."""
-    syms = list(w) if w else [""]  # F.split("", "") -> [""]
+def _fuse_syms_py(syms: list[str], merges: list[tuple[str, str]]
+                  ) -> list[str]:
+    """In-order greedy fuse of a symbol list — the Python twin of
+    folding ``_fuse`` once per merge (shared by ``_segment_word_py``
+    and the batched learn rounds)."""
     symset = set(syms)
     for a, b in merges:
         if a not in symset or b not in symset:
@@ -144,6 +110,102 @@ def _segment_word_py(w: str, merges: list[tuple[str, str]]) -> list[str]:
             syms = ns
             symset = set(syms)
     return syms
+
+
+def pick_disjoint_batch(ranked: list[tuple[str, str]],
+                        batch: int) -> list[tuple[str, str]]:
+    """Greedy scan of a (weight desc, left, right)-ranked pair list:
+    keep a pair only if NEITHER symbol was touched by an
+    already-picked pair and neither symbol IS an earlier pick's fused
+    output — so the batch members are mutually independent (applying
+    them in any order yields the same vocab) and the fuse pass never
+    consumes a symbol another batch member just created."""
+    picked: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for a, b in ranked:
+        if a in used or b in used:
+            continue
+        picked.append((a, b))
+        used.update((a, b, a + b))
+        if len(picked) >= batch:
+            break
+    return picked
+
+
+def learn_bpe(docs: DataFrame, n_merges: int,
+              text_col: str = "text",
+              batch: int = 1) -> tuple[list[tuple[str, str]],
+                                       DataFrame]:
+    """Run ``n_merges`` BPE merges; returns (merge list in order,
+    final (word, syms, freq) vocab frame). Ties on pair weight break
+    to the lexicographically smallest (left, right) so the induced
+    merges are deterministic and engine-reproducible. Each round
+    checkpoints the fused vocab (the frames are vocab-sized; without
+    the cut the fuse lineage would re-run every prior round).
+
+    ``batch`` merges per driver round (r10, VERDICT r9 Next #2): the
+    one-merge-per-round loop is exact BPE but a JOB-COUNT wall at
+    production vocab sizes (~2 Spark jobs x 32k merges). batch>1
+    applies the standard batched trick — fuse the top-``batch``
+    SYMBOL-DISJOINT pairs of the round's ranking in one pass
+    (``pick_disjoint_batch``). Disjoint batch members commute, so
+    when fusing cannot create a pair that outranks a later pick (e.g.
+    no new adjacency ever forms — two-symbol words), batched learning
+    reaches the sequential MERGE SET and the identical final vocab
+    (property-tested in test_bpe; within a round a skipped
+    conflicting pair is emitted after the disjoint picks, so list
+    ORDER may interleave). Otherwise it is the documented
+    approximation fast BPE trainers ship. Segmentation applies the
+    returned list in order either way.
+    cap: rounds = ceil(n_merges/batch) bounds the DRIVER-LOOP job
+    count (per-round work stays vocab-sized); at a 32k vocabulary
+    batch=64 keeps the loop at ~500 rounds."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
+    vocab = (word_freqs(docs, text_col)
+             .select("word", F.split(F.col("word"), "").alias("syms"),
+                     "freq")
+             .localCheckpoint(eager=True))
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
+        # 4x over-fetch: candidates skipped for symbol overlap still
+        # leave enough ranked rows to fill the batch in most rounds —
+        # an under-full batch only costs an extra (cheap) round.
+        top = (pair_counts(vocab)
+               .orderBy(F.col("weight").desc(), F.col("left").asc(),
+                        F.col("right").asc())
+               .limit(max(4 * want, 8)).collect())
+        if not top:
+            break  # vocabulary fully fused
+        ranked = [(r["left"], r["right"]) for r in top]
+        picked = pick_disjoint_batch(ranked, want)
+        merges.extend(picked)
+        if len(picked) == 1:
+            a, b = picked[0]
+            fused = _fuse(F.col("syms"), a, b)
+        else:
+            mlist = [(str(a), str(b)) for a, b in picked]
+
+            @F.pandas_udf("array<string>")
+            def _fuse_b(s: pd.Series) -> pd.Series:
+                return s.map(lambda x: _fuse_syms_py(list(x), mlist))
+
+            fused = _fuse_b(F.col("syms"))
+        vocab = (vocab.select("word", fused.alias("syms"), "freq")
+                 .localCheckpoint(eager=True))
+    return merges, vocab
+
+
+def _segment_word_py(w: str, merges: list[tuple[str, str]]) -> list[str]:
+    """In-order greedy fuse of one word — the exact Python twin of
+    folding ``_fuse`` once per merge (property-tested equivalent).
+    The symbol-set guard skips merges whose parts can't occur, so a
+    production-sized merge table costs ~active merges per word, not
+    the full list length."""
+    return _fuse_syms_py(list(w) if w else [""], merges)
 
 
 def segment(words: DataFrame, merges: list[tuple[str, str]],

@@ -333,7 +333,11 @@ class KnnGraphIndex(_MaintainableIndex):
         the best unexpanded beam members' neighbors — one bounded edge
         fetch per hop — keep the ``ef`` best seen, stop when a hop
         admits nothing. Returns the same (row..., distance) frame shape
-        as the other index tiers, ordered (distance, id)."""
+        as the other index tiers, ordered (distance, id).
+        cap: the driver loop runs <= max_hops rounds (one bounded job
+        per hop) — a convergence bound independent of corpus size;
+        beams typically converge in 2-4 hops on the bounded-degree
+        graph, and the early-break fires well before the ceiling."""
         import numpy as np
 
         if k < 1:
@@ -456,7 +460,10 @@ class KnnGraphIndex(_MaintainableIndex):
     def _walk_chunk(self, qs, k, ef, max_hops, dead) -> list:
         """One bounded beam-walk: beams/visited/adjacency for exactly
         this chunk's queries, freed on return. Accumulates
-        last_hops/last_jobs (caller zeroes them per batch)."""
+        last_hops/last_jobs (caller zeroes them per batch).
+        cap: <= max_hops driver rounds per chunk (one bounded job per
+        hop, shared across the chunk's queries) — same convergence
+        bound as ``search``, corpus-size-independent."""
         import numpy as np
 
         from .knn import _np_dists

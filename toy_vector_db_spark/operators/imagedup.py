@@ -230,3 +230,36 @@ def image_dup_groups(df: DataFrame, grid: int = GRID, bands: int = 4,
     return (hashed.join(labeled.select("dhash", "group_id"), "dhash")
             .join(sizes, "group_id")
             .select("media_id", "group_id", "n_members", "keep"))
+
+
+GRID_FEATURES_DDL = "media_id STRING, features ARRAY<DOUBLE>"
+
+
+def grid_luminance_features(df: DataFrame, grid: int = GRID) -> DataFrame:
+    """(media_id, payload, ...) -> (media_id, features): the grid x
+    grid integer luminance cells (channel sums, 0..765) as a
+    deterministic image EMBEDDING — the aHash sample grid WITHOUT
+    thresholding, so near-identical images are near in L2 and the
+    vector feeds the existing knn/ANN tiers (r10, VERDICT r9 Next #4).
+    Exact integers emitted as DOUBLE: distance sums stay under 2^53,
+    so a closed-form oracle value-hashes the full decode -> embed ->
+    knn pipeline (workload.knn_image_topk). Map-only mapInPandas,
+    NULL-quarantine for undecodable payloads like dhash_media."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = _try_decode_pixels(bytes(payload or b""))
+                if px is None:
+                    out.append((mid, None))
+                    continue
+                h, w = px.shape[:2]
+                yi = (np.arange(grid) * h) // grid
+                xi = (np.arange(grid) * w) // grid
+                cells = px[yi][:, xi].sum(axis=2, dtype=np.int64)
+                out.append((mid, cells.flatten().astype(np.float64)))
+            yield pd.DataFrame(out, columns=["media_id", "features"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, GRID_FEATURES_DDL)

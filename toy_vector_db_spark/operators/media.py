@@ -4,10 +4,12 @@ frame-sample operators.
 
 Beyond-parity training-data-pipeline tier. The Spark-side plumbing —
 schema, Arrow batch shape, mapInPandas signatures, partitioning — is
-real and tested. The codec layer is REAL for three dependency-free
-formats — binary PPM (P6), uncompressed 24-bit BMP (both r8, pure
-NumPy), and 8-bit RGB PNG (r9: stdlib zlib inflate + NumPy scanline
-unfiltering, ``_parse_png``): width/height/intensity come from actual
+real and tested. The codec layer is REAL for four dependency-free
+image formats — binary PPM (P6), uncompressed 24-bit BMP (both r8,
+pure NumPy), 8-bit RGB PNG (r9: stdlib zlib inflate + NumPy scanline
+unfiltering, ``_parse_png``), and baseline JPEG (r10: marker walk +
+Huffman + IDCT + 4:2:0 upsample, ``jpeg._parse_jpeg``) — plus
+RIFF/WAVE PCM16 audio: width/height/intensity come from actual
 pixels, and ``resize_media`` does an actual nearest-neighbor
 resample. Payloads in any OTHER format fall back to
 a deterministic payload-hash fake (clearly marked below) so synthetic
@@ -461,18 +463,31 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
-def synth_wav(spark: SparkSession, n: int = 30) -> DataFrame:
+def synth_wav(spark: SparkSession, n: int = 30,
+              id_mod: int | None = None,
+              bump: tuple[int, int] | None = None,
+              id_prefix: str = "wav_") -> DataFrame:
     """Deterministic REAL RIFF/WAVE PCM16 corpus, generated JVM-side
     (pure Column expressions, like synth_ppm/synth_bmp): audio ``id``
     is mono, ``(id%4 + 1)*50`` samples at ``8000 + (id%3)*4000`` Hz,
     sample ``j`` = ``(id*1009 + j*757) % 30011`` — non-negative and
     < 2^15, so every sample is exactly representable, |amplitude|
     sums are exact integers, and a DuckDB oracle value-hashes the
-    real ``_parse_wav`` path with closed-form arithmetic."""
+    real ``_parse_wav`` path with closed-form arithmetic.
+
+    Near-dup corpus knobs (r10, for the audio-fingerprint dedup
+    queries — both closed-form like synth_ppm's): ``id_mod`` makes
+    EVERYTHING derive from ``id % id_mod`` (ids sharing a residue are
+    byte-identical duplicate clips); ``bump=(j0, delta)`` adds
+    ``delta`` to sample ``j0`` before the modulus — a one-sample
+    retouch that moves one frame energy, flipping at most the two
+    fingerprint bits that frame participates in."""
+    eid = f"(id % {int(id_mod)})" if id_mod else "id"
     df = spark.range(n).select(
         "id",
-        ((F.pmod("id", F.lit(4)) + 1) * 50).cast("int").alias("ns"),
-        (F.lit(8000) + F.pmod("id", F.lit(3)) * 4000).cast("int").alias("sr"))
+        ((F.pmod(F.expr(eid), F.lit(4)) + 1) * 50).cast("int").alias("ns"),
+        (F.lit(8000) + F.pmod(F.expr(eid), F.lit(3)) * 4000).cast("int")
+        .alias("sr"))
 
     def le16(x: str) -> str:
         return (f"lpad(hex(({x}) % 256), 2, '0') || "
@@ -492,11 +507,12 @@ def synth_wav(spark: SparkSession, n: int = 30) -> DataFrame:
         " || '0200' || '1000'"                    # block align 2, 16 bit
         " || '64617461'"                          # 'data'
         f" || {le32_small('ns*2')}")
+    bump_t = f" + if(j = {int(bump[0])}, {int(bump[1])}, 0)" if bump else ""
     data_hex = F.expr(
         "array_join(transform(sequence(0, ns - 1), "
-        f"j -> {le16('(id*1009 + j*757) % 30011')}), '')")
+        f"j -> {le16(f'({eid}*1009 + j*757{bump_t}) % 30011')}), '')")
     return df.select(
-        F.concat(F.lit("wav_"), F.col("id").cast("string")).alias("media_id"),
+        F.concat(F.lit(id_prefix), F.col("id").cast("string")).alias("media_id"),
         F.lit("audio").alias("modality"),
         F.to_binary(F.concat(header_hex, data_hex), F.lit("hex"))
         .alias("payload"),
@@ -554,6 +570,12 @@ def _try_decode_pixels(payload: bytes) -> np.ndarray | None:
             return _parse_png(payload)
         except (ValueError, zlib.error):
             return None
+    if payload[:3] == b"\xFF\xD8\xFF":
+        from .jpeg import _parse_jpeg
+        try:
+            return _parse_jpeg(payload)
+        except ValueError:
+            return None
     if payload[:2] in (b"P6", b"BM"):
         try:
             return (_parse_ppm if payload[:2] == b"P6"
@@ -564,7 +586,7 @@ def _try_decode_pixels(payload: bytes) -> np.ndarray | None:
 
 
 def _decode_backend(payload: bytes, modality: str) -> dict:
-    """Dispatch: real pixel decode for PPM/BMP/PNG; a deterministic
+    """Dispatch: real pixel decode for PPM/BMP/PNG/JPEG; a deterministic
     payload-hash fake for every other format (this container ships no
     image/audio libraries — extend the dispatch with Pillow /
     torchaudio / PyAV to cover more formats; the Spark plan shapes do

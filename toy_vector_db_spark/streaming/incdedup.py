@@ -137,8 +137,9 @@ def _intra_batch_greedy_rounds(pairs: DataFrame) -> DataFrame:
     winners are exactly the greedy-accepted docs. Winners' neighbors
     flag; both drop from the graph; repeat while pairs remain.
     Cliques/stars (replica families) resolve in one round; rounds =
-    chain depth otherwise, bounded by ``_SWEEP_MAX_ROUNDS`` (tail
-    accepted past it — see the cap note). All frames are micro-batch-
+    chain depth otherwise. cap: the driver loop runs at most
+    ``_SWEEP_MAX_ROUNDS`` rounds (tail accepted past it — see that
+    constant's note). All frames are micro-batch-
     sized; ``localCheckpoint`` truncates the per-round lineage so late
     rounds don't replay early ones."""
     cur = pairs.select("id_a", "id_b", "jaccard").localCheckpoint()

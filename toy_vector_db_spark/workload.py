@@ -1815,6 +1815,292 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JPEG (r10): the dominant crawl image format through the real-codec
+# seam — baseline JFIF decode (marker walk, Huffman, dequantize, IDCT,
+# 4:2:0 upsample, YCbCr->RGB). Oracle determinism: synth_jpeg's planes
+# are BLOCK-CONSTANT, so with all-ones quant tables every plane value
+# survives encode->decode exactly (DC-only blocks — jpeg.py docstring);
+# the oracle replays the decoded RGB through the identical JFIF
+# conversion arithmetic. Both engines run the SAME float64 expression
+# tree (coefficients CAST to DOUBLE in SQL so DuckDB doesn't use exact
+# DECIMAL arithmetic where NumPy rounds in binary), so floor(x+0.5)
+# lands identically. Compressed bytes never reach the oracle.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_rgbsum_sql(y: str, cb: str, cr: str) -> str:
+    """R+G+B of one decoded block: the exact JFIF conversion the
+    decoder applies — floor(x+0.5), clamp, float64 coefficient math
+    in the same association order as jpeg._parse_jpeg."""
+    def ch(e: str) -> str:
+        return f"GREATEST(0, LEAST(255, FLOOR({e} + 0.5)))"
+    r = f"({y}) + CAST(1.402 AS DOUBLE)*(({cr}) - 128)"
+    g = (f"({y}) - CAST(0.344136 AS DOUBLE)*(({cb}) - 128)"
+         f" - CAST(0.714136 AS DOUBLE)*(({cr}) - 128)")
+    b = f"({y}) + CAST(1.772 AS DOUBLE)*(({cb}) - 128)"
+    return f"({ch(r)} + {ch(g)} + {ch(b)})"
+
+
+@q("media_decode_jpeg", f"""
+WITH g AS (SELECT range AS id FROM range(0, 24)),
+d AS (SELECT id, 16*(id % 2 + 1) AS w, 2*(id % 2 + 1) AS wb FROM g),
+s AS (SELECT id, w,
+  list_aggregate(list_transform(range(0, 2*wb), k ->
+    {_jpeg_rgbsum_sql("(id*37 + k*11) % 251",
+                      "(id*53 + ((k % wb) // 2)*17) % 251",
+                      "(id*29 + ((k % wb) // 2)*23) % 251")}
+  ), 'sum') AS bsum
+  FROM d)
+SELECT 'jpg_' || id AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       ROUND((64.0 * bsum) / (w * 16 * 3), 4) AS mean_intensity
+FROM s
+""")
+def media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.jpeg import synth_jpeg
+    from .operators.media import decode_media
+    decoded = decode_media(synth_jpeg(spark, n=24))
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.round("mean_intensity", 4).alias("mean_intensity"))
+
+
+# dHash over the grayscale JPEG path (1-component SOF): the 32x16
+# corpus is block-constant, so the sampled luminance at grid point
+# (r, c) is 3x the luma value of block k = (2r//8)*4 + (c*32//9)//8 —
+# every bit closed-form. Twins retouch block 0 (bump=(0, 97)); the
+# oracle replays whatever bits that flips, no pair predicate needed.
+_JPEG_GRAY_N, _JPEG_GRAY_BUMP = 16, (0, 97)
+
+
+def _jpeg_dhash_bits_sql(bump: tuple[int, int] | None,
+                         grid: int = 8) -> str:
+    def lum(r: int, c: int) -> str:
+        k = ((2 * r) // 8) * 4 + (c * 32 // 9) // 8
+        d = bump[1] if bump and k == bump[0] else 0
+        return f"3*((id*37 + {k * 11 + d}) % 251)"
+    exprs = []
+    for b in range(grid * grid):
+        r, c = divmod(b, grid)
+        exprs.append(f"CASE WHEN {lum(r, c)} > {lum(r, c + 1)} "
+                     "THEN 1 ELSE 0 END")
+    return "[" + ", ".join(exprs) + "]"
+
+
+def _jpeg_gray_corpus(spark: SparkSession) -> DataFrame:
+    from .operators.jpeg import synth_jpeg_gray
+    base = synth_jpeg_gray(spark, n=_JPEG_GRAY_N)
+    twin = synth_jpeg_gray(spark, n=_JPEG_GRAY_N, bump=_JPEG_GRAY_BUMP,
+                           id_prefix="jpgt_")
+    return base.unionByName(twin)
+
+
+@q("media_dhash_jpeg", f"""
+WITH g AS (SELECT range AS id FROM range(0, {_JPEG_GRAY_N})),
+imgs AS (
+  SELECT 'jpgg_' || id AS media_id,
+         {_jpeg_dhash_bits_sql(None)} AS bits FROM g
+  UNION ALL
+  SELECT 'jpgt_' || id AS media_id,
+         {_jpeg_dhash_bits_sql(_JPEG_GRAY_BUMP)} AS bits FROM g
+)
+SELECT media_id, CAST({_DHASH_PACK} AS BIGINT) AS dhash FROM imgs
+""")
+def media_dhash_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # decode (real baseline JPEG) -> grid sample -> bit pack
+    from .operators.imagedup import dhash_media
+    return dhash_media(_jpeg_gray_corpus(spark)).select(
+        "media_id", F.col("dhash").cast("bigint").alias("dhash"))
+
+
+# End-to-end perceptual near-dup pairs over JPEG payloads: id_mod=8
+# collapses 16 clips to 8 byte-identical pairs (hamming 0); any
+# incidental cross-class near-matches are replayed by the oracle too.
+@q("dedup_image_jpeg", f"""
+WITH g AS (SELECT range AS orig FROM range(0, 16)),
+e AS (SELECT orig, orig % 8 AS id FROM g),
+imgs AS (
+  SELECT 'jpgg_' || orig AS media_id, {_jpeg_dhash_bits_sql(None)} AS bits
+  FROM e
+),
+banded AS (
+  SELECT media_id, bits, b.range AS band,
+         {" + ".join(f"bits[16*b.range + {i + 1}]*{1 << i}"
+                     for i in range(16))} AS bval
+  FROM imgs, range(0, 4) b
+),
+cand AS (
+  SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bval = y.bval AND x.media_id < y.media_id
+),
+ham AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_filter(range(0, 64),
+              i -> a.bits[i + 1] != b.bits[i + 1])) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN imgs a ON a.media_id = c.id_a
+  JOIN imgs b ON b.media_id = c.id_b
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+""")
+def dedup_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.imagedup import image_dup_pairs
+    from .operators.jpeg import synth_jpeg_gray
+    corpus = synth_jpeg_gray(spark, n=16, id_mod=8)
+    return image_dup_pairs(corpus, bands=4, max_hamming=3) \
+        .select("id_a", "id_b", F.col("hamming").cast("bigint")
+                .alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Image ANN (r10): deterministic grid-luminance embedding (the aHash
+# sample grid, unthresholded — exact integers 0..765 emitted as
+# DOUBLE) over the real decode path, fed to the exact knn tier.
+# Distance sums are exact integers in float64, sqrt is one identical
+# float64 op on both engines — the full decode -> embed -> knn
+# pipeline is value-hashed. (IVF/graph routing over the same features
+# is pytest-covered in test_imagedup.)
+# ---------------------------------------------------------------------------
+
+
+def _grid_cells_py(i: int, w: int = _DHASH_W, h: int = _DHASH_H,
+                   grid: int = 8) -> list[float]:
+    """Python twin of _ahash_lums_sql for a base synth_ppm image —
+    the closed-form query vector (no collect)."""
+    yi = [r * h // grid for r in range(grid)]
+    xi = [c * w // grid for c in range(grid)]
+    cells = []
+    for b in range(grid * grid):
+        r, c = divmod(b, grid)
+        j = (yi[r] * w + xi[c]) * 3
+        cells.append(float(sum((i * 37 + (j + ch) * 11) % 251
+                               for ch in range(3))))
+    return cells
+
+
+@q("knn_image_topk", f"""
+WITH g AS (SELECT range AS id FROM range(0, {_DHASH_N})),
+lums AS (
+  SELECT 'ppm_' || id AS media_id, {_ahash_lums_sql(None)} AS gl FROM g
+  UNION ALL
+  SELECT 'ppmB_' || id AS media_id,
+         {_ahash_lums_sql(_DHASH_BUMP)} AS gl FROM g
+),
+qv AS (SELECT gl AS q FROM lums WHERE media_id = 'ppm_0')
+SELECT media_id, ROUND(d, 4) AS distance FROM (
+  SELECT media_id,
+         SQRT(CAST(list_aggregate(list_transform(range(0, 64),
+              i -> (gl[i+1] - q[i+1]) * (gl[i+1] - q[i+1])), 'sum')
+              AS DOUBLE)) AS d
+  FROM lums, qv WHERE media_id != 'ppm_0'
+  ORDER BY d ASC, media_id ASC LIMIT {KNN_K})
+""")
+def knn_image_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.imagedup import grid_luminance_features
+    qvec = _grid_cells_py(0)
+    feats = grid_luminance_features(_dhash_corpus(spark))
+    return knn(feats, qvec, k=KNN_K, metric="euclidean",
+               vec_col="features", exclude_id="ppm_0",
+               id_col="media_id", tie_col="media_id") \
+        .select("media_id", F.round("distance", 4).alias("distance"))
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint dedup (r10): frame-energy sign-bit fingerprint
+# over the REAL WAV decode, banded through the hash-agnostic verifier
+# (operators/audiodup.py). Frame boundaries are integer floor maps and
+# energies exact integer sums, so the oracle replays all 64 bits from
+# synth_wav's closed-form sample formula; empty frames (short clips)
+# COALESCE to energy 0 exactly like the cumsum path.
+# ---------------------------------------------------------------------------
+
+
+def _wav_fp_bits_sql(bump: tuple[int, int] | None) -> str:
+    """(bits LIST) expression for a synth_wav clip: 65 frame energies
+    -> 64 adjacent-comparison bits, all closed-form in (id, ns)."""
+    bump_t = (f" + CASE WHEN j = {bump[0]} THEN {bump[1]} ELSE 0 END"
+              if bump else "")
+    en = ("list_transform(range(0, 65), k -> COALESCE("
+          "list_aggregate(list_transform(range((k*ns)//65, ((k+1)*ns)//65),"
+          f" j -> (id*1009 + j*757{bump_t}) % 30011), 'sum'), 0))")
+    return (f"list_transform(range(0, 64), k -> CASE WHEN "
+            f"{en}[k+1] > {en}[k+2] THEN 1 ELSE 0 END)")
+
+
+_WAV_FP_N, _WAV_FP_BUMP = 16, (0, 5000)
+
+
+def _wav_fp_corpus(spark: SparkSession) -> DataFrame:
+    from .operators.media import synth_wav
+    base = synth_wav(spark, n=_WAV_FP_N)
+    twin = synth_wav(spark, n=_WAV_FP_N, bump=_WAV_FP_BUMP,
+                     id_prefix="wavB_")
+    return base.unionByName(twin)
+
+
+@q("media_audio_fp", f"""
+WITH g AS (SELECT range AS id FROM range(0, {_WAV_FP_N})),
+d AS (SELECT id, ((id % 4) + 1) * 50 AS ns FROM g),
+clips AS (
+  SELECT 'wav_' || id AS media_id, {_wav_fp_bits_sql(None)} AS bits FROM d
+  UNION ALL
+  SELECT 'wavB_' || id AS media_id,
+         {_wav_fp_bits_sql(_WAV_FP_BUMP)} AS bits FROM d
+),
+imgs AS (SELECT media_id, bits FROM clips)
+SELECT media_id, CAST({_DHASH_PACK} AS BIGINT) AS afp FROM imgs
+""")
+def media_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.audiodup import audio_fp
+    return audio_fp(_wav_fp_corpus(spark)).select(
+        "media_id", F.col("afp").cast("bigint").alias("afp"))
+
+
+@q("dedup_audio_fp", f"""
+WITH g AS (SELECT range AS id FROM range(0, {_WAV_FP_N})),
+d AS (SELECT id, ((id % 4) + 1) * 50 AS ns FROM g),
+imgs AS (
+  SELECT 'wav_' || id AS media_id, {_wav_fp_bits_sql(None)} AS bits FROM d
+  UNION ALL
+  SELECT 'wavB_' || id AS media_id,
+         {_wav_fp_bits_sql(_WAV_FP_BUMP)} AS bits FROM d
+),
+banded AS (
+  SELECT media_id, bits, b.range AS band,
+         {" + ".join(f"bits[16*b.range + {i + 1}]*{1 << i}"
+                     for i in range(16))} AS bval
+  FROM imgs, range(0, 4) b
+),
+cand AS (
+  SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bval = y.bval AND x.media_id < y.media_id
+),
+ham AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_filter(range(0, 64),
+              i -> a.bits[i + 1] != b.bits[i + 1])) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN imgs a ON a.media_id = c.id_a
+  JOIN imgs b ON b.media_id = c.id_b
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+""")
+def dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # decode -> fingerprint -> banded buckets -> xor/popcount verify;
+    # one shuffle of (id, 64-bit fingerprint) rows
+    from .operators.audiodup import audio_dup_pairs
+    return audio_dup_pairs(_wav_fp_corpus(spark), bands=4,
+                           max_hamming=3) \
+        .select("id_a", "id_b", F.col("hamming").cast("bigint")
+                .alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
 # Flagship composite: the full training-corpus cleaning pipeline.
 # quality filter -> exact dedup (keep lowest id) -> MinHash-LSH
 # near-dup removal (drop the higher id of each verified pair >= 0.5).
