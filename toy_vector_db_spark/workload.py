@@ -5280,46 +5280,44 @@ def dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- r9 rotation: every query whose MECHANISM changed this round
-    # plus one representative per core family as keepers. Queries
-    # rotated OUT (the r8 closure set: the Arrow fingerprint/simhash
-    # pins, frame-sample, the dialect quote-guards, mixture_temperature,
-    # corpus_clean_pipeline) are unchanged since their green r8 rows —
-    # the cumulative r1-r9 driver ledger keeps covering all registered
-    # queries.
+    # --- r10 rotation: new + changed-mechanism first, then the
+    # STALENESS rule (r9 verdict item 7): remaining slots go to the
+    # queries whose last driver-green row is OLDEST (ledger
+    # reconstructed from CORRECTNESS_r1..r9: with 153 queries and a
+    # 50-slot window, the r2/r3 rows had gone 6+ rounds unre-verified).
+    # Rotated out (the r9 set: the imagedup/PNG/WAV/components family
+    # and the 33 family keepers) are unchanged since their green r9
+    # rows — the cumulative r1-r10 ledger keeps covering everything.
     #
-    # new this round — never driver-run (7):
-    "media_dhash",                   # dHash bits over the real decode
-    "media_ahash",                   # mean-threshold sibling hash
-    "dedup_image_dhash",             # banded perceptual near-dup pairs
-    "media_decode_png",              # stdlib-zlib codec, all 5 filters
-    "media_decode_wav",              # RIFF/PCM16 audio modality
-    "media_decode_bmp_pad",          # stride-pad branch value-hashed
-    "mixture_token_budget_bpe",      # BPE segmentation -> budget walk
-    # changed-mechanism this round (10):
-    "dedup_components",              # null-drop + cc_local_fits route
-    "dedup_semantic_ivf",            # closure rides the new route
-    "dedup_incremental_batch",       # intra-batch sweep rides it too
-    "dedup_incremental_streaming",   # same sweep inside foreachBatch
-    "split_cluster_safe",            # leakage splits ride components
-    "media_decode_stats",            # dispatch gained the PNG branch
-    "media_decode_ppm",              # synth_ppm gained id_mod/bump
-    "media_decode_bmp",              # synth_bmp gained width param
-    "media_resize_ppm",              # resize output re-enters dispatch
-    "mixture_token_budget",          # token_budget_sample n_tok_col
-    # keepers — one per family (33):
-    "scan_project_limit", "sql_nearest_filtered", "sql_nearest_by_id",
-    "knn_cosine", "knn_search_auto", "knn_matryoshka_topk",
-    "ann_graph_recall_gate", "ann_lsh_topk", "ann_ivf_det_topk",
-    "ann_pq_rerank_topk", "ann_hamming_topk", "range_search_pruned",
-    "agg_pricing_summary", "join_region_revenue", "window_topn_orders",
-    "orders_above_cust_avg", "cube_order_stats", "asof_join_events",
-    "skew_salted_join", "events_user_funnel", "events_hourly_rollup",
-    "events_dau_error_gate", "events_sessionize_streaming",
-    "decontam_streaming", "embed_documents_values",
-    "embed_ingest_roundtrip", "search_text_documents", "text_lang_id",
-    "corpus_chunk_windows", "bpe_top_pairs", "lm_bigram_scores",
-    "dedup_exact_clusters", "decontam_bloom_overlap",
+    # new this round — never driver-run (6):
+    "media_decode_jpeg",             # baseline JFIF codec, 4:2:0 color
+    "media_dhash_jpeg",              # dHash over the grayscale SOF path
+    "dedup_image_jpeg",              # banded near-dup pairs ride JPEG
+    "knn_image_topk",                # grid-luminance embedding -> knn
+    "media_audio_fp",                # frame-energy audio fingerprint
+    "dedup_audio_fp",                # banded audio near-dup pairs
+    # changed-mechanism this round (3):
+    "mixture_token_budget_bpe",      # learn_bpe gained batched rounds
+    "media_decode_stats",            # dispatch gained the JPEG branch
+    "media_decode_wav",              # synth_wav gained id_mod/bump
+    # stalest driver rows — every r2 (14) and r3 (20) query:
+    "agg_rollup_region", "embed_documents_contract",
+    "embedding_cosine_pairs", "events_daily_active",
+    "events_props_extract", "events_value_percentiles",
+    "filter_meta_ne", "knn_arrow_cosine", "knn_arrow_dotproduct",
+    "knn_arrow_manhattan", "knn_dotproduct", "knn_euclidean",
+    "knn_manhattan", "shipping_priority",
+    "ann_ivfpq_topk", "ann_pq_adc_topk", "anti_join_no_orders",
+    "corpus_mix_report", "count_star", "decontam_overlap",
+    "events_multi_rollup", "events_value_bands", "filter_like",
+    "filter_meta_eq", "having_repeat_customers", "knn_arrow_euclidean",
+    "knn_join_batch", "knn_join_ivf_batch", "quality_repetition",
+    "sample_documents_hash", "stratified_sample_mix", "text_stats",
+    "text_token_budget", "vocab_top_terms",
+    # ...and the 7 oldest r4 rows:
+    "ann_sq8_topk", "corpus_chunk_overlap", "corpus_clean_streaming",
+    "corpus_data_card", "corpus_filter_funnel", "corpus_vocab_drift",
+    "crossdoc_shared_shingles",
 ]
 
 
