@@ -2009,6 +2009,34 @@ def knn_image_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", F.round("distance", 4).alias("distance"))
 
 
+# Video (r10): MJPEG elementary streams — concatenated baseline JPEG
+# frames, split by a marker-accurate walk and decoded per-frame
+# through the real codec. Grayscale block-constant frames (exact
+# round-trip), so every per-frame stat is closed-form.
+@q("media_video_frames", """
+WITH g AS (SELECT range AS id FROM range(0, 18)),
+d AS (SELECT id, (id % 3) + 2 AS nf FROM g),
+f AS (SELECT id, unnest(range(0, nf)) AS fr FROM d)
+SELECT 'vid_' || id AS media_id,
+       CAST(fr AS BIGINT) AS frame_idx,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       ROUND(list_aggregate(list_transform(range(0, 4),
+             k -> CAST((id*37 + fr*19 + k*11) % 251 AS DOUBLE)),
+             'avg'), 4) AS mean_intensity
+FROM f
+""")
+def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.video import decode_video_frames, synth_mjpeg
+    decoded = decode_video_frames(synth_mjpeg(spark, n=18))
+    return decoded.filter(F.col("decoded")).select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.round("mean_intensity", 4).alias("mean_intensity"))
+
+
 # ---------------------------------------------------------------------------
 # Audio fingerprint dedup (r10): frame-energy sign-bit fingerprint
 # over the REAL WAV decode, banded through the hash-agnostic verifier
@@ -5289,13 +5317,14 @@ _WINDOW = [
     # and the 33 family keepers) are unchanged since their green r9
     # rows — the cumulative r1-r10 ledger keeps covering everything.
     #
-    # new this round — never driver-run (6):
+    # new this round — never driver-run (7):
     "media_decode_jpeg",             # baseline JFIF codec, 4:2:0 color
     "media_dhash_jpeg",              # dHash over the grayscale SOF path
     "dedup_image_jpeg",              # banded near-dup pairs ride JPEG
     "knn_image_topk",                # grid-luminance embedding -> knn
     "media_audio_fp",                # frame-energy audio fingerprint
     "dedup_audio_fp",                # banded audio near-dup pairs
+    "media_video_frames",            # MJPEG per-frame real decode
     # changed-mechanism this round (3):
     "mixture_token_budget_bpe",      # learn_bpe gained batched rounds
     "media_decode_stats",            # dispatch gained the JPEG branch
@@ -5314,10 +5343,9 @@ _WINDOW = [
     "knn_join_batch", "knn_join_ivf_batch", "quality_repetition",
     "sample_documents_hash", "stratified_sample_mix", "text_stats",
     "text_token_budget", "vocab_top_terms",
-    # ...and the 7 oldest r4 rows:
+    # ...and the 6 oldest r4 rows (alphabetical within the round):
     "ann_sq8_topk", "corpus_chunk_overlap", "corpus_clean_streaming",
     "corpus_data_card", "corpus_filter_funnel", "corpus_vocab_drift",
-    "crossdoc_shared_shingles",
 ]
 
 
