@@ -82,3 +82,11 @@ def test_dup_pairs_find_retouched_twins(spark):
     for i in range(8):
         key = tuple(sorted([f"wav_{i}", f"wavB_{i}"]))
         assert key in pairs and pairs[key] <= 1
+
+
+def test_fingerprint_plan_is_map_only(spark):
+    # payloads never shuffle: fingerprinting itself must plan with no
+    # Exchange (the ONE shuffle lives in the banding groupBy)
+    plan = audio_fp(synth_wav(spark, n=2)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -79,3 +79,11 @@ def test_decode_video_quarantine(spark):
     rows = decode_video_frames(df).collect()
     assert len(rows) == 1 and not rows[0]["decoded"]
     assert rows[0]["frame_idx"] is None
+
+
+def test_decode_plan_is_map_only(spark):
+    # the 100 TB contract: payloads never shuffle — the per-frame
+    # decode plan must contain no Exchange
+    plan = decode_video_frames(synth_mjpeg(spark, n=2)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -4583,6 +4583,78 @@ SELECT doc_id, source, n_tok, cum_before FROM wk WHERE {where}""")
     return "WITH " + ",\n".join(parts)
 
 
+def _bpe_batched_oracle(n_rounds: int = 2) -> str:
+    """Replay BATCHED BPE learning (r10): per round, rank pairs by
+    (weight desc, left, right), truncate to the Spark tier's candidate
+    window (max(4*want, 8) = 8 at batch=2), pick the top pair, then
+    the best remaining pair sharing no symbol with the first pick NOR
+    its fused output (bpe.pick_disjoint_batch's used-set rule), and
+    fuse both greedy-left-to-right (disjoint picks commute; the
+    replace() scan was validated against the _fuse fold in r9). The
+    final per-word symbol counts value-hash the whole batched
+    mechanism, including the pandas-UDF multi-merge fuse tier."""
+    w1, w2 = "chr(1)", "chr(2)"
+    wrap = (f"{w1} || array_to_string(string_split(word, ''), "
+            f"{w2} || {w1}) || {w2}")
+
+    def unwrap(col: str) -> str:
+        return f"string_split(substr({col}, 2, len({col}) - 2), {w2} || {w1})"
+
+    def patt(l: str, r: str) -> str:
+        return f"{w1} || {l} || {w2} || {w1} || {r} || {w2}"
+
+    def fused(l: str, r: str) -> str:
+        return f"{w1} || {l} || {r} || {w2}"
+
+    parts = [f"""w AS (
+  SELECT t AS word, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split({_DD_NORM}, ' ')) AS t FROM documents)
+  WHERE t <> '' GROUP BY t),
+v0 AS (SELECT word, freq, {wrap} AS s FROM w)"""]
+    for k in range(1, n_rounds + 1):
+        parts.append(f"""r{k} AS (
+  SELECT s2[i] AS lsym, s2[i + 1] AS rsym, SUM(freq) AS wgt
+  FROM (SELECT freq, {unwrap('s')} AS s2 FROM v{k - 1}),
+       UNNEST(range(1, greatest(len(s2), 1))) AS t(i)
+  GROUP BY lsym, rsym
+  ORDER BY wgt DESC, lsym ASC, rsym ASC LIMIT 8)""")
+        parts.append(f"""a{k} AS (
+  SELECT lsym, rsym FROM r{k}
+  ORDER BY wgt DESC, lsym ASC, rsym ASC LIMIT 1)""")
+        parts.append(f"""b{k} AS (
+  SELECT r.lsym, r.rsym FROM r{k} r, a{k} a
+  WHERE r.lsym NOT IN (a.lsym, a.rsym, a.lsym || a.rsym)
+    AND r.rsym NOT IN (a.lsym, a.rsym, a.lsym || a.rsym)
+  ORDER BY r.wgt DESC, r.lsym ASC, r.rsym ASC LIMIT 1)""")
+        parts.append(f"""u{k} AS (
+  SELECT word, freq,
+         replace(s, {patt('a.lsym', 'a.rsym')},
+                 {fused('a.lsym', 'a.rsym')}) AS s
+  FROM v{k - 1}, a{k} a)""")
+        parts.append(f"""v{k} AS (
+  SELECT word, freq,
+         COALESCE((SELECT replace(u.s, {patt('b.lsym', 'b.rsym')},
+                                  {fused('b.lsym', 'b.rsym')})
+                   FROM b{k} b), u.s) AS s
+  FROM u{k} u)""")
+    parts.append(f"""SELECT word,
+       CAST(len({unwrap('s')}) AS BIGINT) AS n_sym
+FROM v{n_rounds}""")
+    tail = parts.pop()
+    return "WITH " + ",\n".join(parts) + "\n" + tail
+
+
+@q("bpe_learn_batched", _bpe_batched_oracle())
+def bpe_learn_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4 merges at batch=2: two rounds of (rank -> disjoint pick x2 ->
+    # one-pass fuse through the pandas-UDF tier)
+    from .operators.bpe import learn_bpe
+    d = _tp(spark, sf_dir, "documents")
+    _, vocab = learn_bpe(d, n_merges=4, batch=2)
+    return vocab.select(
+        "word", F.size("syms").cast("bigint").alias("n_sym"))
+
+
 @q("mixture_token_budget_bpe", _bpe_budget_oracle())
 def mixture_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import normalize_for_fingerprint
@@ -5325,6 +5397,7 @@ _WINDOW = [
     "media_audio_fp",                # frame-energy audio fingerprint
     "dedup_audio_fp",                # banded audio near-dup pairs
     "media_video_frames",            # MJPEG per-frame real decode
+    "bpe_learn_batched",             # batched disjoint-pick learning
     # changed-mechanism this round (3):
     "mixture_token_budget_bpe",      # learn_bpe gained batched rounds
     "media_decode_stats",            # dispatch gained the JPEG branch
@@ -5343,9 +5416,9 @@ _WINDOW = [
     "knn_join_batch", "knn_join_ivf_batch", "quality_repetition",
     "sample_documents_hash", "stratified_sample_mix", "text_stats",
     "text_token_budget", "vocab_top_terms",
-    # ...and the 6 oldest r4 rows (alphabetical within the round):
+    # ...and the 5 oldest r4 rows (alphabetical within the round):
     "ann_sq8_topk", "corpus_chunk_overlap", "corpus_clean_streaming",
-    "corpus_data_card", "corpus_filter_funnel", "corpus_vocab_drift",
+    "corpus_data_card", "corpus_filter_funnel",
 ]
 
 
