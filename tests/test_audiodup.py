@@ -90,3 +90,39 @@ def test_fingerprint_plan_is_map_only(spark):
     plan = audio_fp(synth_wav(spark, n=2)) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_energy_features_closed_form(spark):
+    from toy_vector_db_spark.operators.audiodup import energy_features
+    feats = {r["media_id"]: r["features"] for r in
+             energy_features(synth_wav(spark, n=4)).collect()}
+    for i in range(4):
+        ns = (i % 4 + 1) * 50
+        mag = [(i * 1009 + j * 757) % 30011 for j in range(ns)]
+        cuts = [(k * ns) // 65 for k in range(66)]
+        exp = [float(sum(mag[cuts[k]:cuts[k + 1]])) for k in range(65)]
+        assert list(feats[f"wav_{i}"]) == exp
+    df = spark.createDataFrame([("junk", b"nope")],
+                               "media_id string, payload binary")
+    assert energy_features(df).collect()[0]["features"] is None
+
+
+def test_audio_features_through_ivf_tier(spark):
+    # audio first-class in similarity search: the energy embedding
+    # rides the existing IVF index with exhaustive-probe exact recall
+    from toy_vector_db_spark.operators.ann import IvfIndex
+    from toy_vector_db_spark.operators.audiodup import energy_features
+    from toy_vector_db_spark.operators.knn import knn
+    feats = energy_features(synth_wav(spark, n=16)).localCheckpoint()
+    qvec = [float(v) for v in feats.filter(
+        "media_id = 'wav_0'").collect()[0]["features"]]
+    exact = [r["media_id"] for r in
+             knn(feats, qvec, k=5, metric="euclidean",
+                 vec_col="features", tie_col="media_id").collect()]
+    idx = IvfIndex.build_deterministic(
+        feats, n_centroids=4, id_col="media_id", vec_col="features")
+    approx = [r["media_id"] for r in
+              knn(idx.candidates(qvec, nprobe=4), qvec, k=5,
+                  metric="euclidean", vec_col="features",
+                  tie_col="media_id").collect()]
+    assert approx == exact

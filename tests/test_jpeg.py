@@ -188,3 +188,17 @@ def test_jpeg_gray_bump_twin_near(spark):
     for k in bh:
         ham = bin((bh[k] ^ th[k]) & ((1 << 64) - 1)).count("1")
         assert ham <= 8
+
+
+def test_resize_media_rides_jpeg(spark):
+    # resize_media dispatches through _try_decode_pixels, so JPEG
+    # payloads resample for free (output re-encoded as PPM)
+    from toy_vector_db_spark.operators.media import resize_media
+    resized = resize_media(synth_jpeg(spark, n=4), target_w=8,
+                           target_h=8)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    for i in range(4):
+        r = rows[f"jpg_{i}"]
+        # 16x16 frames letterbox to 8x8; 32x16 frames to 8x4
+        exp = (8, 8) if i % 2 == 0 else (8, 4)
+        assert r["decoded"] and (r["width"], r["height"]) == exp

@@ -91,3 +91,37 @@ def audio_dup_pairs(df: DataFrame, frames: int = FRAMES, bands: int = 4,
     return dhash_hamming_pairs(audio_fp(df, frames), hash_col="afp",
                                bands=bands, max_hamming=max_hamming,
                                max_bucket=max_bucket)
+
+
+ENERGY_FEATURES_DDL = "media_id STRING, features ARRAY<DOUBLE>"
+
+
+def energy_features(df: DataFrame, frames: int = FRAMES) -> DataFrame:
+    """(media_id, payload, ...) -> (media_id, features): the 65 frame
+    energies UNTHRESHOLDED (exact integer |sample| sums as DOUBLE) —
+    the audio twin of ``imagedup.grid_luminance_features``, so audio
+    clips are first-class in similarity search through the existing
+    knn/IVF tiers (r10). Energies stay well under 2^53 (30011 * a few
+    hundred samples), so L2 distance sums are exact in float64 and a
+    closed-form oracle value-hashes decode -> embed -> knn end to end
+    (workload.knn_audio_topk). Map-only; NULL quarantine."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    samples, _ = _parse_wav(bytes(payload or b""))
+                except ValueError:
+                    out.append((mid, None))
+                    continue
+                mag = np.abs(samples.astype(np.int64)).sum(axis=1)
+                n = mag.size
+                cuts = (np.arange(frames + 1, dtype=np.int64) * n) // frames
+                cs = np.concatenate([[0], np.cumsum(mag)])
+                e = (cs[cuts[1:]] - cs[cuts[:-1]]).astype(np.float64)
+                out.append((mid, e))
+            yield pd.DataFrame(out, columns=["media_id", "features"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, ENERGY_FEATURES_DDL)

@@ -2047,14 +2047,20 @@ def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _wav_energies_sql(bump: tuple[int, int] | None) -> str:
+    """65-frame energy list for a synth_wav clip — closed-form in
+    (id, ns); empty frames COALESCE to 0 like the cumsum path."""
+    bump_t = (f" + CASE WHEN j = {bump[0]} THEN {bump[1]} ELSE 0 END"
+              if bump else "")
+    return ("list_transform(range(0, 65), k -> COALESCE("
+            "list_aggregate(list_transform(range((k*ns)//65, ((k+1)*ns)//65),"
+            f" j -> (id*1009 + j*757{bump_t}) % 30011), 'sum'), 0))")
+
+
 def _wav_fp_bits_sql(bump: tuple[int, int] | None) -> str:
     """(bits LIST) expression for a synth_wav clip: 65 frame energies
     -> 64 adjacent-comparison bits, all closed-form in (id, ns)."""
-    bump_t = (f" + CASE WHEN j = {bump[0]} THEN {bump[1]} ELSE 0 END"
-              if bump else "")
-    en = ("list_transform(range(0, 65), k -> COALESCE("
-          "list_aggregate(list_transform(range((k*ns)//65, ((k+1)*ns)//65),"
-          f" j -> (id*1009 + j*757{bump_t}) % 30011), 'sum'), 0))")
+    en = _wav_energies_sql(bump)
     return (f"list_transform(range(0, 64), k -> CASE WHEN "
             f"{en}[k+1] > {en}[k+2] THEN 1 ELSE 0 END)")
 
@@ -2086,6 +2092,47 @@ def media_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.audiodup import audio_fp
     return audio_fp(_wav_fp_corpus(spark)).select(
         "media_id", F.col("afp").cast("bigint").alias("afp"))
+
+
+def _wav_energies_py(i: int) -> list[float]:
+    """Python twin of _wav_energies_sql for a base synth_wav clip —
+    the closed-form query vector (no collect)."""
+    ns = (i % 4 + 1) * 50
+    mag = [(i * 1009 + j * 757) % 30011 for j in range(ns)]
+    cuts = [(k * ns) // 65 for k in range(66)]
+    return [float(sum(mag[cuts[k]:cuts[k + 1]])) for k in range(65)]
+
+
+# Audio similarity search (r10): the 65 frame energies UNTHRESHOLDED
+# are the audio embedding (audiodup.energy_features — exact integer
+# sums as DOUBLE), fed to the exact knn tier. L2 sums stay under 2^53
+# so both engines compute identical float64 distances.
+@q("knn_audio_topk", f"""
+WITH g AS (SELECT range AS id FROM range(0, {_WAV_FP_N})),
+d AS (SELECT id, ((id % 4) + 1) * 50 AS ns FROM g),
+clips AS (
+  SELECT 'wav_' || id AS media_id, {_wav_energies_sql(None)} AS en FROM d
+  UNION ALL
+  SELECT 'wavB_' || id AS media_id,
+         {_wav_energies_sql(_WAV_FP_BUMP)} AS en FROM d
+),
+qv AS (SELECT en AS q FROM clips WHERE media_id = 'wav_0')
+SELECT media_id, ROUND(dd, 4) AS distance FROM (
+  SELECT media_id,
+         SQRT(CAST(list_aggregate(list_transform(range(0, 65),
+              i -> (en[i+1] - q[i+1]) * (en[i+1] - q[i+1])), 'sum')
+              AS DOUBLE)) AS dd
+  FROM clips, qv WHERE media_id != 'wav_0'
+  ORDER BY dd ASC, media_id ASC LIMIT {KNN_K})
+""")
+def knn_audio_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.audiodup import energy_features
+    qvec = _wav_energies_py(0)
+    feats = energy_features(_wav_fp_corpus(spark))
+    return knn(feats, qvec, k=KNN_K, metric="euclidean",
+               vec_col="features", exclude_id="wav_0",
+               id_col="media_id", tie_col="media_id") \
+        .select("media_id", F.round("distance", 4).alias("distance"))
 
 
 @q("dedup_audio_fp", f"""
