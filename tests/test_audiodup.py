@@ -126,3 +126,21 @@ def test_audio_features_through_ivf_tier(spark):
                   metric="euclidean", vec_col="features",
                   tie_col="media_id").collect()]
     assert approx == exact
+
+
+def test_audio_dup_groups_full_coverage(spark):
+    from toy_vector_db_spark.operators.audiodup import audio_dup_groups
+    # 12 clips in 4 byte-identical families (id_mod) — every clip
+    # grouped, keep = min id per family
+    corpus = synth_wav(spark, n=12, id_mod=4)
+    rows = audio_dup_groups(corpus).collect()
+    assert len(rows) == 12
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["group_id"], set()).add(r["media_id"])
+        assert r["keep"] == min(
+            (f"wav_{i}" for i in range(12)
+             if i % 4 == int(r["media_id"].split("_")[1]) % 4))
+    assert len(groups) == 4
+    for members in groups.values():
+        assert len(members) == 3

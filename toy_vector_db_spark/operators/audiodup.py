@@ -125,3 +125,18 @@ def energy_features(df: DataFrame, frames: int = FRAMES) -> DataFrame:
 
     return df.select("media_id", "payload").mapInPandas(
         batches, ENERGY_FEATURES_DDL)
+
+
+def audio_dup_groups(df: DataFrame, frames: int = FRAMES,
+                     bands: int = 4, max_hamming: int = 3,
+                     max_bucket: int | None = 64) -> DataFrame:
+    """decode -> fingerprint -> ``imagedup.hamming_ball_groups``:
+    full-coverage Hamming-ball grouping with the exact-hash-class
+    collapse, so a corpus-sized family of byte-identical clips costs
+    one aggregate row and cannot be lost to the star cap (the r9
+    image pathology, inherited fix).
+    cap: max_bucket=64 — the dhash_hamming_pairs star-cap default."""
+    from .imagedup import hamming_ball_groups
+    return hamming_ball_groups(audio_fp(df, frames), hash_col="afp",
+                               bands=bands, max_hamming=max_hamming,
+                               max_bucket=max_bucket)

@@ -188,48 +188,67 @@ def image_dup_pairs(df: DataFrame, grid: int = GRID, bands: int = 4,
                                max_bucket=max_bucket)
 
 
-def image_dup_groups(df: DataFrame, grid: int = GRID, bands: int = 4,
-                     max_hamming: int = 3,
-                     max_bucket: int | None = 64) -> DataFrame:
-    """Hamming-ball grouping -> (media_id, group_id, n_members, keep)
-    with ``keep`` = the group's minimum id (the deterministic survivor
-    a dedup pass retains). EVERY decodable image is covered.
+def hamming_ball_groups(hashed: DataFrame, id_col: str = "media_id",
+                        hash_col: str = "dhash", bits: int = BITS,
+                        bands: int = 4, max_hamming: int = 3,
+                        max_bucket: int | None = 64) -> DataFrame:
+    """Hamming-ball grouping over ANY (id, 64-bit hash) frame ->
+    (id, group_id, n_members, keep) with ``keep`` = the group's
+    minimum id (the deterministic survivor a dedup pass retains).
+    EVERY non-null-hash row is covered. Hash-agnostic like
+    ``dhash_hamming_pairs`` — image dHash and the audio fingerprint
+    ride the same grouping (r10).
 
-    Two-level structure (the production shape): images collapse into
+    Two-level structure (the production shape): rows collapse into
     EXACT-HASH classes first (one shuffle on the 64-bit hash — a
     hash-identical family of any size costs one aggregate row), then
     only the class REPRESENTATIVES (min id per hash) go through the
     banded Hamming pairing, and the transitive closure runs over the
-    representative graph. Banding raw images instead would both do
+    representative graph. Banding raw rows instead would both do
     redundant work (every member of a family lands in the same
     buckets) and, worse, lose whole families to the star cap: an
     over-cap bucket holding TWO hash-identical families emits star
     pairs from the single bucket-min center, and the far family's
-    pairs all fail the Hamming verify — on the 200k/48-family
-    pathology corpus that left ~4% of images unpaired. Class-level
-    banding makes bucket size = DISTINCT hashes per band value, so the
-    cap only engages on genuine near-dup diversity.
+    pairs all fail the Hamming verify — on the r9 200k/48-family
+    image pathology corpus that left ~4% of rows unpaired.
+    Class-level banding makes bucket size = DISTINCT hashes per band
+    value, so the cap only engages on genuine near-dup diversity.
     cap: max_bucket=64 — the dhash_hamming_pairs star-cap default,
-    now applied to hash-class representatives."""
-    hashed = dhash_media(df, grid).filter(F.col("dhash").isNotNull())
-    classes = hashed.groupBy("dhash").agg(
+    applied to hash-class representatives."""
+    hashed = hashed.filter(F.col(hash_col).isNotNull()) \
+        .select(F.col(id_col).alias("media_id"),
+                F.col(hash_col).alias("__h"))
+    classes = hashed.groupBy("__h").agg(
         F.min("media_id").alias("__rep"),
         F.count(F.lit(1)).alias("__class_n")).localCheckpoint(eager=False)
-    reps = classes.select(F.col("__rep").alias("media_id"), "dhash")
-    rep_pairs = dhash_hamming_pairs(reps, bands=bands,
+    reps = classes.select(F.col("__rep").alias("media_id"), "__h")
+    rep_pairs = dhash_hamming_pairs(reps, hash_col="__h", bits=bits,
+                                    bands=bands,
                                     max_hamming=max_hamming,
                                     max_bucket=max_bucket)
     from .components import connected_components
     cc = connected_components(rep_pairs, a_col="id_a", b_col="id_b")
     labeled = (classes.join(cc, classes["__rep"] == cc["node"], "left")
-               .select("dhash", "__rep", "__class_n",
+               .select("__h", "__rep", "__class_n",
                        F.coalesce("component", "__rep").alias("group_id")))
     sizes = labeled.groupBy("group_id").agg(
         F.sum("__class_n").alias("n_members"),
         F.min("__rep").alias("keep"))
-    return (hashed.join(labeled.select("dhash", "group_id"), "dhash")
+    return (hashed.join(labeled.select("__h", "group_id"), "__h")
             .join(sizes, "group_id")
-            .select("media_id", "group_id", "n_members", "keep"))
+            .select(F.col("media_id").alias(id_col), "group_id",
+                    "n_members", "keep"))
+
+
+def image_dup_groups(df: DataFrame, grid: int = GRID, bands: int = 4,
+                     max_hamming: int = 3,
+                     max_bucket: int | None = 64) -> DataFrame:
+    """decode -> dHash -> ``hamming_ball_groups`` (see there for the
+    class-level structure and the star-cap rationale).
+    cap: max_bucket=64 — the dhash_hamming_pairs star-cap default."""
+    return hamming_ball_groups(dhash_media(df, grid), bands=bands,
+                               max_hamming=max_hamming,
+                               max_bucket=max_bucket)
 
 
 GRID_FEATURES_DDL = "media_id STRING, features ARRAY<DOUBLE>"
