@@ -127,3 +127,33 @@ def test_contamination_report_lifts_onto_stream(spark):
     want = {tuple(r) for r in contamination_report(tr_batch, ev, n=5).collect()}
     assert got == want and len(got) > 0
     assert all(r[1] > 0 for r in got)  # every doc has shingles counted
+
+
+# ---------------------------------------------------------------------------
+# r10: streaming multimodal ingest
+# ---------------------------------------------------------------------------
+
+
+def test_media_decode_stream_multi_batch(spark, tmp_path):
+    import numpy as np
+
+    from toy_vector_db_spark.operators.jpeg import synth_jpeg_gray
+    from toy_vector_db_spark.streaming.corpus import (
+        decode_media_stream, read_media_stream)
+    from toy_vector_db_spark.streaming.events import run_available_now
+    src = str(tmp_path / "media_src")
+    # cap: 3 files -> 3 micro-batches under maxFilesPerTrigger=1 (a
+    # fixture-size layout knob, not a scale knob)
+    synth_jpeg_gray(spark, n=9).repartition(3) \
+        .write.mode("overwrite").parquet(src)
+    run_available_now(
+        decode_media_stream(read_media_stream(spark, src)),
+        "t_media_stream", output_mode="append")
+    rows = {r["media_id"]: r for r in
+            spark.table("t_media_stream").collect()}
+    assert len(rows) == 9
+    for i in range(9):
+        exp = np.mean([(i * 37 + k * 11) % 251 for k in range(8)])
+        r = rows[f"jpgg_{i}"]
+        assert (r["width"], r["height"]) == (32, 16)
+        assert abs(r["mean_intensity"] - exp) < 1e-9

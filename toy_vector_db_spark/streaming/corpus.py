@@ -104,3 +104,32 @@ def clean_report_stream(docs: DataFrame,
             .agg(F.min("doc_id").alias("canonical_doc_id"),
                  F.count("*").alias("n_copies"),
                  F.round(F.max("quality"), 4).alias("best_quality")))
+
+
+MEDIA_STREAM_DDL = ("media_id STRING, modality STRING, payload BINARY, "
+                    "mime_type STRING, width INT, height INT, "
+                    "duration_ms LONG, metadata MAP<STRING,STRING>")
+
+
+def read_media_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = 1) -> DataFrame:
+    """File-source stream over a media parquet directory (r10 —
+    streaming multimodal ingest: a crawler drops payload files, the
+    decode pipeline drains them). Schema fixed like
+    read_document_stream. cap: max_files_per_trigger=1 is the TEST
+    default forcing multi-batch paths; deployments size it to their
+    micro-batch SLA (None = drain all)."""
+    reader = spark.readStream.schema(MEDIA_STREAM_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def decode_media_stream(media: DataFrame) -> DataFrame:
+    """Streaming decode: the BATCH ``decode_media`` applied under a
+    streaming scan — mapInPandas is stateless/map-only, so the plan
+    fragment is identical and append-mode per-row output needs no
+    state store. Quarantine contract unchanged (undecodable payloads
+    keep hash-fake stats via the shared dispatch)."""
+    from ..operators.media import decode_media
+    return decode_media(media)

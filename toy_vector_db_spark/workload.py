@@ -1956,6 +1956,41 @@ def dedup_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("hamming"))
 
 
+# Streaming multimodal ingest (r10): the crawler-drops-files shape —
+# a file-source stream over media parquet, drained AvailableNow in 4
+# micro-batches (4 files x maxFilesPerTrigger=1), decoded by the SAME
+# map-only mapInPandas as the batch path (append mode, no state).
+# Gray block-constant JPEGs: decoded mean = avg of the 8 block values.
+@q("media_decode_streaming", """
+WITH g AS (SELECT range AS id FROM range(0, 16))
+SELECT 'jpgg_' || id AS media_id,
+       CAST(32 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       ROUND(list_aggregate(list_transform(range(0, 8),
+             k -> CAST((id*37 + k*11) % 251 AS DOUBLE)), 'avg'), 4)
+         AS mean_intensity
+FROM g
+""")
+def media_decode_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators.jpeg import synth_jpeg_gray
+    from .streaming.corpus import decode_media_stream, read_media_stream
+    from .streaming.events import run_available_now
+    src_dir = tempfile.mkdtemp(prefix="vectodb_media_stream_")
+    # cap: 4 files so maxFilesPerTrigger=1 yields exactly 4
+    # micro-batches — a fixture-size layout knob, not a scale knob
+    synth_jpeg_gray(spark, n=16).repartition(4) \
+        .write.mode("overwrite").parquet(src_dir)
+    run_available_now(decode_media_stream(read_media_stream(spark, src_dir)),
+                      "media_decode_streaming", output_mode="append")
+    return spark.table("media_decode_streaming").select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.round("mean_intensity", 4).alias("mean_intensity"))
+
+
 # ---------------------------------------------------------------------------
 # Image ANN (r10): deterministic grid-luminance embedding (the aHash
 # sample grid, unthresholded — exact integers 0..765 emitted as
