@@ -2072,6 +2072,46 @@ def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_intensity", 4).alias("mean_intensity"))
 
 
+# Image batch similarity join (r10): the media embedding composed
+# with the exact batch knn-join tier — for every query image its k
+# nearest corpus images by integer-exact L2 over the grid cells
+# (broadcast queries, per-partition local top-k, one merge shuffle).
+@q("knn_join_image_batch", f"""
+WITH g AS (SELECT range AS id FROM range(0, {_DHASH_N})),
+lums AS (
+  SELECT 'ppm_' || id AS media_id, {_ahash_lums_sql(None)} AS gl FROM g
+  UNION ALL
+  SELECT 'ppmB_' || id AS media_id,
+         {_ahash_lums_sql(_DHASH_BUMP)} AS gl FROM g
+),
+q AS (SELECT media_id AS query_id, gl AS qv FROM lums
+      WHERE media_id IN ('ppm_0', 'ppm_5', 'ppmB_3')),
+s AS (SELECT q.query_id, l.media_id,
+             SQRT(CAST(list_aggregate(list_transform(range(0, 64),
+                  i -> (l.gl[i+1] - q.qv[i+1]) * (l.gl[i+1] - q.qv[i+1])),
+                  'sum') AS DOUBLE)) AS dist
+      FROM lums l CROSS JOIN q)
+SELECT query_id, media_id, ROUND(dist, 4) AS distance
+FROM s
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY dist, media_id) <= 3
+""")
+def knn_join_image_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.imagedup import grid_luminance_features
+    from .operators.knn import knn_join
+    feats = grid_luminance_features(_dhash_corpus(spark)) \
+        .localCheckpoint(eager=False)
+    queries = feats.filter(
+        F.col("media_id").isin("ppm_0", "ppm_5", "ppmB_3")).select(
+        F.col("media_id").alias("query_id"),
+        F.col("features").alias("query_vec"))
+    return knn_join(queries, feats, k=3, metric="euclidean",
+                    corpus_id_col="media_id",
+                    corpus_vec_col="features").select(
+        "query_id", "media_id",
+        F.round("distance", 4).alias("distance"))
+
+
 # ---------------------------------------------------------------------------
 # Audio fingerprint dedup (r10): frame-energy sign-bit fingerprint
 # over the REAL WAV decode, banded through the hash-agnostic verifier
