@@ -144,3 +144,44 @@ def test_audio_dup_groups_full_coverage(spark):
     assert len(groups) == 4
     for members in groups.values():
         assert len(members) == 3
+
+
+def test_resample_audio_exact_and_quarantine(spark):
+    import numpy as np
+
+    from toy_vector_db_spark.operators.media import (
+        _parse_wav, resample_audio)
+    rows = {r["media_id"]: r for r in
+            resample_audio(synth_wav(spark, n=6), 8000).collect()}
+    for i in range(6):
+        ns = (i % 4 + 1) * 50
+        sr = 8000 + (i % 3) * 4000
+        nd = (ns * 8000) // sr
+        r = rows[f"wav_{i}"]
+        assert r["decoded"] and r["n_samples"] == nd
+        samples, rate = _parse_wav(bytes(r["payload"]))
+        assert rate == 8000 and samples.shape == (nd, 1)
+        src = np.array([(i * 1009 + j * 757) % 30011 for j in range(ns)])
+        exp = src[(np.arange(nd) * ns) // nd]
+        assert np.array_equal(samples[:, 0], exp.astype(np.int16))
+    junk = spark.createDataFrame([("junk", b"xx")],
+                                 "media_id string, payload binary")
+    jr = resample_audio(junk, 8000).collect()[0]
+    assert not jr["decoded"] and bytes(jr["payload"]) == b"xx"
+
+
+def test_resample_audio_stereo_mixdown(spark):
+    import numpy as np
+
+    from toy_vector_db_spark.operators.media import (
+        _parse_wav, encode_wav, resample_audio)
+    stereo = np.stack([np.arange(100, dtype=np.int16),
+                       np.arange(100, dtype=np.int16) + 3], axis=1)
+    df = spark.createDataFrame(
+        [("st", encode_wav(stereo, 8000))],
+        "media_id string, payload binary")
+    r = resample_audio(df, 8000).collect()[0]
+    samples, _ = _parse_wav(bytes(r["payload"]))
+    # floor(mean + 0.5): (j + j+3)/2 + .5 = j+2 exactly
+    assert np.array_equal(samples[:, 0],
+                          (np.arange(100) + 2).astype(np.int16))

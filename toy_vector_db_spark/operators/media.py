@@ -716,3 +716,53 @@ def resize_media(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                                              "width", "height", "decoded"])
 
     return df.select("media_id", "payload").mapInPandas(batches, RESIZED_DDL)
+
+
+RESAMPLED_DDL = ("media_id STRING, payload BINARY, n_samples LONG, "
+                 "sample_rate LONG, decoded BOOLEAN")
+
+
+def resample_audio(df: DataFrame, target_rate: int,
+                   mono: bool = True) -> DataFrame:
+    """Sample-rate conversion + optional mono mixdown — the audio twin
+    of ``resize_media`` (r10): decodable RIFF/PCM16 payloads are
+    resampled to ``target_rate`` by the same integer floor maps the
+    image resize uses (source index of output ``j`` is
+    ``(j*n_src)//n_dst`` with ``n_dst = (n_src*target)//src_rate`` —
+    nearest-neighbor, exact integer arithmetic so a DuckDB oracle
+    replays every output sample), mixed down by floor(mean + 0.5) in
+    float64 (channel sums are exact), and re-encoded as WAV at the
+    target rate. Non-decodable payloads pass through untouched with
+    ``decoded=false`` — the quarantine path. Map-only mapInPandas,
+    payloads never shuffle."""
+    if target_rate <= 0:
+        raise ValueError("target_rate must be positive")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                try:
+                    samples, rate = _parse_wav(raw)
+                except ValueError:
+                    out.append((mid, raw, None, None, False))
+                    continue
+                if mono and samples.shape[1] > 1:
+                    mixed = np.floor(
+                        samples.astype(np.float64).mean(axis=1) + 0.5)
+                    samples = np.clip(mixed, -32768, 32767) \
+                        .astype(np.int16)[:, None]
+                n_src = samples.shape[0]
+                n_dst = (n_src * target_rate) // rate
+                idx = (np.arange(n_dst, dtype=np.int64) * n_src) // n_dst \
+                    if n_dst else np.zeros(0, dtype=np.int64)
+                resampled = samples[idx]
+                out.append((mid, encode_wav(resampled, target_rate),
+                            n_dst, target_rate, True))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "payload", "n_samples", "sample_rate",
+                "decoded"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, RESAMPLED_DDL)

@@ -2072,6 +2072,34 @@ def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_intensity", 4).alias("mean_intensity"))
 
 
+# Audio resample (r10): the audio twin of media_resize_ppm — sample-
+# rate normalization by the same integer floor maps ((j*ns)//nd with
+# nd = (ns*8000)//sr), re-encoded WAV re-entering the real decoder, so
+# the whole resample -> re-encode -> re-decode loop sits under one
+# value hash with exact-integer arithmetic.
+@q("media_resample_wav", """
+WITH g AS (SELECT range AS id FROM range(0, 24)),
+d AS (SELECT id, ((id % 4) + 1) * 50 AS ns, 8000 + (id % 3) * 4000 AS sr
+      FROM g),
+r AS (SELECT id, ns, (ns * 8000) // sr AS nd FROM d)
+SELECT 'wav_' || id AS media_id,
+       CAST(nd AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       ROUND(list_aggregate(list_transform(range(0, nd),
+             j -> CAST((id*1009 + ((j*ns)//nd)*757) % 30011 AS DOUBLE)),
+             'avg'), 4) AS mean_amplitude
+FROM r
+""")
+def media_resample_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.media import decode_audio, resample_audio, synth_wav
+    resampled = resample_audio(synth_wav(spark, n=24), target_rate=8000)
+    return decode_audio(resampled).select(
+        "media_id",
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.round("mean_amplitude", 4).alias("mean_amplitude"))
+
+
 # Image batch similarity join (r10): the media embedding composed
 # with the exact batch knn-join tier — for every query image its k
 # nearest corpus images by integer-exact L2 over the grid cells
