@@ -185,3 +185,112 @@ def test_resample_audio_stereo_mixdown(spark):
     # floor(mean + 0.5): (j + j+3)/2 + .5 = j+2 exactly
     assert np.array_equal(samples[:, 0],
                           (np.arange(100) + 2).astype(np.int16))
+
+
+# ---------------------------------------------------------------------------
+# Spectral-band fingerprint (r11): Haitsma-Kalker band-energy deltas.
+# The fp values have no SQL oracle (FFT — see the module comment), so
+# these property gates plus the workload gain-check derived statistic
+# are its correctness surface.
+# ---------------------------------------------------------------------------
+
+def _wav_np(i: int):
+    ns = (i % 4 + 1) * 50
+    s = np.array([(i * 1009 + j * 757) % 30011 for j in range(ns)],
+                 dtype=np.int16).reshape(-1, 1)
+    return s, 8000 + (i % 3) * 4000
+
+
+def _ham64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_spectral_deterministic_and_int64():
+    from toy_vector_db_spark.operators.audiodup import spectral_fp_bits
+    for i in range(8):
+        s, r = _wav_np(i)
+        v = spectral_fp_bits(s, r)
+        assert v == spectral_fp_bits(s.copy(), r)
+        assert -(1 << 63) <= v < (1 << 63)
+
+
+def test_spectral_gain_invariance_exact():
+    # power-of-two gain scales every FFT multiply-add exactly in
+    # float64 -> identical comparisons, hamming 0 (the property the
+    # driver hashes via workload.audio_fp_spectral)
+    from toy_vector_db_spark.operators.audiodup import spectral_fp_bits
+    for i in range(8):
+        s, r = _wav_np(i)
+        mono = s.astype(np.float64).sum(axis=1)
+        base = spectral_fp_bits(s, r)
+        for g in (0.5, 0.25, 2.0):
+            assert spectral_fp_bits(mono * g, r) == base
+
+
+def test_spectral_stereo_mixdown_matches_mono_sum():
+    from toy_vector_db_spark.operators.audiodup import spectral_fp_bits
+    s, r = _wav_np(5)
+    stereo = np.repeat(s, 2, axis=1)
+    # channel sum doubles the mono signal = a gain of 2 -> invariant
+    assert spectral_fp_bits(stereo, r) == spectral_fp_bits(s, r)
+
+
+def test_spectral_retouch_locality():
+    # silencing exactly frame 0 can only move band deltas at
+    # transition 0 -> at most (bands-1) = 4 bits flip
+    from toy_vector_db_spark.operators.audiodup import spectral_fp_bits
+    flips = []
+    for i in range(16):
+        s, r = _wav_np(i)
+        mono = s.astype(np.float64).sum(axis=1)
+        t = mono.copy()
+        t[: mono.size // 17] = 0.0
+        flips.append(_ham64(spectral_fp_bits(mono, r),
+                            spectral_fp_bits(t, r)))
+    assert max(flips) <= 4
+    assert any(f > 0 for f in flips)     # sensitivity is not vacuous
+
+
+def test_spectral_resample_robustness():
+    # 2x repeat-upsample at 2x rate: images land above TOP_HZ and are
+    # excluded by the rate-aware banding; residual drift comes from
+    # the |1 + W^k| comb tilt only — bounded well under half the bits
+    from toy_vector_db_spark.operators.audiodup import spectral_fp_bits
+    hams = []
+    for i in range(16):
+        s, r = _wav_np(i)
+        up = np.repeat(s, 2, axis=0)
+        hams.append(_ham64(spectral_fp_bits(s, r),
+                           spectral_fp_bits(up, 2 * r)))
+    assert max(hams) <= 24
+    assert sum(hams) / len(hams) <= 10
+
+
+def test_spectral_fp_spark_quarantine_and_pairs(spark):
+    from toy_vector_db_spark.operators.audiodup import (
+        audio_spectral_dup_pairs, spectral_fp,
+    )
+    base = synth_wav(spark, n=8)
+    twin = synth_wav(spark, n=8, id_prefix="wavC_")   # byte-identical
+    corpus = base.unionByName(twin)
+    rows = {r["media_id"]: r["sfp"] for r in spectral_fp(corpus).collect()}
+    assert len(rows) == 16 and all(v is not None for v in rows.values())
+    from toy_vector_db_spark.operators.audiodup import spectral_fp_bits
+    for i in (0, 3):
+        s, r = _wav_np(i)
+        assert rows[f"wav_{i}"] == spectral_fp_bits(s, r)
+    pairs = {(p["id_a"], p["id_b"]): p["hamming"]
+             for p in audio_spectral_dup_pairs(corpus).collect()}
+    for i in range(8):
+        a, b = sorted([f"wav_{i}", f"wavC_{i}"])
+        assert pairs[(a, b)] == 0         # identical clips pair at 0
+    bad = spark.createDataFrame([("junk", bytearray(b"nope"))],
+                                "media_id string, payload binary")
+    assert spectral_fp(bad).collect()[0]["sfp"] is None
+
+
+def test_spectral_gain_check_all_zero(spark):
+    from toy_vector_db_spark.operators.audiodup import spectral_gain_check
+    rows = spectral_gain_check(synth_wav(spark, n=6), gain=0.5).collect()
+    assert len(rows) == 6
+    assert all(r["gain_hamming"] == 0 for r in rows)

@@ -1,0 +1,96 @@
+"""Chunk-bleed guard in the bench harness (bench.py, r11): the
+start-load flag leg must distinguish a DECAYING spike left by our own
+just-exited work from a SUSTAINED co-tenant — driven here by
+synthetic load curves through the injection points."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _curve(samples):
+    """read_load stub replaying a load1 curve (last value repeats)."""
+    it = iter(samples)
+    last = [samples[-1]]
+
+    def read():
+        try:
+            last[0] = next(it)
+        except StopIteration:
+            pass
+        return last[0]
+    return read
+
+
+def test_idle_start_no_wait(bench):
+    sleeps = []
+    got = bench.settled_start_load(read_load=_curve([2.0]), threshold=8.0,
+                                   max_wait_s=120, poll_s=15,
+                                   sleep=sleeps.append)
+    assert got == 2.0
+    assert sleeps == []                 # under threshold: zero waiting
+
+
+def test_decaying_bleed_settles_and_unflags(bench):
+    # our own 32-way chunk exited at load ~12; load1 decays with a
+    # ~60 s time constant — the guard must ride it down and report
+    # the settled (unflagged) value
+    sleeps = []
+    got = bench.settled_start_load(
+        read_load=_curve([12.0, 9.3, 7.2, 5.6]), threshold=8.0,
+        max_wait_s=120, poll_s=15, sleep=sleeps.append)
+    assert got == 7.2                   # first sample under threshold
+    assert sleeps == [15, 15]           # stopped polling right there
+
+
+def test_sustained_cotenant_stays_flagged(bench):
+    # a co-tenant holds load high for the whole window: the guard
+    # gives up at max_wait_s and reports the honest (flagged) value
+    sleeps = []
+    got = bench.settled_start_load(
+        read_load=_curve([12.0, 11.8, 12.1, 11.9, 12.0]), threshold=8.0,
+        max_wait_s=60, poll_s=15, sleep=sleeps.append)
+    assert got > 8.0
+    assert sum(sleeps) == 60            # bounded wall-clock
+
+
+def test_chunk_child_uses_suite_start(bench, monkeypatch):
+    # a chunked child NEVER self-measures: the runner's pre-suite
+    # value arrives via env and is used verbatim
+    monkeypatch.setenv("SPARK_GRAFT_SUITE_START_LOAD", "1.5")
+
+    def boom():                          # self-measure would be a bug
+        raise AssertionError("child must not read its own loadavg")
+    monkeypatch.setattr(bench.os, "getloadavg", boom)
+    assert bench.session_start_load() == 1.5
+
+
+def test_standalone_session_settles(bench, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_SUITE_START_LOAD", raising=False)
+    monkeypatch.setattr(bench, "settled_start_load", lambda: 3.25)
+    assert bench.session_start_load() == 3.25
+
+
+def test_row_flagged_contract(bench):
+    # new entries carry the explicit evidence flag at index 3;
+    # legacy 3-field entries fall back to the load-only rule
+    assert bench.row_flagged([1.0, 50.0, 2, 1]) is True
+    assert bench.row_flagged([20.0, 50.0, 2, 0]) is False
+    assert bench.row_flagged([20.0, 50.0, 2]) is True
+    assert bench.row_flagged([1.0, 50.0, 2]) is False

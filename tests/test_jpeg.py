@@ -133,6 +133,22 @@ def test_corruption_rejected(mutate, msg):
         _parse_jpeg(mutate(data))
 
 
+def test_sos_reorder_rejected():
+    # spec-invalid but parseable: SOS listing components in a different
+    # order than SOF must quarantine (coeffs are allocated in SOF order
+    # but filled in scan order — decoding would swap channels)
+    y, cb, cr = _block_constant_planes(1)
+    data = encode_jpeg_planes([y, cb, cr],
+                              [(2, 2), (1, 1), (1, 1)], (32, 16))
+    sos = data.index(b"\xFF\xDA")
+    ents = bytearray(data)
+    base = sos + 5                      # FFDA + len(2) + ns(1)
+    ents[base:base + 2], ents[base + 2:base + 4] = \
+        data[base + 2:base + 4], data[base:base + 2]
+    with pytest.raises(ValueError, match="SOS component order"):
+        _parse_jpeg(bytes(ents))
+
+
 def test_dispatch_magic():
     y, cb, cr = _block_constant_planes(2)
     data = encode_jpeg_planes([y, cb, cr],

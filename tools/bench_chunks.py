@@ -38,14 +38,22 @@ def main() -> None:
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
     import __spark_entry__ as entrymod
-    from bench import CORE, remeasure_flagged, row_flagged, run_subset
+    from bench import (CORE, remeasure_flagged, row_flagged, run_subset,
+                       settled_start_load)
 
     names = list(entrymod.queries())
+    # ONE pre-suite load measurement (settled, in case this runner
+    # itself starts right after other work) shared by every child:
+    # chunk N's own session start is polluted by chunk N-1's exit
+    # bleed and must not feed the start-load flag leg (bench.py
+    # chunk-bleed guard)
+    suite_start = settled_start_load()
+    print(f"suite start load1: {suite_start:.1f}", file=sys.stderr)
     merged: dict[str, float] = {}
     merged_load: dict[str, list] = {}
     for i in range(0, len(names), chunk):
         sub = names[i:i + chunk]
-        got, loads = run_subset(sub, sf_dir)
+        got, loads = run_subset(sub, sf_dir, suite_start=suite_start)
         merged_load.update(loads)
         if not got:
             for n in sub:

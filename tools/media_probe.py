@@ -67,6 +67,31 @@ def main() -> None:
     dt = time.time() - t0
     print(f"mjpeg-decode: {n_frames} frames from {n_vid} streams in "
           f"{dt:.1f}s ({n_frames / dt:.0f} frames/s)")
+
+    # 4. backend A/B at MEGAPIXEL scale (r11, VERDICT r10 Next #2):
+    # single-process decode of one ~1.05-megapixel block-constant
+    # gray JPEG, both backends — what the Pillow seam buys per image
+    # (the Spark fan-out above multiplies either number by the core
+    # count). Skips the pil lane when Pillow is absent.
+    import numpy as np
+
+    from toy_vector_db_spark.operators.jpeg import encode_jpeg_planes
+    from toy_vector_db_spark.operators.media import _HAVE_PIL, _decode_jpeg
+    yv = (np.add.outer(np.arange(128) * 7, np.arange(128) * 11) % 251) \
+        .astype(np.float64)
+    mega = encode_jpeg_planes([np.repeat(np.repeat(yv, 8, 0), 8, 1)],
+                              [(1, 1)], (1024, 1024))
+    lanes = ["numpy"] + (["pil"] if _HAVE_PIL else [])
+    for lane in lanes:
+        t0 = time.time()
+        px = _decode_jpeg(mega, lane)
+        dt = time.time() - t0
+        mpx = px.shape[0] * px.shape[1] / 1e6
+        print(f"jpeg-megapixel[{lane}]: {mpx:.2f} MP in {dt:.3f}s "
+              f"({mpx / dt:.1f} MP/s single-core)")
+    if not _HAVE_PIL:
+        print("jpeg-megapixel[pil]: SKIPPED (Pillow not installed — "
+              "seam auto-selects numpy)")
     spark.stop()
 
 

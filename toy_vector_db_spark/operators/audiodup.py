@@ -127,6 +127,161 @@ def energy_features(df: DataFrame, frames: int = FRAMES) -> DataFrame:
         batches, ENERGY_FEATURES_DDL)
 
 
+# ---------------------------------------------------------------------------
+# Spectral-band fingerprint (r11, VERDICT r10 Next #6): the
+# Haitsma-Kalker band-energy-delta scheme ("A Highly Robust Audio
+# Fingerprint", CBMI 2002) — the frequency-domain robustness tier the
+# envelope fingerprint above lacks. 17 time frames x 5 frequency
+# bands; bit (t, b) is the sign of the time-delta of the band-delta:
+#   (E[t+1][b] - E[t+1][b+1]) - (E[t][b] - E[t][b+1]) > 0
+# 16 transitions x 4 band-deltas = 64 bits, riding the same
+# hash-agnostic banding spine as the image/audio/video fingerprints.
+#
+# WHY NO VALUE ORACLE (the one fingerprint family without one): the
+# band energies are float64 FFT magnitudes — DuckDB has no FFT, and
+# replaying one in SQL would be a reimplementation, not an oracle.
+# The driver-checkable surface is the scheme's DEFINING property
+# instead: band-energy comparisons are homogeneous in gain, and a
+# power-of-two gain is EXACT in float64 (scaling commutes with every
+# FFT multiply-add bit-for-bit), so fp(x) == fp(gain * x) exactly —
+# workload.audio_fp_spectral hashes that derived statistic (hamming
+# 0 for every clip) while pytest property gates cover determinism,
+# retouch locality, and resample robustness.
+#
+# Bands are RATE-AWARE: edges are fixed fractions of [0, TOP_HZ), not
+# of the clip's own Nyquist, so clips at different sample rates (the
+# corpus mixes 8/12/16 kHz) band comparably and an upsample's mirror
+# images (which land above the source Nyquist >= TOP_HZ) are excluded
+# from every band.
+# ---------------------------------------------------------------------------
+
+#: 16 frame transitions x 4 band deltas = the spine's 64-bit width.
+SPECTRAL_FRAMES = 17
+SPECTRAL_BANDS = 5
+#: analysis ceiling: the lowest Nyquist in scope (8 kHz clips) so all
+#: rates cover every band and upsample images stay out of band.
+TOP_HZ = 4000
+
+SPECTRAL_FP_DDL = "media_id STRING, sfp LONG"
+
+
+def spectral_band_energies(mono: np.ndarray, rate: int,
+                           frames: int = SPECTRAL_FRAMES,
+                           bands: int = SPECTRAL_BANDS,
+                           top_hz: int = TOP_HZ) -> np.ndarray:
+    """(frames, bands) float64 band energies of a mono float signal:
+    integer-floor frame cuts (same maps as the envelope fp), per-frame
+    rfft power spectrum, bin k (frequency k*rate/m) accumulated into
+    band (k*rate*bands) // (m*top_hz) when below ``top_hz``. Empty
+    frames (clips shorter than ``frames`` samples) stay all-zero."""
+    n = mono.size
+    cuts = (np.arange(frames + 1, dtype=np.int64) * n) // frames
+    out = np.zeros((frames, bands), dtype=np.float64)
+    for t in range(frames):
+        seg = mono[cuts[t]:cuts[t + 1]]
+        if seg.size == 0:
+            continue
+        spec = np.abs(np.fft.rfft(seg)) ** 2
+        k = np.arange(spec.size, dtype=np.int64)
+        bidx = (k * rate * bands) // (seg.size * top_hz)
+        live = bidx < bands                  # freq < top_hz only
+        np.add.at(out[t], bidx[live], spec[live])
+    return out
+
+
+def spectral_fp_bits(samples: np.ndarray, rate: int,
+                     frames: int = SPECTRAL_FRAMES,
+                     bands: int = SPECTRAL_BANDS) -> int:
+    """(n, channels) int16 (or float mono) samples -> 64-bit spectral
+    fingerprint as a Python int in int64 range. Mono mixdown is the
+    exact channel sum (the envelope fp's convention)."""
+    mono = (samples.astype(np.float64).sum(axis=1)
+            if samples.ndim == 2 else samples.astype(np.float64))
+    e = spectral_band_energies(mono, rate, frames, bands)
+    d = e[:, :-1] - e[:, 1:]                 # band deltas per frame
+    bits = ((d[1:] - d[:-1]) > 0).flatten()  # bit t*(bands-1)+b
+    val = int(bits @ (1 << np.arange(bits.size, dtype=np.uint64)))
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def spectral_fp(df: DataFrame, frames: int = SPECTRAL_FRAMES,
+                bands: int = SPECTRAL_BANDS) -> DataFrame:
+    """(media_id, payload, ...) -> (media_id, sfp BIGINT). Map-only
+    mapInPandas; undecodable payloads quarantine to NULL."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    samples, rate = _parse_wav(bytes(payload or b""))
+                except ValueError:
+                    out.append((mid, None))
+                    continue
+                out.append((mid, spectral_fp_bits(samples, rate,
+                                                  frames, bands)))
+            yield pd.DataFrame(out, columns=["media_id", "sfp"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, SPECTRAL_FP_DDL)
+
+
+def spectral_gain_check(df: DataFrame, gain: float = 0.5,
+                        frames: int = SPECTRAL_FRAMES,
+                        bands: int = SPECTRAL_BANDS) -> DataFrame:
+    """(media_id, gain_hamming BIGINT): Hamming distance between the
+    spectral fingerprint of each decoded clip and of the same clip
+    scaled by ``gain`` — the scheme's gain-invariance property as a
+    derived statistic (0 for every decodable clip when ``gain`` is a
+    power of two, which scales every FFT term exactly). This is the
+    driver-hashable surface of an operator whose raw values have no
+    SQL oracle (module comment). Undecodable payloads quarantine to
+    NULL. Map-only mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    samples, rate = _parse_wav(bytes(payload or b""))
+                except ValueError:
+                    out.append((mid, None))
+                    continue
+                mono = samples.astype(np.float64).sum(axis=1)
+                a = spectral_fp_bits(mono, rate, frames, bands)
+                b = spectral_fp_bits(mono * gain, rate, frames, bands)
+                out.append((mid, ((a ^ b) & ((1 << 64) - 1)).bit_count()))
+            yield pd.DataFrame(out, columns=["media_id", "gain_hamming"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, "media_id STRING, gain_hamming LONG")
+
+
+def audio_spectral_dup_pairs(df: DataFrame, bands: int = 4,
+                             max_hamming: int = 3,
+                             max_bucket: int | None = 64) -> DataFrame:
+    """End-to-end spectral near-dup pairs: decode -> spectral fp ->
+    banded buckets -> verified (id_a, id_b, hamming). Same one-shuffle
+    shape as audio_dup_pairs (``bands`` here is the BANDING split of
+    the 64-bit fp, not the frequency-band count).
+    cap: max_bucket=64 — the dhash_hamming_pairs star-cap default."""
+    return dhash_hamming_pairs(spectral_fp(df), hash_col="sfp",
+                               bands=bands, max_hamming=max_hamming,
+                               max_bucket=max_bucket)
+
+
+def audio_spectral_dup_groups(df: DataFrame, bands: int = 4,
+                              max_hamming: int = 3,
+                              max_bucket: int | None = 64) -> DataFrame:
+    """decode -> spectral fp -> ``imagedup.hamming_ball_groups`` (the
+    exact-hash-class collapse, inherited).
+    cap: max_bucket=64 — the dhash_hamming_pairs star-cap default."""
+    from .imagedup import hamming_ball_groups
+    return hamming_ball_groups(spectral_fp(df), hash_col="sfp",
+                               bands=bands, max_hamming=max_hamming,
+                               max_bucket=max_bucket)
+
+
 def audio_dup_groups(df: DataFrame, frames: int = FRAMES,
                      bands: int = 4, max_hamming: int = 3,
                      max_bucket: int | None = 64) -> DataFrame:

@@ -117,9 +117,13 @@ def pick_disjoint_batch(ranked: list[tuple[str, str]],
     """Greedy scan of a (weight desc, left, right)-ranked pair list:
     keep a pair only if NEITHER symbol was touched by an
     already-picked pair and neither symbol IS an earlier pick's fused
-    output — so the batch members are mutually independent (applying
-    them in any order yields the same vocab) and the fuse pass never
-    consumes a symbol another batch member just created."""
+    output — so the fuse pass never consumes a symbol another batch
+    member just created. Order of application within a batch is still
+    FIXED (ranked order): a later pick's fused output may collide with
+    an earlier pick's input symbol (e.g. ('x','abc') then ('a','bc')
+    when 'abc' pre-exists), so batch members do not commute in
+    general; determinism comes from the fixed rank order, which
+    ``_fuse_syms_py``/the fold apply verbatim."""
     picked: list[tuple[str, str]] = []
     used: set[str] = set()
     for a, b in ranked:

@@ -480,6 +480,12 @@ def _parse_jpeg(data: bytes) -> np.ndarray:
     scan_comps, dpos = scan
     if len(scan_comps) != len(comps):
         raise ValueError("JPEG partial scans unsupported")
+    # coeffs/preds below are indexed by scan position but allocated and
+    # consumed (zip(comps, coeffs)) in SOF order — a spec-invalid stream
+    # whose SOS reorders components would decode with swapped channels,
+    # so it quarantines instead (rejected, never mis-decoded)
+    if [sc[0] for sc in scan_comps] != [c["id"] for c in comps]:
+        raise ValueError("JPEG SOS component order differs from SOF")
     by_id = {c["id"]: c for c in comps}
     order = []
     for cid, td, ta in scan_comps:

@@ -25,6 +25,8 @@ Scale notes: payloads never shuffle — decode/feature UDFs are map-only
 from __future__ import annotations
 
 import hashlib
+import io
+import os
 import zlib
 from collections.abc import Iterator
 
@@ -560,7 +562,69 @@ def decode_audio(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(batches, AUDIO_DDL)
 
 
-def _try_decode_pixels(payload: bytes) -> np.ndarray | None:
+# Optional fast-JPEG backend (r11, VERDICT r10 Next #2): Pillow wraps
+# libjpeg-turbo (SIMD Huffman + IDCT — the public production decoder,
+# ~10-50x the pure-NumPy codec at megapixel scale; tools/media_probe.py
+# records both when available). The NumPy codec in operators/jpeg.py
+# stays the ALWAYS-AVAILABLE reference implementation and the fixture
+# ENCODER — the backend seam is decode-only.
+try:  # pragma: no cover — availability depends on the environment
+    from PIL import Image as _PILImage
+    _HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    _HAVE_PIL = False
+
+#: JPEG decode backend: "auto" | "numpy" | "pil". chooser: "auto"
+#: routes by AVAILABILITY (pil when importable, else numpy) — not a
+#: tuning knob; "numpy"/"pil" pin one side for equivalence tests and
+#: for environment-independent value hashing (libjpeg's fixed-point
+#: color convert and fancy chroma upsampling can differ from the
+#: reference codec by ±1 LSB on color images — grayscale block-
+#: constant fixtures are bit-exact on both, test_jpeg_backend.py).
+#: Read per call, not at import: Spark python workers are long-lived
+#: and must honor an env pin set after they started.
+_JPEG_BACKEND_ENV = "SPARK_GRAFT_JPEG_BACKEND"
+
+
+def _decode_jpeg_pil(payload: bytes) -> np.ndarray:
+    """Pillow/libjpeg decode -> uint8 (H, W, 3). Raises on anything
+    Pillow rejects (the caller maps that to quarantine)."""
+    img = _PILImage.open(io.BytesIO(payload))
+    img.load()
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
+
+
+def _decode_jpeg(payload: bytes,
+                 jpeg_backend: str | None = None) -> np.ndarray | None:
+    """The backend seam: one JPEG payload -> pixels or None
+    (quarantine). ``None`` backend resolves SPARK_GRAFT_JPEG_BACKEND
+    (default "auto"). Note "auto"+Pillow WIDENS coverage: progressive
+    JPEGs the reference codec rejects decode fine under libjpeg —
+    pin "numpy" where quarantine behavior must match the reference
+    codec exactly."""
+    backend = jpeg_backend or os.environ.get(_JPEG_BACKEND_ENV, "auto")
+    if backend not in ("auto", "numpy", "pil"):
+        raise ValueError(f"unknown JPEG backend {backend!r}")
+    if backend == "pil" and not _HAVE_PIL:
+        raise ValueError("JPEG backend 'pil' requested but Pillow "
+                         "is not installed")
+    if backend == "pil" or (backend == "auto" and _HAVE_PIL):
+        try:
+            return _decode_jpeg_pil(payload)
+        except Exception:
+            return None
+    from .jpeg import _parse_jpeg
+    try:
+        return _parse_jpeg(payload)
+    except ValueError:
+        return None
+
+
+def _try_decode_pixels(payload: bytes,
+                       jpeg_backend: str | None = None) -> np.ndarray | None:
     """Real decode if the payload is one of the supported formats,
     else None. Magic-matched payloads that fail validation (e.g. a
     synthetic payload that happens to start with 'BM') fall through
@@ -571,11 +635,7 @@ def _try_decode_pixels(payload: bytes) -> np.ndarray | None:
         except (ValueError, zlib.error):
             return None
     if payload[:3] == b"\xFF\xD8\xFF":
-        from .jpeg import _parse_jpeg
-        try:
-            return _parse_jpeg(payload)
-        except ValueError:
-            return None
+        return _decode_jpeg(payload, jpeg_backend)
     if payload[:2] in (b"P6", b"BM"):
         try:
             return (_parse_ppm if payload[:2] == b"P6"

@@ -115,30 +115,55 @@ def decode_video_frames(df: DataFrame) -> DataFrame:
         batches, VIDEO_FRAMES_DDL)
 
 
-def synth_mjpeg(spark, n: int = 18):
+def synth_mjpeg(spark, n: int = 18, id_mod: int | None = None,
+                bump: tuple[int, int, int] | None = None,
+                id_prefix: str = "vid_", frame_w: int = 16,
+                block_step: int = 11, frame_step: int = 19):
     """Deterministic REAL MJPEG corpus: video ``id`` has
-    ``(id%3) + 2`` grayscale 16x16 frames; frame ``f``'s luma block
-    ``k`` (2x2 blocks) is ``(id*37 + f*19 + k*11) % 251`` — block-
-    constant, so each frame decodes EXACTLY (all-ones quant tables,
-    jpeg.py docstring) and every per-frame statistic is closed-form
-    for the DuckDB oracle (workload.media_video_frames). 30 ms/frame
-    so frame_sample arithmetic has real durations to chew on."""
+    ``(id%3) + 2`` grayscale 16 x ``frame_w`` frames; frame ``f``'s
+    luma block ``k`` (raster order, ``frame_w/8`` per row) is
+    ``(id*37 + f*frame_step + k*block_step) % 251`` — block-constant, so each
+    frame decodes EXACTLY (all-ones quant tables, jpeg.py docstring)
+    and every per-frame statistic is closed-form for the DuckDB
+    oracle (workload.media_video_frames). 30 ms/frame so frame_sample
+    arithmetic has real durations to chew on.
+
+    Same near-dup knobs as ``jpeg.synth_jpeg_gray``: ``id_mod``
+    collapses ids to residue classes (byte-identical duplicate
+    streams), ``bump=(f0, k0, delta)`` retouches block ``k0`` of
+    frame ``f0`` only, before the modulus — a ONE-FRAME retouch, the
+    videodup near-dup fixture (closed-form for the fingerprint
+    oracle, workload.media_video_fp). The fingerprint corpus uses
+    ``frame_w=32, block_step=125``: 8 blocks give the per-frame dHash
+    6 live comparisons, and a ~half-modulus step makes each ~50/50
+    instead of the default step's 11/251 — without that the
+    fingerprints are near-zero and everything cross-collides; the
+    same goes for ``frame_step`` (19 barely ever flips a comparison
+    across frames, so frames within a clip hash identically and the
+    order-sensitive fold has nothing to order)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for i in pdf["id"]:
                 i = int(i)
-                nf = i % 3 + 2
+                eid = i % id_mod if id_mod else i
+                nf = eid % 3 + 2
+                wb = frame_w // 8
                 payload = b""
                 for f in range(nf):
-                    yv = ((i * 37 + f * 19 + np.arange(4) * 11) % 251) \
-                        .reshape(2, 2).astype(np.float64)
+                    ks = np.arange(2 * wb)
+                    vals = eid * 37 + f * frame_step + ks * block_step
+                    if bump and f == bump[0]:
+                        vals = vals + np.where(ks == bump[1], bump[2], 0)
+                    yv = (vals % 251).reshape(2, wb).astype(np.float64)
                     plane = np.repeat(np.repeat(yv, 8, 0), 8, 1)
                     payload += encode_jpeg_planes([plane], [(1, 1)],
-                                                  (16, 16))
-                out.append((f"vid_{i}", "video", payload, "video/x-mjpeg",
-                            16, 16, nf * 30, {"source": "synthetic-mjpeg"}))
+                                                  (frame_w, 16))
+                out.append((f"{id_prefix}{i}", "video", payload,
+                            "video/x-mjpeg",
+                            frame_w, 16, nf * 30,
+                            {"source": "synthetic-mjpeg"}))
             yield pd.DataFrame(out, columns=[
                 "media_id", "modality", "payload", "mime_type",
                 "width", "height", "duration_ms", "metadata"])

@@ -2238,6 +2238,29 @@ def knn_audio_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", F.round("distance", 4).alias("distance"))
 
 
+# Spectral-band fingerprint gate (r11): the Haitsma-Kalker tier's
+# driver surface. The fp VALUES have no SQL oracle (float FFT —
+# audiodup.py module comment documents why), so the hashed row is the
+# scheme's defining derived statistic instead: fp(x) == fp(gain*x)
+# for a power-of-two gain, exactly, clip by clip. Spark computes two
+# real FFT fingerprints per clip and their Hamming distance; the
+# oracle pins 0 for every decodable clip — same gate-as-query shape
+# as events_dau_error_gate. Raw-value properties (retouch locality,
+# resample robustness, determinism) are pytest-gated in
+# test_audiodup.py.
+@q("audio_fp_spectral", f"""
+WITH g AS (SELECT range AS id FROM range(0, {_WAV_FP_N}))
+SELECT 'wav_' || id AS media_id, CAST(0 AS BIGINT) AS gain_hamming FROM g
+UNION ALL
+SELECT 'wavB_' || id AS media_id, CAST(0 AS BIGINT) AS gain_hamming FROM g
+""")
+def audio_fp_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.audiodup import spectral_gain_check
+    return spectral_gain_check(_wav_fp_corpus(spark), gain=0.5).select(
+        "media_id",
+        F.col("gain_hamming").cast("bigint").alias("gain_hamming"))
+
+
 @q("dedup_audio_fp", f"""
 WITH g AS (SELECT range AS id FROM range(0, {_WAV_FP_N})),
 d AS (SELECT id, ((id % 4) + 1) * 50 AS ns FROM g),
@@ -2274,6 +2297,110 @@ def dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.audiodup import audio_dup_pairs
     return audio_dup_pairs(_wav_fp_corpus(spark), bands=4,
                            max_hamming=3) \
+        .select("id_a", "id_b", F.col("hamming").cast("bigint")
+                .alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Video fingerprint dedup (r11, VERDICT r10 Next #3): per-frame dHash
+# over the real MJPEG split + JPEG decode, rotate-XOR folded into an
+# order-sensitive 64-bit sequence fingerprint, banded through the
+# hash-agnostic verifier (operators/videodup.py). The corpus uses
+# frame_w=32/block_step=125 (see synth_mjpeg docstring) so per-frame
+# dHashes carry 6 live ~50/50 comparisons; with 16x16 frames they
+# collapse to 2 near-always-zero bits and everything cross-collides.
+# Every fingerprint bit is closed-form in (id, frame, block): dHash
+# bit (r, c) is live only where the sample grid crosses a block
+# boundary (c in {2,4,6}), comparing block k vs k+1 with
+# k = 4*(r>=4) + (c-2)/2; the fold XORs frame f's bits rotated left
+# by f. The bump retouches ONE block of ONE frame — the one-retouch
+# near-dup fixture (hamming 4 for ids where the comparison flips).
+# ---------------------------------------------------------------------------
+
+_VFP_N, _VFP_STEP, _VFP_FSTEP, _VFP_BUMP = 18, 125, 131, (0, 0, 100)
+
+
+def _vfp_bits_sql(bump: tuple[int, int, int] | None) -> str:
+    """64 sequence-fingerprint bits for a synth_mjpeg(frame_w=32,
+    block_step=125, frame_step=131) clip — closed-form in (id, nf)."""
+    def v(ke: str) -> str:
+        d = (f" + CASE WHEN f = {bump[0]} AND ({ke}) = {bump[1]} "
+             f"THEN {bump[2]} ELSE 0 END" if bump else "")
+        return f"((id*37 + f*{_VFP_FSTEP} + ({ke})*{_VFP_STEP}{d}) % 251)"
+    j = "((((pos - f) % 64) + 64) % 64)"
+    k = f"(CASE WHEN {j} < 32 THEN 0 ELSE 4 END + ({j} % 8 - 2) // 2)"
+    fb = (f"CASE WHEN {j} % 8 IN (2, 4, 6) THEN "
+          f"(CASE WHEN {v(k)} > {v(f'{k} + 1')} THEN 1 ELSE 0 END) "
+          f"ELSE 0 END")
+    return (f"list_transform(range(0, 64), pos -> "
+            f"list_aggregate(list_transform(range(0, nf), f -> {fb}), "
+            f"'sum') % 2)")
+
+
+def _vfp_corpus(spark: SparkSession) -> DataFrame:
+    from .operators.video import synth_mjpeg
+    base = synth_mjpeg(spark, n=_VFP_N, frame_w=32, block_step=_VFP_STEP,
+                       frame_step=_VFP_FSTEP)
+    twin = synth_mjpeg(spark, n=_VFP_N, frame_w=32, block_step=_VFP_STEP,
+                       frame_step=_VFP_FSTEP, bump=_VFP_BUMP,
+                       id_prefix="vidB_")
+    return base.unionByName(twin)
+
+
+@q("media_video_fp", f"""
+WITH g AS (SELECT range AS id FROM range(0, {_VFP_N})),
+d AS (SELECT id, (id % 3) + 2 AS nf FROM g),
+imgs AS (
+  SELECT 'vid_' || id AS media_id, {_vfp_bits_sql(None)} AS bits FROM d
+  UNION ALL
+  SELECT 'vidB_' || id AS media_id,
+         {_vfp_bits_sql(_VFP_BUMP)} AS bits FROM d
+)
+SELECT media_id, CAST({_DHASH_PACK} AS BIGINT) AS vfp FROM imgs
+""")
+def media_video_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # split -> per-frame real decode -> dHash -> rotate-XOR fold
+    from .operators.videodup import video_fp
+    return video_fp(_vfp_corpus(spark)).select(
+        "media_id", F.col("vfp").cast("bigint").alias("vfp"))
+
+
+@q("dedup_video_fp", f"""
+WITH g AS (SELECT range AS id FROM range(0, {_VFP_N})),
+d AS (SELECT id, (id % 3) + 2 AS nf FROM g),
+imgs AS (
+  SELECT 'vid_' || id AS media_id, {_vfp_bits_sql(None)} AS bits FROM d
+  UNION ALL
+  SELECT 'vidB_' || id AS media_id,
+         {_vfp_bits_sql(_VFP_BUMP)} AS bits FROM d
+),
+banded AS (
+  SELECT media_id, bits, b.range AS band,
+         {" + ".join(f"bits[8*b.range + {i + 1}]*{1 << i}"
+                     for i in range(8))} AS bval
+  FROM imgs, range(0, 8) b
+),
+cand AS (
+  SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bval = y.bval AND x.media_id < y.media_id
+),
+ham AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_filter(range(0, 64),
+              i -> a.bits[i + 1] != b.bits[i + 1])) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN imgs a ON a.media_id = c.id_a
+  JOIN imgs b ON b.media_id = c.id_b
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 7
+""")
+def dedup_video_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 8x8-bit bands (not the image 4x16): a one-frame retouch already
+    # moves 4 fp bits on block-constant frames, so the Hamming budget
+    # must cover a full retouch while keeping max_hamming < bands
+    from .operators.videodup import video_dup_pairs
+    return video_dup_pairs(_vfp_corpus(spark), bands=8, max_hamming=7) \
         .select("id_a", "id_b", F.col("hamming").cast("bigint")
                 .alias("hamming"))
 
@@ -5530,45 +5657,46 @@ def dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- r10 rotation: new + changed-mechanism first, then the
-    # STALENESS rule (r9 verdict item 7): remaining slots go to the
-    # queries whose last driver-green row is OLDEST (ledger
-    # reconstructed from CORRECTNESS_r1..r9: with 153 queries and a
-    # 50-slot window, the r2/r3 rows had gone 6+ rounds unre-verified).
-    # Rotated out (the r9 set: the imagedup/PNG/WAV/components family
-    # and the 33 family keepers) are unchanged since their green r9
-    # rows — the cumulative r1-r10 ledger keeps covering everything.
+    # --- r11 rotation. Priority 1 (VERDICT r10 Next #1): the four
+    # rows registered AFTER the r10 window froze — sweep-green but
+    # never driver-hashed; they lead so the verification-latency gap
+    # closes this round. Then the three queries NEW this round. Then
+    # the STALENESS rule: the ledger (reconstructed from
+    # CORRECTNESS_r1..r10 green rows) shows 21 queries last green at
+    # r4 and 19 at r5 — 40 rows, which with the 7 above leaves
+    # exactly 3 spare slots for the oldest r7 rows. This window
+    # clears the ENTIRE r4+r5 backlog (the r10 verdict asked for r4
+    # by r11, the rest by r12).
     #
-    # new this round — never driver-run (7):
-    "media_decode_jpeg",             # baseline JFIF codec, 4:2:0 color
-    "media_dhash_jpeg",              # dHash over the grayscale SOF path
-    "dedup_image_jpeg",              # banded near-dup pairs ride JPEG
-    "knn_image_topk",                # grid-luminance embedding -> knn
-    "media_audio_fp",                # frame-energy audio fingerprint
-    "dedup_audio_fp",                # banded audio near-dup pairs
-    "media_video_frames",            # MJPEG per-frame real decode
-    "bpe_learn_batched",             # batched disjoint-pick learning
-    # changed-mechanism this round (3):
-    "mixture_token_budget_bpe",      # learn_bpe gained batched rounds
-    "media_decode_stats",            # dispatch gained the JPEG branch
-    "media_decode_wav",              # synth_wav gained id_mod/bump
-    # stalest driver rows — every r2 (14) and r3 (20) query:
-    "agg_rollup_region", "embed_documents_contract",
-    "embedding_cosine_pairs", "events_daily_active",
-    "events_props_extract", "events_value_percentiles",
-    "filter_meta_ne", "knn_arrow_cosine", "knn_arrow_dotproduct",
-    "knn_arrow_manhattan", "knn_dotproduct", "knn_euclidean",
-    "knn_manhattan", "shipping_priority",
-    "ann_ivfpq_topk", "ann_pq_adc_topk", "anti_join_no_orders",
-    "corpus_mix_report", "count_star", "decontam_overlap",
-    "events_multi_rollup", "events_value_bands", "filter_like",
-    "filter_meta_eq", "having_repeat_customers", "knn_arrow_euclidean",
-    "knn_join_batch", "knn_join_ivf_batch", "quality_repetition",
-    "sample_documents_hash", "stratified_sample_mix", "text_stats",
-    "text_token_budget", "vocab_top_terms",
-    # ...and the 5 oldest r4 rows (alphabetical within the round):
-    "ann_sq8_topk", "corpus_chunk_overlap", "corpus_clean_streaming",
-    "corpus_data_card", "corpus_filter_funnel",
+    # registered post-freeze in r10 — never driver-run (4):
+    "knn_audio_topk",                # energy-feature audio knn
+    "media_decode_streaming",        # file-source streaming ingest
+    "knn_join_image_batch",          # image batch similarity join
+    "media_resample_wav",            # resample -> re-encode -> decode
+    # new this round — never driver-run (3):
+    "media_video_fp",                # order-sensitive video sequence fp
+    "dedup_video_fp",                # banded video near-dup pairs
+    "audio_fp_spectral",             # Haitsma-Kalker gain-invariance gate
+    # stalest driver rows — every r4 (21) and r5 (19) query:
+    "corpus_vocab_drift", "crossdoc_shared_shingles",
+    "dedup_simhash_neighbors", "dsir_select_en",
+    "embedding_drift_by_label", "events_dedup_streaming",
+    "events_followups_streaming", "events_rollup_streaming",
+    "events_sessionize", "filter_id_eq", "hard_negatives_topk",
+    "knn_join_ivfpq_batch", "knn_search_streaming",
+    "lm_perplexity_buckets", "lm_score_streaming", "pii_scrub",
+    "profile_order_quantiles", "set_ops_segments", "span_dedup_docs",
+    "tfidf_top_terms", "url_domain_stats",
+    "ann_pq_ip_topk", "cust_running_revenue", "decontam_sharded_overlap",
+    "dedup_minhash_signatures_arrow", "dedup_simhash_banded_pairs",
+    "dedup_source_overlap", "embedding_cluster_stats",
+    "events_value_percentiles_gate", "hard_negatives_ivf",
+    "knn_join_ivf_allpairs", "knn_join_ivfpq_rerank_batch",
+    "knn_per_label", "lm_unigram_scores", "negatives_in_batch",
+    "profile_orders", "sample_k_per_lang", "sample_weighted_quality",
+    "split_train_test", "text_strip_markup",
+    # ...and the 3 oldest r7 rows (alphabetical within the round):
+    "ann_ivf_topk", "dedup_cosine_blocked", "dedup_jaccard_consecutive",
 ]
 
 
