@@ -137,3 +137,42 @@ def test_groups_cover_all_rows(spark, vfp_corpus):
     for i in range(8):
         assert by_id[f"vid_{i}"]["group_id"] == \
             by_id[f"vidB_{i}"]["group_id"]
+
+
+def test_video_grid_features_closed_form_and_plan(spark, vfp_corpus):
+    # video first-class in similarity search: fixed 192-dim anchor-
+    # frame embedding, exact integers, and the whole featurize +
+    # top-k pipeline plans with ZERO exchanges (map-only featurize ->
+    # TakeOrderedAndProject merged top-k, like image/audio knn)
+    from toy_vector_db_spark.operators.knn import knn
+    from toy_vector_db_spark.operators.videodup import video_grid_features
+
+    def cells_py(i: int) -> list[float]:
+        nf = i % 3 + 2
+        out = []
+        for a in (0, nf // 2, nf - 1):
+            for b in range(64):
+                r, c = divmod(b, 8)
+                k = (0 if r < 4 else 4) + c // 2
+                out.append(float(3 * ((i * 37 + a * VFP_FSTEP
+                                       + k * VFP_STEP) % 251)))
+        return out
+
+    feats = video_grid_features(vfp_corpus)
+    got = {r["media_id"]: list(r["features"]) for r in feats.collect()}
+    for i in (0, 3, 7):
+        assert got[f"vid_{i}"] == cells_py(i)
+    top = knn(feats, cells_py(0), k=3, metric="euclidean",
+              vec_col="features", exclude_id="vid_0",
+              id_col="media_id", tie_col="media_id")
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert len(top.collect()) == 3
+
+
+def test_video_features_quarantine(spark):
+    bad = spark.createDataFrame([("junk", bytearray(b"not mjpeg"))],
+                                "media_id string, payload binary")
+    from toy_vector_db_spark.operators.videodup import video_grid_features
+    assert video_grid_features(bad).collect()[0]["features"] is None

@@ -112,6 +112,55 @@ def video_dup_pairs(df: DataFrame, grid: int = GRID, bands: int = 8,
                                max_bucket=max_bucket)
 
 
+VIDEO_FEATURES_DDL = "media_id STRING, features ARRAY<DOUBLE>"
+
+
+def video_grid_features(df: DataFrame, grid: int = GRID) -> DataFrame:
+    """(media_id, payload, ...) -> (media_id, features): the video
+    EMBEDDING that makes clips first-class in similarity search
+    through the existing knn/ANN tiers (the image/audio precedent,
+    r10). Three anchor frames — first, middle (nf//2), last — each
+    contribute their grid x grid integer luminance cells
+    (``imagedup.grid_luminance_features``'s sample maps), concatenated
+    into a fixed 3*grid*grid-dim vector regardless of clip length; a
+    2-frame clip anchors (0, 1, 1). Anchors keep coarse temporal
+    order (a reversed clip embeds differently when its ends differ)
+    while staying fixed-width and CLOSED-FORM: cells are exact
+    integers (channel sums, 0..765) emitted as DOUBLE, distance sums
+    stay far under 2^53, so the DuckDB oracle value-hashes the full
+    split -> decode -> embed -> knn pipeline
+    (workload.knn_video_topk). Map-only mapInPandas; NULL quarantine
+    for payloads that fail the split or a frame decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = split_mjpeg(bytes(payload or b""))
+                    nf = len(frames)
+                    anchors = (0, nf // 2, nf - 1)
+                    cells = []
+                    for a in anchors:
+                        px = _parse_jpeg(frames[a])
+                        h, w = px.shape[:2]
+                        yi = (np.arange(grid) * h) // grid
+                        xi = (np.arange(grid) * w) // grid
+                        cells.append(px[yi][:, xi]
+                                     .sum(axis=2, dtype=np.int64)
+                                     .flatten())
+                except ValueError:
+                    out.append((mid, None))
+                    continue
+                out.append((mid, np.concatenate(cells)
+                            .astype(np.float64)))
+            yield pd.DataFrame(out, columns=["media_id", "features"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, VIDEO_FEATURES_DDL)
+
+
 def video_dup_groups(df: DataFrame, grid: int = GRID, bands: int = 8,
                      max_hamming: int = 7,
                      max_bucket: int | None = 64) -> DataFrame:

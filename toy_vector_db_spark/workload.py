@@ -2365,6 +2365,68 @@ def media_video_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", F.col("vfp").cast("bigint").alias("vfp"))
 
 
+# Video similarity search (r11): the third modality joins the
+# knn/ANN tiers (image r10: grid-luminance; audio r10: frame
+# energies). Embedding = the integer grid-luminance cells of three
+# ANCHOR frames (first, middle, last), concatenated — fixed 192-dim
+# regardless of clip length, coarse temporal order retained, every
+# cell closed-form so the oracle value-hashes split -> decode ->
+# embed -> knn end to end.
+def _vfp_cells_sql(bump: tuple[int, int, int] | None) -> str:
+    """192 anchor-frame grid cells for a synth_mjpeg(frame_w=32,
+    block_step=125, frame_step=131) clip — closed-form in (id, nf).
+    Dim x: anchor x//64 (frames 0, nf//2, nf-1), grid bit x%64 with
+    block k = 4*(row>=4) + col//2, cell = 3*luma (gray channels)."""
+    fx = "(CASE x // 64 WHEN 0 THEN 0 WHEN 1 THEN nf // 2 ELSE nf - 1 END)"
+    kx = "(CASE WHEN (x % 64) // 8 < 4 THEN 0 ELSE 4 END + ((x % 64) % 8) // 2)"
+    d = (f" + CASE WHEN {fx} = {bump[0]} AND {kx} = {bump[1]} "
+         f"THEN {bump[2]} ELSE 0 END" if bump else "")
+    return (f"list_transform(range(0, 192), x -> 3 * ((id*37 + "
+            f"{fx}*{_VFP_FSTEP} + {kx}*{_VFP_STEP}{d}) % 251))")
+
+
+def _vfp_cells_py(i: int) -> list[float]:
+    """Python twin of _vfp_cells_sql for a base clip — the
+    closed-form query vector (no collect)."""
+    nf = i % 3 + 2
+    cells = []
+    for a in (0, nf // 2, nf - 1):
+        for b in range(64):
+            r, c = divmod(b, 8)
+            k = (0 if r < 4 else 4) + c // 2
+            cells.append(float(3 * ((i * 37 + a * _VFP_FSTEP
+                                     + k * _VFP_STEP) % 251)))
+    return cells
+
+
+@q("knn_video_topk", f"""
+WITH g AS (SELECT range AS id FROM range(0, {_VFP_N})),
+d AS (SELECT id, (id % 3) + 2 AS nf FROM g),
+clips AS (
+  SELECT 'vid_' || id AS media_id, {_vfp_cells_sql(None)} AS en FROM d
+  UNION ALL
+  SELECT 'vidB_' || id AS media_id,
+         {_vfp_cells_sql(_VFP_BUMP)} AS en FROM d
+),
+qv AS (SELECT en AS q FROM clips WHERE media_id = 'vid_0')
+SELECT media_id, ROUND(dd, 4) AS distance FROM (
+  SELECT media_id,
+         SQRT(CAST(list_aggregate(list_transform(range(0, 192),
+              i -> (en[i+1] - q[i+1]) * (en[i+1] - q[i+1])), 'sum')
+              AS DOUBLE)) AS dd
+  FROM clips, qv WHERE media_id != 'vid_0'
+  ORDER BY dd ASC, media_id ASC LIMIT {KNN_K})
+""")
+def knn_video_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.videodup import video_grid_features
+    qvec = _vfp_cells_py(0)
+    feats = video_grid_features(_vfp_corpus(spark))
+    return knn(feats, qvec, k=KNN_K, metric="euclidean",
+               vec_col="features", exclude_id="vid_0",
+               id_col="media_id", tie_col="media_id") \
+        .select("media_id", F.round("distance", 4).alias("distance"))
+
+
 @q("dedup_video_fp", f"""
 WITH g AS (SELECT range AS id FROM range(0, {_VFP_N})),
 d AS (SELECT id, (id % 3) + 2 AS nf FROM g),
@@ -5663,8 +5725,8 @@ _WINDOW = [
     # closes this round. Then the three queries NEW this round. Then
     # the STALENESS rule: the ledger (reconstructed from
     # CORRECTNESS_r1..r10 green rows) shows 21 queries last green at
-    # r4 and 19 at r5 — 40 rows, which with the 7 above leaves
-    # exactly 3 spare slots for the oldest r7 rows. This window
+    # r4 and 19 at r5 — 40 rows, which with the 8 above leaves
+    # exactly 2 spare slots for the oldest r7 rows. This window
     # clears the ENTIRE r4+r5 backlog (the r10 verdict asked for r4
     # by r11, the rest by r12).
     #
@@ -5673,10 +5735,11 @@ _WINDOW = [
     "media_decode_streaming",        # file-source streaming ingest
     "knn_join_image_batch",          # image batch similarity join
     "media_resample_wav",            # resample -> re-encode -> decode
-    # new this round — never driver-run (3):
+    # new this round — never driver-run (4):
     "media_video_fp",                # order-sensitive video sequence fp
     "dedup_video_fp",                # banded video near-dup pairs
     "audio_fp_spectral",             # Haitsma-Kalker gain-invariance gate
+    "knn_video_topk",                # anchor-frame embedding -> knn
     # stalest driver rows — every r4 (21) and r5 (19) query:
     "corpus_vocab_drift", "crossdoc_shared_shingles",
     "dedup_simhash_neighbors", "dsir_select_en",
@@ -5695,8 +5758,8 @@ _WINDOW = [
     "knn_per_label", "lm_unigram_scores", "negatives_in_batch",
     "profile_orders", "sample_k_per_lang", "sample_weighted_quality",
     "split_train_test", "text_strip_markup",
-    # ...and the 3 oldest r7 rows (alphabetical within the round):
-    "ann_ivf_topk", "dedup_cosine_blocked", "dedup_jaccard_consecutive",
+    # ...and the 2 oldest r7 rows (alphabetical within the round):
+    "ann_ivf_topk", "dedup_cosine_blocked",
 ]
 
 
