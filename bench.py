@@ -214,6 +214,13 @@ def run_subset(sub: list[str], sf_dir: str,
     return got, loads
 
 
+#: two measurements within this ratio count as the SAME number.
+#: Tighter than FLAG_SPREAD (1.5 — the in-row noise the flag hunts)
+#: and far under RETRY_SPREAD (2.0): the observed session-to-session
+#: band of a best-of-2 minimum on this host is ~±15%.
+AGREE_RATIO = 1.3
+
+
 def remeasure_flagged(merged: dict, merged_load: dict, sf_dir: str,
                       chunk: int = 16) -> dict:
     """Auto-re-measure rows timed under host load (r8 VERDICT #3 —
@@ -223,8 +230,19 @@ def remeasure_flagged(merged: dict, merged_load: dict, sf_dir: str,
     just the flagged rows in fresh sessions, and REPLACES their
     timings/loads in `merged`/`merged_load` with the fresh values.
     Returns {name: {"loaded": [t, load1], "fresh": [t, load1]}} so
-    both numbers stay on the record; rows whose re-measure was itself
-    loaded remain flagged via merged_load."""
+    both numbers stay on the record.
+
+    Flag resolution (r11): the flag's claim is "this timing may not
+    be reproducible". If the fresh session REPRODUCES the loaded
+    best-of-2 within AGREE_RATIO, two independent sessions agree —
+    the claim is refuted and the row is UNFLAGGED even when the
+    fresh session's own in-row evidence fired (at the 100x scale the
+    suite's own 32-way stages hold load1 above the threshold for
+    every row, so a fresh session's spread leg re-flags natural
+    codegen variance forever — r11 runs showed 23/24 re-measured
+    rows agreeing while staying 'flagged'). If the two sessions
+    DISAGREE, the fresh value is recorded and the fresh session's
+    own flag stands — sustained interference stays visible."""
     import time
     flagged = sorted(n for n, e in merged_load.items()
                      if row_flagged(e) and merged.get(n, -1) >= 0)
@@ -254,8 +272,14 @@ def remeasure_flagged(merged: dict, merged_load: dict, sf_dir: str,
                 "fresh": [got[n], loads.get(n, [None])[0]],
             }
             if got[n] >= 0:             # queries carries the fresh value
+                lo = merged[n]
                 merged[n] = got[n]
-                merged_load[n] = loads[n]
+                merged_load[n] = list(loads[n])
+                if (lo > 0 and got[n] > 0
+                        and max(lo, got[n]) <= AGREE_RATIO * min(lo, got[n])
+                        and len(merged_load[n]) > 3):
+                    # reproduced across two sessions: refuted flag
+                    merged_load[n][3] = 0
             # a failed re-measure (-1) keeps the loaded timing — a
             # real measurement must not be replaced by a broken run
             # (both values stay on record in `remeasured`)
