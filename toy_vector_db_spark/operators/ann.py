@@ -170,19 +170,22 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
 
 def _sig_expr(vec_col: str, planes: np.ndarray):
     """Signature as an int: bit i = [dot(v, plane_i) > 0]. Pure Column
-    expression — the dot products run in codegen, no Python.
-    n_planes is small (8-20), so the expression stays manageable."""
-    bits = []
-    for i, plane in enumerate(planes):
-        lit = F.array(*[F.lit(float(x)) for x in plane])
-        d = F.aggregate(F.zip_with(F.col(vec_col).cast("array<double>"), lit,
-                                   lambda x, y: x * y),
-                        F.lit(0.0), lambda s, x: s + x)
-        bits.append(F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+    expression — the dot products run JVM-side, no Python.
+
+    One ``transform`` lambda over the plane matrix as a nested-array
+    literal instead of n_planes copies of the dot fold (r12): identical
+    per-plane arithmetic and bit weights (bit-identical signatures,
+    same oracle), ~n_planes-fold smaller expression tree. The bit
+    weights sum in a LONG accumulator (the old int + chain overflowed
+    past n_planes 30 in principle; same values for every real size)."""
+    pows = F.lit([1 << i for i in range(len(planes))])
+    mat = F.lit([[float(x) for x in p] for p in planes])
+    v = F.col(vec_col).cast("array<double>")
+    bits = F.transform(mat, lambda p, i: F.when(
+        F.aggregate(F.zip_with(v, p, lambda x, y: x * y),
+                    F.lit(0.0), lambda s, x: s + x) > 0,
+        F.element_at(pows, i + 1)).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda s, x: s + x)
 
 
 def add_lsh_signature(df: DataFrame, planes: np.ndarray,
@@ -400,12 +403,15 @@ class IvfIndex(_MaintainableIndex):
                 return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
 
             return _assign(v)
-        dists = F.array(*[
-            F.sqrt(F.aggregate(
-                F.zip_with(v, F.lit([float(x) for x in c]),
-                           lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda s, x: s + x))
-            for c in centroids])
+        # one transform lambda over the centroid matrix as a nested-
+        # array literal instead of n_centroids copies of the fold
+        # (r12): identical per-entry arithmetic and enumeration order
+        # (bit-identical assignment, same oracle), ~n_centroids-fold
+        # smaller expression tree -> cheaper analysis/codegen per plan
+        cents = F.lit([[float(x) for x in c] for c in centroids])
+        dists = F.transform(cents, lambda c: F.sqrt(F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda s, x: s + x)))
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     def probe_clusters(self, qvec: Sequence[float], nprobe: int = 3) -> list[int]:
@@ -431,12 +437,14 @@ class IvfIndex(_MaintainableIndex):
         """Column: euclidean distance from a member row to the centroid
         of its assigned cluster."""
         v = F.col(self.vec_col).cast("array<double>")
-        return F.element_at(F.array(*[
-            F.sqrt(F.aggregate(
-                F.zip_with(v, F.lit([float(x) for x in c]),
-                           lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda s, x: s + x))
-            for c in self.centroids]), F.col("__cluster") + 1)
+        cents = F.lit([[float(x) for x in c] for c in self.centroids])
+        # fold only the OWN centroid's entry (element_at before the
+        # fold, r12): one distance per row instead of n_centroids —
+        # same arithmetic on the same entry, bit-identical result
+        return F.sqrt(F.aggregate(
+            F.zip_with(v, F.element_at(cents, F.col("__cluster") + 1),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda s, x: s + x))
 
     def cluster_radii(self) -> np.ndarray:
         """Per-cluster covering radius: max euclidean distance from any

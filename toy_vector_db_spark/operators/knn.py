@@ -472,14 +472,17 @@ def probe_clusters_expr(centroids, qvec_col: Column, nprobe: int) -> Column:
             return pd.Series(list(idx.astype(np.int32)))
 
         return _probe(qv)
-    cdist = F.array(*[
-        F.struct(
-            F.sqrt(F.aggregate(
-                F.zip_with(qv, F.lit([float(x) for x in c]),
-                           lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda s, x: s + x)).alias("d"),
-            F.lit(i).alias("i"))
-        for i, c in enumerate(centroids)])
+    # one transform lambda (with the element index as the tie-break
+    # field) over the centroid matrix as a nested-array literal
+    # instead of n_centroids struct copies (r12): same per-entry
+    # arithmetic, same (d, i) total order — bit-identical probes,
+    # ~n_centroids-fold smaller expression tree
+    cents = F.lit([[float(x) for x in c] for c in centroids])
+    cdist = F.transform(cents, lambda c, i: F.struct(
+        F.sqrt(F.aggregate(
+            F.zip_with(qv, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda s, x: s + x)).alias("d"),
+        i.alias("i")))
     return F.transform(F.slice(F.sort_array(cdist), 1, nprobe),
                        lambda s: s["i"])
 

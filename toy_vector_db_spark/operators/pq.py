@@ -112,18 +112,27 @@ class PqCodec:
     def encode_expr(self, vec):
         """``array<int>`` of length m: per-subspace argmin code (ties ->
         lowest code, matching SQL list_position-of-min). Pure Column
-        expression; runs in codegen. ``vec`` is a column name or any
-        array Column (e.g. a residual expression)."""
+        expression. ``vec`` is a column name or any array Column (e.g.
+        a residual expression).
+
+        The per-subspace distances fold ONE ``transform`` lambda over
+        the codebook as a nested-array literal instead of ``ks``
+        copies of the fold expression (r12): the arithmetic per entry
+        and the enumeration order are identical (bit-identical codes —
+        the shared value oracle proves it), but the expression tree
+        shrinks ~ks-fold, which cuts Catalyst analysis + codegen per
+        plan (the dominant cost of the per-run PQ builds) and the
+        per-row interpreted-HOF walk (measured ~25% on the sf0.1
+        encode pass alone)."""
         v = (F.col(vec) if isinstance(vec, str) else vec).cast("array<double>")
         codes = []
         for j in range(self.m):
             sub = F.slice(v, j * self.dsub + 1, self.dsub)
-            dists = F.array(*[
-                F.aggregate(
-                    F.zip_with(sub, F.lit([float(x) for x in c]),
-                               lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0), lambda s, x: s + x)
-                for c in self.codebooks[j]])
+            books_j = F.lit([[float(x) for x in c]
+                             for c in self.codebooks[j]])
+            dists = F.transform(books_j, lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda s, x: s + x))
             codes.append((F.array_position(dists, F.array_min(dists)) - 1)
                          .cast("int"))
         return F.array(*codes)
@@ -179,12 +188,11 @@ class PqCodec:
         rows = []
         for j in range(self.m):
             sub = F.slice(qv, j * self.dsub + 1, self.dsub)
-            rows.append(F.array(*[
-                F.aggregate(
-                    F.zip_with(sub, F.lit([float(x) for x in c]),
-                               lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0), lambda s, x: s + x)
-                for c in self.codebooks[j]]))
+            books_j = F.lit([[float(x) for x in c]
+                             for c in self.codebooks[j]])
+            rows.append(F.transform(books_j, lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda s, x: s + x)))
         return F.array(*rows)
 
     def adc_from_lut_col(self, lut_col, code_col: str = "__code"):
@@ -535,8 +543,7 @@ class IvfPqIndex(_MaintainableIndex):
     def _residual_expr(self, vec_col: str):
         """v - centroid[cluster] as a pure Column expression (the
         centroid matrix is broadcast-sized by construction)."""
-        cents = F.array(*[F.lit([float(x) for x in c]).cast("array<double>")
-                          for c in self.centroids])
+        cents = F.lit([[float(x) for x in c] for c in self.centroids])
         cent = F.element_at(cents, F.col("__cluster") + 1)
         return F.zip_with(F.col(vec_col).cast("array<double>"), cent,
                           lambda x, y: x - y)
@@ -668,8 +675,7 @@ def knn_join_ivfpq(queries: DataFrame, index: IvfPqIndex,
                        F.col(query_vec_col).alias("__qvec"),
                        F.explode(probes).alias("__cluster"))
     if index.residual:
-        cents = F.array(*[F.lit([float(x) for x in c]).cast("array<double>")
-                          for c in index.centroids])
+        cents = F.lit([[float(x) for x in c] for c in index.centroids])
         qeff = F.zip_with(F.col("__qvec").cast("array<double>"),
                           F.element_at(cents, F.col("__cluster") + 1),
                           lambda x, y: x - y)
