@@ -372,12 +372,19 @@ class KnnGraphIndex(_MaintainableIndex):
                 buckets = sorted({_src_bucket_py(i, self.edge_buckets)
                                   for i in frontier})
                 hop = hop.filter(F.col("src_bucket").isin(buckets))
+            # no .distinct() before the collect (r12): it cost a full
+            # shuffle per hop to dedup <= |frontier| * 2m rows that the
+            # driver dedups below in one set pass anyway (the same
+            # driver-side dedup _walk_chunk always did)
             fetched = (hop.filter(F.col("src").isin(frontier))
-                       .select("dst", "dst_vec").distinct().collect())
+                       .select("dst", "dst_vec").collect())
             self.last_hops += 1
             self.last_jobs += 1
-            cand = [(r["dst"], r["dst_vec"]) for r in fetched
-                    if r["dst"] not in seen]
+            cand, cseen = [], set()
+            for r in fetched:
+                if r["dst"] not in seen and r["dst"] not in cseen:
+                    cseen.add(r["dst"])
+                    cand.append((r["dst"], r["dst_vec"]))
             if not cand:
                 break
             dists = _np_query_dists([v for _, v in cand], q, self.metric)

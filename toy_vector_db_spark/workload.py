@@ -3521,9 +3521,14 @@ def ann_graph_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # measured against exact search over the SAME indexed corpus,
         # tie-robustly (a hit = any result at distance <= the exact
         # k-th distance, id picks among ties being arbitrary).
+        # materialize the collapse once (r12): build sizing, the IVF
+        # det_sample, the cogroup corpus side, the edge-vector attach,
+        # the exact baseline, entry points, and the per-search result
+        # scans otherwise EACH re-run the scan + groupBy shuffle (the
+        # same loaded-index shape as range_search_pruned's checkpoint)
         uniq = (e.groupBy("embedding")
                 .agg(F.min("vec_id").alias("vec_id"))
-                .select("vec_id", "embedding"))
+                .select("vec_id", "embedding")).localCheckpoint(eager=True)
         idx = KnnGraphIndex.build(uniq, m=8)
         # one Arrow-tier exact join serves all three baselines — the
         # Column fold at dim 384 made three separate exact scans the
@@ -3574,9 +3579,11 @@ def knn_join_graph_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dedup-before-index + recall vs exact over the same indexed
         # corpus — see ann_graph_recall_gate for the replica-clique
         # pathology this collapse prevents
+        # materialize the collapse once (r12) — same rationale as
+        # ann_graph_recall_gate above
         uniq = (e.groupBy("embedding")
                 .agg(F.min("vec_id").alias("vec_id"))
-                .select("vec_id", "embedding"))
+                .select("vec_id", "embedding")).localCheckpoint(eager=True)
         idx = KnnGraphIndex.build(uniq, m=8).with_coarse_entries()
         q = (e.filter(F.col("vec_id") < 20)
              .select(F.col("vec_id").alias("query_id"),
