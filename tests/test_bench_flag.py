@@ -125,3 +125,57 @@ def test_remeasure_agreement_resolves_flags(bench, monkeypatch):
     assert merged["q_dead"] == 3.0
     assert bench.row_flagged(merged_load["q_dead"]) is True
     assert set(rem) == {"q_agree", "q_shift", "q_dead"}
+
+
+# ---------------------------------------------------------------------------
+# Sustained-load sentinel (r12, VERDICT r11 Next #1): the absolute
+# calibration reference must stamp a burst that spans probe points
+# (the case the relative agreement rule is structurally blind to)
+# and must NOT stamp idle jitter or a one-probe transient.
+# ---------------------------------------------------------------------------
+
+
+def test_sentinel_clean_idle_curve(bench):
+    # idle: probes wobble within min-of-N jitter (< 1.5x)
+    stamped, drifts = bench.sustained_load_stamp(
+        [0.0105, 0.0110, 0.0098, 0.0113, 0.0107], settled=0.0105)
+    assert not stamped
+    assert len(drifts) == 5 and all(d < 1.5 for d in drifts)
+
+
+def test_sentinel_transient_single_spike_unstamped(bench):
+    # one spiked probe = transient; per-row flag machinery owns it
+    stamped, _ = bench.sustained_load_stamp(
+        [0.010, 0.011, 0.055, 0.010, 0.011], settled=0.0105)
+    assert not stamped
+
+
+def test_sentinel_sustained_burst_stamps(bench):
+    # the r11 shape: a co-tenant burst spanning consecutive probes
+    stamped, drifts = bench.sustained_load_stamp(
+        [0.011, 0.038, 0.041, 0.035, 0.012], settled=0.0105)
+    assert stamped
+    assert max(drifts) > 3.0
+
+
+def test_sentinel_whole_suite_polluted_stamps(bench):
+    # every probe drifted (median leg): the 1.7x-uniform r11 artifact
+    stamped, _ = bench.sustained_load_stamp(
+        [0.019, 0.021, 0.020, 0.018, 0.022], settled=0.0105)
+    assert stamped
+
+
+def test_sentinel_disabled_without_constant(bench):
+    stamped, drifts = bench.sustained_load_stamp(
+        [0.5, 0.5, 0.5], settled=0.0)
+    assert not stamped and drifts == []
+
+
+def test_calibration_probe_injectable(bench):
+    calls = []
+
+    def fake():
+        calls.append(1)
+
+    t = bench.calibration_probe(runs=3, matmul=fake)
+    assert len(calls) == 3 and t >= 0.0

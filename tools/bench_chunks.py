@@ -38,8 +38,9 @@ def main() -> None:
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
     import __spark_entry__ as entrymod
-    from bench import (CORE, remeasure_flagged, row_flagged, run_subset,
-                       settled_start_load)
+    from bench import (CORE, calibration_probe, remeasure_flagged,
+                       row_flagged, run_subset, settled_start_load,
+                       sustained_load_stamp)
 
     names = list(entrymod.queries())
     # ONE pre-suite load measurement (settled, in case this runner
@@ -51,7 +52,14 @@ def main() -> None:
     print(f"suite start load1: {suite_start:.1f}", file=sys.stderr)
     merged: dict[str, float] = {}
     merged_load: dict[str, list] = {}
+    # sustained-load sentinel, chunk-grained: one absolute calibration
+    # probe before each chunk + one at the end, so every chunk of a
+    # multi-hour run carries burst/settled provenance (bench.py
+    # sentinel comment; probes run between child sessions, where this
+    # runner is otherwise idle)
+    calib_probes: list[float] = []
     for i in range(0, len(names), chunk):
+        calib_probes.append(calibration_probe())
         sub = names[i:i + chunk]
         got, loads = run_subset(sub, sf_dir, suite_start=suite_start)
         merged_load.update(loads)
@@ -63,6 +71,9 @@ def main() -> None:
         print(f"chunk {i // chunk} ({len(sub)} queries): "
               f"{round(sum(v for v in got.values() if v >= 0), 1)}s",
               file=sys.stderr)
+
+    calib_probes.append(calibration_probe())
+    sustained, drifts = sustained_load_stamp(calib_probes)
 
     remeasured = remeasure_flagged(merged, merged_load, sf_dir, chunk)
 
@@ -81,6 +92,8 @@ def main() -> None:
     print(json.dumps({"metric": "workload_total", "value": total,
                       "core_total": core, "unit": "sec", "sf": sf,
                       "max_load1": max_load, "flagged_load": still_flagged,
+                      "sustained_load": sustained,
+                      "calib_drift": drifts,
                       "protocol": "chunked"},
                      separators=(",", ":")))
 
