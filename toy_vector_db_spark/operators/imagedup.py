@@ -81,7 +81,8 @@ def ahash_bits(px: np.ndarray, grid: int = GRID) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
-def ahash_media(df: DataFrame, grid: int = GRID) -> DataFrame:
+def ahash_media(df: DataFrame, grid: int = GRID,
+                jpeg_backend: str | None = None) -> DataFrame:
     """(media_id, payload, ...) -> (media_id, ahash BIGINT); same
     map-only / NULL-quarantine contract as ``dhash_media``. The
     banding verifier (``dhash_hamming_pairs``) is hash-agnostic, so
@@ -91,7 +92,7 @@ def ahash_media(df: DataFrame, grid: int = GRID) -> DataFrame:
         for pdf in it:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = _try_decode_pixels(bytes(payload or b""))
+                px = _try_decode_pixels(bytes(payload or b""), jpeg_backend)
                 out.append((mid, ahash_bits(px, grid)
                             if px is not None else None))
             yield pd.DataFrame(out, columns=["media_id", "ahash"])
@@ -100,7 +101,8 @@ def ahash_media(df: DataFrame, grid: int = GRID) -> DataFrame:
         batches, "media_id STRING, ahash LONG")
 
 
-def dhash_media(df: DataFrame, grid: int = GRID) -> DataFrame:
+def dhash_media(df: DataFrame, grid: int = GRID,
+                jpeg_backend: str | None = None) -> DataFrame:
     """(media_id, payload, ...) -> (media_id, dhash BIGINT). Map-only
     mapInPandas (same no-shuffle contract as ``media.decode_media``);
     payloads the real codecs cannot decode get a NULL dhash — the
@@ -110,7 +112,7 @@ def dhash_media(df: DataFrame, grid: int = GRID) -> DataFrame:
         for pdf in it:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = _try_decode_pixels(bytes(payload or b""))
+                px = _try_decode_pixels(bytes(payload or b""), jpeg_backend)
                 out.append((mid, dhash_bits(px, grid)
                             if px is not None else None))
             yield pd.DataFrame(out, columns=["media_id", "dhash"])
@@ -176,15 +178,16 @@ def dhash_hamming_pairs(hashed: DataFrame, id_col: str = "media_id",
 
 def image_dup_pairs(df: DataFrame, grid: int = GRID, bands: int = 4,
                     max_hamming: int = 3,
-                    max_bucket: int | None = 64) -> DataFrame:
+                    max_bucket: int | None = 64,
+                    jpeg_backend: str | None = None) -> DataFrame:
     """End-to-end perceptual near-dup pairs over a media table:
     decode -> dHash -> banded buckets -> verified (id_a, id_b,
     hamming). One shuffle total (the band groupBy; hashing is
     map-only), so the shape survives a 100 TB image corpus — the
     shuffle carries (id, 64-bit hash) rows, never pixels.
     cap: max_bucket=64 — the dhash_hamming_pairs star-cap default."""
-    return dhash_hamming_pairs(dhash_media(df, grid), bands=bands,
-                               max_hamming=max_hamming,
+    return dhash_hamming_pairs(dhash_media(df, grid, jpeg_backend),
+                               bands=bands, max_hamming=max_hamming,
                                max_bucket=max_bucket)
 
 
@@ -242,19 +245,21 @@ def hamming_ball_groups(hashed: DataFrame, id_col: str = "media_id",
 
 def image_dup_groups(df: DataFrame, grid: int = GRID, bands: int = 4,
                      max_hamming: int = 3,
-                     max_bucket: int | None = 64) -> DataFrame:
+                     max_bucket: int | None = 64,
+                     jpeg_backend: str | None = None) -> DataFrame:
     """decode -> dHash -> ``hamming_ball_groups`` (see there for the
     class-level structure and the star-cap rationale).
     cap: max_bucket=64 — the dhash_hamming_pairs star-cap default."""
-    return hamming_ball_groups(dhash_media(df, grid), bands=bands,
-                               max_hamming=max_hamming,
+    return hamming_ball_groups(dhash_media(df, grid, jpeg_backend),
+                               bands=bands, max_hamming=max_hamming,
                                max_bucket=max_bucket)
 
 
 GRID_FEATURES_DDL = "media_id STRING, features ARRAY<DOUBLE>"
 
 
-def grid_luminance_features(df: DataFrame, grid: int = GRID) -> DataFrame:
+def grid_luminance_features(df: DataFrame, grid: int = GRID,
+                            jpeg_backend: str | None = None) -> DataFrame:
     """(media_id, payload, ...) -> (media_id, features): the grid x
     grid integer luminance cells (channel sums, 0..765) as a
     deterministic image EMBEDDING — the aHash sample grid WITHOUT
@@ -269,7 +274,7 @@ def grid_luminance_features(df: DataFrame, grid: int = GRID) -> DataFrame:
         for pdf in it:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = _try_decode_pixels(bytes(payload or b""))
+                px = _try_decode_pixels(bytes(payload or b""), jpeg_backend)
                 if px is None:
                     out.append((mid, None))
                     continue

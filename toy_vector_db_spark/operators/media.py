@@ -645,13 +645,14 @@ def _try_decode_pixels(payload: bytes,
     return None
 
 
-def _decode_backend(payload: bytes, modality: str) -> dict:
+def _decode_backend(payload: bytes, modality: str,
+                    jpeg_backend: str | None = None) -> dict:
     """Dispatch: real pixel decode for PPM/BMP/PNG/JPEG; a deterministic
     payload-hash fake for every other format (this container ships no
     image/audio libraries — extend the dispatch with Pillow /
     torchaudio / PyAV to cover more formats; the Spark plan shapes do
     not change)."""
-    px = _try_decode_pixels(payload)
+    px = _try_decode_pixels(payload, jpeg_backend)
     if px is not None:
         return {
             "n_bytes": len(payload),
@@ -673,16 +674,26 @@ def _decode_backend(payload: bytes, modality: str) -> dict:
     }
 
 
-def decode_media(df: DataFrame) -> DataFrame:
+def decode_media(df: DataFrame,
+                 jpeg_backend: str | None = None) -> DataFrame:
     """Decode payloads to typed stats via mapInPandas (Arrow-batched,
-    map-only — no shuffle; executors stream one batch at a time)."""
+    map-only — no shuffle; executors stream one batch at a time).
+
+    ``jpeg_backend``: pin "numpy" on VALUE-HASHED paths (the oracle
+    replays the reference codec's exact float64 math, and 'auto'
+    silently re-routes through Pillow/libjpeg when installed — ±1 LSB
+    color differences AND different quarantine coverage would flip
+    oracle hashes with no code change). None keeps the env/auto
+    routing for throughput paths whose gate is backend-insensitive
+    (tools/media_probe.py)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for mid, modality, payload in zip(pdf["media_id"], pdf["modality"],
                                               pdf["payload"]):
-                d = _decode_backend(bytes(payload or b""), modality)
+                d = _decode_backend(bytes(payload or b""), modality,
+                                    jpeg_backend)
                 out.append((mid, modality, d["n_bytes"], d["width"],
                             d["height"], d["mean_intensity"]))
             yield pd.DataFrame(out, columns=["media_id", "modality", "n_bytes",
@@ -692,7 +703,8 @@ def decode_media(df: DataFrame) -> DataFrame:
         .mapInPandas(batches, DECODED_DDL)
 
 
-def extract_media_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+def extract_media_features(df: DataFrame, dim: int = FEATURE_DIM,
+                           jpeg_backend: str | None = None) -> DataFrame:
     """Payload -> unit-norm feature vector via mapInPandas. Decodable
     payloads (PPM/BMP) get a REAL feature: the dim-bin pixel-intensity
     histogram, unit-normalized — near-identical images land near each
@@ -706,7 +718,7 @@ def extract_media_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             feats = []
             for payload in pdf["payload"]:
                 raw = bytes(payload or b"")
-                px = _try_decode_pixels(raw)
+                px = _try_decode_pixels(raw, jpeg_backend)
                 if px is not None:
                     hist, _ = np.histogram(px, bins=dim, range=(0, 256))
                     v = hist.astype(np.float64)
@@ -746,7 +758,8 @@ RESIZED_DDL = ("media_id STRING, payload BINARY, width INT, height INT, "
                "decoded BOOLEAN")
 
 
-def resize_media(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+def resize_media(df: DataFrame, target_w: int, target_h: int,
+                 jpeg_backend: str | None = None) -> DataFrame:
     """Actual pixel resample (nearest-neighbor, aspect-preserving
     letterbox scale — same geometry as ``resize_plan``) for decodable
     payloads (PPM/BMP), re-encoded as PPM. Map-only mapInPandas, same
@@ -761,7 +774,7 @@ def resize_media(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload or b"")
-                px = _try_decode_pixels(raw)
+                px = _try_decode_pixels(raw, jpeg_backend)
                 if px is None:
                     out.append((mid, raw, None, None, False))
                     continue

@@ -125,11 +125,13 @@ def read_media_stream(spark: SparkSession, path: str,
     return reader.parquet(path)
 
 
-def decode_media_stream(media: DataFrame) -> DataFrame:
+def decode_media_stream(media: DataFrame,
+                        jpeg_backend: str | None = None) -> DataFrame:
     """Streaming decode: the BATCH ``decode_media`` applied under a
     streaming scan — mapInPandas is stateless/map-only, so the plan
     fragment is identical and append-mode per-row output needs no
     state store. Quarantine contract unchanged (undecodable payloads
-    keep hash-fake stats via the shared dispatch)."""
+    keep hash-fake stats via the shared dispatch). ``jpeg_backend``:
+    see decode_media — oracle-hashed drains pin "numpy"."""
     from ..operators.media import decode_media
-    return decode_media(media)
+    return decode_media(media, jpeg_backend)

@@ -1481,7 +1481,8 @@ FROM h
 """)
 def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.media import decode_media, synth_media
-    decoded = decode_media(synth_media(spark, n=100, modality="image"))
+    decoded = decode_media(synth_media(spark, n=100, modality="image"),
+                          jpeg_backend="numpy")
     return decoded.select(
         "media_id", F.col("n_bytes").cast("bigint").alias("n_bytes"),
         F.col("width").cast("bigint").alias("width"),
@@ -1514,7 +1515,7 @@ FROM d
 """)
 def media_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.media import decode_media, synth_ppm
-    decoded = decode_media(synth_ppm(spark, n=40))
+    decoded = decode_media(synth_ppm(spark, n=40), jpeg_backend="numpy")
     return decoded.select(
         "media_id", F.col("n_bytes").cast("bigint").alias("n_bytes"),
         F.col("width").cast("bigint").alias("width"),
@@ -1539,7 +1540,7 @@ FROM d
 """)
 def media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.media import decode_media, synth_bmp
-    decoded = decode_media(synth_bmp(spark, n=20))
+    decoded = decode_media(synth_bmp(spark, n=20), jpeg_backend="numpy")
     return decoded.select(
         "media_id", F.col("n_bytes").cast("bigint").alias("n_bytes"),
         F.col("width").cast("bigint").alias("width"),
@@ -1572,7 +1573,7 @@ def media_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     resized = resize_media(synth_ppm(spark, n=30, width=8, height=4),
                            target_w=2, target_h=2) \
         .withColumn("modality", F.lit("image"))
-    return decode_media(resized).select(
+    return decode_media(resized, jpeg_backend="numpy").select(
         "media_id", F.col("n_bytes").cast("bigint").alias("n_bytes"),
         F.col("width").cast("bigint").alias("width"),
         F.col("height").cast("bigint").alias("height"),
@@ -1598,7 +1599,7 @@ FROM d
 """)
 def media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.media import decode_media, synth_png
-    decoded = decode_media(synth_png(spark, n=30))
+    decoded = decode_media(synth_png(spark, n=30), jpeg_backend="numpy")
     return decoded.select(
         "media_id",
         F.col("width").cast("bigint").alias("width"),
@@ -1628,7 +1629,7 @@ FROM d
 """)
 def media_decode_bmp_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.media import decode_media, synth_bmp
-    decoded = decode_media(synth_bmp(spark, n=20, width=5))
+    decoded = decode_media(synth_bmp(spark, n=20, width=5), jpeg_backend="numpy")
     return decoded.select(
         "media_id", F.col("n_bytes").cast("bigint").alias("n_bytes"),
         F.col("width").cast("bigint").alias("width"),
@@ -1738,7 +1739,7 @@ SELECT media_id, CAST({_DHASH_PACK} AS BIGINT) AS dhash FROM imgs
 def media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the REAL decode -> grid-sample -> bit-pack path (imagedup.dhash_media)
     from .operators.imagedup import dhash_media
-    return dhash_media(_dhash_corpus(spark)).select(
+    return dhash_media(_dhash_corpus(spark), jpeg_backend="numpy").select(
         "media_id", F.col("dhash").cast("bigint").alias("dhash"))
 
 
@@ -1778,7 +1779,7 @@ SELECT media_id, CAST({_DHASH_PACK} AS BIGINT) AS ahash FROM imgs
 """)
 def media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.imagedup import ahash_media
-    return ahash_media(_dhash_corpus(spark)).select(
+    return ahash_media(_dhash_corpus(spark), jpeg_backend="numpy").select(
         "media_id", F.col("ahash").cast("bigint").alias("ahash"))
 
 
@@ -1809,7 +1810,8 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end perceptual near-dup pairs: decode -> dHash -> banded
     # buckets (1 shuffle of (id, 16-bit band)) -> xor/popcount verify
     from .operators.imagedup import image_dup_pairs
-    return image_dup_pairs(_dhash_corpus(spark), bands=4, max_hamming=3) \
+    return image_dup_pairs(_dhash_corpus(spark), bands=4, max_hamming=3,
+                           jpeg_backend="numpy") \
         .select("id_a", "id_b", F.col("hamming").cast("bigint")
                 .alias("hamming"))
 
@@ -1860,7 +1862,7 @@ FROM s
 def media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.jpeg import synth_jpeg
     from .operators.media import decode_media
-    decoded = decode_media(synth_jpeg(spark, n=24))
+    decoded = decode_media(synth_jpeg(spark, n=24), jpeg_backend="numpy")
     return decoded.select(
         "media_id",
         F.col("width").cast("bigint").alias("width"),
@@ -1912,7 +1914,7 @@ SELECT media_id, CAST({_DHASH_PACK} AS BIGINT) AS dhash FROM imgs
 def media_dhash_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decode (real baseline JPEG) -> grid sample -> bit pack
     from .operators.imagedup import dhash_media
-    return dhash_media(_jpeg_gray_corpus(spark)).select(
+    return dhash_media(_jpeg_gray_corpus(spark), jpeg_backend="numpy").select(
         "media_id", F.col("dhash").cast("bigint").alias("dhash"))
 
 
@@ -1951,7 +1953,8 @@ def dedup_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.imagedup import image_dup_pairs
     from .operators.jpeg import synth_jpeg_gray
     corpus = synth_jpeg_gray(spark, n=16, id_mod=8)
-    return image_dup_pairs(corpus, bands=4, max_hamming=3) \
+    return image_dup_pairs(corpus, bands=4, max_hamming=3,
+                           jpeg_backend="numpy") \
         .select("id_a", "id_b", F.col("hamming").cast("bigint")
                 .alias("hamming"))
 
@@ -1982,7 +1985,8 @@ def media_decode_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micro-batches — a fixture-size layout knob, not a scale knob
     synth_jpeg_gray(spark, n=16).repartition(4) \
         .write.mode("overwrite").parquet(src_dir)
-    run_available_now(decode_media_stream(read_media_stream(spark, src_dir)),
+    run_available_now(decode_media_stream(read_media_stream(spark, src_dir),
+                                          jpeg_backend="numpy"),
                       "media_decode_streaming", output_mode="append")
     return spark.table("media_decode_streaming").select(
         "media_id",
@@ -2037,7 +2041,8 @@ SELECT media_id, ROUND(d, 4) AS distance FROM (
 def knn_image_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.imagedup import grid_luminance_features
     qvec = _grid_cells_py(0)
-    feats = grid_luminance_features(_dhash_corpus(spark))
+    feats = grid_luminance_features(_dhash_corpus(spark),
+                                    jpeg_backend="numpy")
     return knn(feats, qvec, k=KNN_K, metric="euclidean",
                vec_col="features", exclude_id="ppm_0",
                id_col="media_id", tie_col="media_id") \
@@ -2127,7 +2132,8 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 def knn_join_image_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.imagedup import grid_luminance_features
     from .operators.knn import knn_join
-    feats = grid_luminance_features(_dhash_corpus(spark)) \
+    feats = grid_luminance_features(_dhash_corpus(spark),
+                                    jpeg_backend="numpy") \
         .localCheckpoint(eager=False)
     queries = feats.filter(
         F.col("media_id").isin("ppm_0", "ppm_5", "ppmB_3")).select(
