@@ -344,14 +344,30 @@ def remeasure_flagged(merged: dict, merged_load: dict, sf_dir: str,
                 "loaded": [merged[n], merged_load[n][0]],
                 "fresh": [got[n], loads.get(n, [None])[0]],
             }
-            if got[n] >= 0:             # queries carries the fresh value
+            if got[n] >= 0:
                 lo = merged[n]
-                merged[n] = got[n]
-                merged_load[n] = list(loads[n])
+                # the summary carries min(loaded, fresh) — r12: the
+                # flag's claim is "interference may have INFLATED this
+                # timing", and interference only ever inflates, so a
+                # fresh session coming back SLOWER (cold-JIT-heavy
+                # queries pay first-pass compile the warm suite
+                # session had amortized — measured 2.3 s loaded vs
+                # 5.7 s fresh on tfidf) refutes the claim rather than
+                # superseding the number. Same best-of-N reasoning as
+                # the per-query best-of-2, extended across sessions;
+                # both raw values stay on record in `remeasured`.
+                merged[n] = min(lo, got[n]) if lo >= 0 else got[n]
+                if got[n] <= lo or lo < 0:
+                    merged_load[n] = list(loads[n])
                 if (lo > 0 and got[n] > 0
                         and max(lo, got[n]) <= AGREE_RATIO * min(lo, got[n])
                         and len(merged_load[n]) > 3):
                     # reproduced across two sessions: refuted flag
+                    merged_load[n][3] = 0
+                elif got[n] > lo > 0 and len(merged_load[n]) > 3:
+                    # fresh-idle session could not reproduce anything
+                    # SLOWER-than-recorded: the loaded value stands as
+                    # the reproducible floor; refute its flag too
                     merged_load[n][3] = 0
             # a failed re-measure (-1) keeps the loaded timing — a
             # real measurement must not be replaced by a broken run

@@ -101,13 +101,16 @@ def test_remeasure_agreement_resolves_flags(bench, monkeypatch):
     # when the fresh session re-flagged itself (at 100x the suite's
     # own load keeps the spread leg hot for every row); a genuine
     # disagreement keeps the fresh session's own flag
-    merged = {"q_agree": 2.0, "q_shift": 10.0, "q_dead": 3.0}
+    merged = {"q_agree": 2.0, "q_shift": 10.0, "q_dead": 3.0,
+              "q_cold": 2.3}
     merged_load = {"q_agree": [12.0, 50.0, 2, 1],
                    "q_shift": [12.0, 50.0, 2, 1],
-                   "q_dead": [12.0, 50.0, 2, 1]}
+                   "q_dead": [12.0, 50.0, 2, 1],
+                   "q_cold": [12.0, 50.0, 2, 1]}
 
     def fake_run_subset(sub, sf_dir, suite_start=None):
-        fresh_t = {"q_agree": 2.2, "q_shift": 5.0, "q_dead": -1.0}
+        fresh_t = {"q_agree": 2.2, "q_shift": 5.0, "q_dead": -1.0,
+                   "q_cold": 5.7}
         fresh_l = {n: [9.0, 50.0, 2, 1] for n in sub}
         return ({n: fresh_t[n] for n in sub},
                 {n: fresh_l[n] for n in sub})
@@ -115,16 +118,21 @@ def test_remeasure_agreement_resolves_flags(bench, monkeypatch):
     monkeypatch.setattr(bench, "run_subset", fake_run_subset)
     monkeypatch.setattr(bench.os, "getloadavg", lambda: (1.0, 1.0, 1.0))
     rem = bench.remeasure_flagged(merged, merged_load, "/tmp/nope")
-    # reproduced (2.0 vs 2.2): fresh value carried, flag refuted
-    assert merged["q_agree"] == 2.2
+    # reproduced (2.0 vs 2.2): min carried, flag refuted
+    assert merged["q_agree"] == 2.0
     assert bench.row_flagged(merged_load["q_agree"]) is False
-    # shifted 2x: fresh value carried, fresh session's flag stands
+    # shifted 2x down: fresh value carried, fresh session's flag stands
     assert merged["q_shift"] == 5.0
     assert bench.row_flagged(merged_load["q_shift"]) is True
     # failed re-measure: loaded timing kept, still flagged
     assert merged["q_dead"] == 3.0
     assert bench.row_flagged(merged_load["q_dead"]) is True
-    assert set(rem) == {"q_agree", "q_shift", "q_dead"}
+    # fresh SLOWER (cold-JIT inflation, not interference): loaded value
+    # stands as the reproducible floor and its flag is refuted —
+    # interference can only inflate, so nothing slower refutes loaded
+    assert merged["q_cold"] == 2.3
+    assert bench.row_flagged(merged_load["q_cold"]) is False
+    assert set(rem) == {"q_agree", "q_shift", "q_dead", "q_cold"}
 
 
 # ---------------------------------------------------------------------------
