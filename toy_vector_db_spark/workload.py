@@ -5732,47 +5732,47 @@ def dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- r11 rotation. Priority 1 (VERDICT r10 Next #1): the four
-    # rows registered AFTER the r10 window froze — sweep-green but
-    # never driver-hashed; they lead so the verification-latency gap
-    # closes this round. Then the three queries NEW this round. Then
-    # the STALENESS rule: the ledger (reconstructed from
-    # CORRECTNESS_r1..r10 green rows) shows 21 queries last green at
-    # r4 and 19 at r5 — 40 rows, which with the 8 above leaves
-    # exactly 2 spare slots for the oldest r7 rows. This window
-    # clears the ENTIRE r4+r5 backlog (the r10 verdict asked for r4
-    # by r11, the rest by r12).
+    # --- r12 rotation (optimization round). No post-freeze rows, no
+    # new queries. Priority 1 is rule 3 (MECHANISM changed this
+    # round): the PQ/IVF/LSH expression-tree rewrites (one transform
+    # lambda over a nested-array literal instead of per-entry fold
+    # copies — bit-identical by construction, but the driver hash is
+    # the proof), the graph-gate changes (per-hop distinct removed,
+    # collapse checkpointed), and every decode path that now pins
+    # jpeg_backend="numpy". Then rule 4 (staleness): ALL 8 r7 and all
+    # 8 r8 rows — after this window no registered query's last
+    # driver-green round is older than r9 (VERDICT r11 Next #2), and
+    # the one spare slot takes the alphabetically-first r9 row.
     #
-    # registered post-freeze in r10 — never driver-run (4):
-    "knn_audio_topk",                # energy-feature audio knn
-    "media_decode_streaming",        # file-source streaming ingest
-    "knn_join_image_batch",          # image batch similarity join
-    "media_resample_wav",            # resample -> re-encode -> decode
-    # new this round — never driver-run (4):
-    "media_video_fp",                # order-sensitive video sequence fp
-    "dedup_video_fp",                # banded video near-dup pairs
-    "audio_fp_spectral",             # Haitsma-Kalker gain-invariance gate
-    "knn_video_topk",                # anchor-frame embedding -> knn
-    # stalest driver rows — every r4 (21) and r5 (19) query:
-    "corpus_vocab_drift", "crossdoc_shared_shingles",
-    "dedup_simhash_neighbors", "dsir_select_en",
-    "embedding_drift_by_label", "events_dedup_streaming",
-    "events_followups_streaming", "events_rollup_streaming",
-    "events_sessionize", "filter_id_eq", "hard_negatives_topk",
-    "knn_join_ivfpq_batch", "knn_search_streaming",
-    "lm_perplexity_buckets", "lm_score_streaming", "pii_scrub",
-    "profile_order_quantiles", "set_ops_segments", "span_dedup_docs",
-    "tfidf_top_terms", "url_domain_stats",
-    "ann_pq_ip_topk", "cust_running_revenue", "decontam_sharded_overlap",
-    "dedup_minhash_signatures_arrow", "dedup_simhash_banded_pairs",
-    "dedup_source_overlap", "embedding_cluster_stats",
-    "events_value_percentiles_gate", "hard_negatives_ivf",
-    "knn_join_ivf_allpairs", "knn_join_ivfpq_rerank_batch",
-    "knn_per_label", "lm_unigram_scores", "negatives_in_batch",
-    "profile_orders", "sample_k_per_lang", "sample_weighted_quality",
-    "split_train_test", "text_strip_markup",
-    # ...and the 2 oldest r7 rows (alphabetical within the round):
-    "ann_ivf_topk", "dedup_cosine_blocked",
+    # mechanism changed: expression-tree rewrites (ANN/PQ/IVF/LSH):
+    "ann_pq_adc_topk", "ann_pq_ip_topk", "ann_pq_rerank_topk",
+    "ann_ivfpq_topk", "ann_ivf_det_topk", "ann_ivf_topk",
+    "ann_lsh_topk", "range_search_pruned",
+    "knn_join_ivf_batch", "knn_join_ivfpq_batch",
+    "knn_join_ivfpq_rerank_batch", "knn_join_ivf_allpairs",
+    "knn_join_auto_batch",           # chooser route (also r7-stale)
+    "hard_negatives_ivf", "dedup_semantic_ivf",
+    "embedding_cluster_stats", "knn_search_streaming",
+    "knn_search_auto",
+    # mechanism changed: graph-gate shuffle cuts:
+    "ann_graph_recall_gate",
+    "knn_join_graph_batch",          # also r7-stale
+    # mechanism changed: jpeg_backend="numpy" pins on decode paths:
+    "media_decode_stats", "media_decode_jpeg", "media_dhash_jpeg",
+    "dedup_image_jpeg", "dedup_image_dhash", "media_dhash",
+    "media_ahash", "knn_image_topk", "knn_join_image_batch",
+    "media_decode_streaming", "media_resize_ppm", "media_decode_ppm",
+    "media_decode_bmp", "media_decode_bmp_pad", "media_decode_png",
+    # staleness: the remaining r7 rows (6):
+    "dedup_jaccard_consecutive", "dedup_minhash_pairs",
+    "dedup_minhash_signatures", "embedding_centroids_by_label",
+    "events_funnel_within", "zorder_orders_locality",
+    # staleness: every r8 row (8):
+    "corpus_clean_pipeline", "dedup_simhash", "dedup_simhash_arrow",
+    "media_frame_sample", "mixture_temperature", "sql_meta_ne_dialect",
+    "text_fingerprints", "text_fingerprints_arrow",
+    # spare slot: alphabetically-first r9 row:
+    "agg_pricing_summary",
 ]
 
 
