@@ -20,8 +20,15 @@ __all__ = ["vector_lit", "normalize", "zero_vector", "random_vector",
 
 
 def vector_lit(values: Sequence[float]) -> Column:
-    """Array<double> literal for a query vector (constant-folded by Catalyst)."""
-    return F.array(*[F.lit(float(v)) for v in values])
+    """Array<double> literal for a query vector. One array Literal
+    node (r12) instead of a CreateArray of dim scalar literals — the
+    folded value is identical (Catalyst constant-folded the old form
+    to exactly this), the analyzer just no longer walks dim nodes per
+    query plan."""
+    vals = [float(v) for v in values]
+    if not vals:  # preserve the old empty-vector type (array<double>)
+        return F.array().cast("array<double>")
+    return F.lit(vals)
 
 
 def normalize(a: Column) -> Column:
