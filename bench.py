@@ -183,15 +183,23 @@ def session_start_load() -> float:
 #: artifact now self-identifies: the summary line carries the
 #: per-probe drift curve and a sustained_load stamp.
 #:
-#: CALIB_SETTLED_S: min-of-5 1024x1024 float64 matmul on THIS host,
-#: idle (measured 2026-08-17: 0.0103-0.0113 across windows). Another
-#: host pins its own via the env override; <= 0 disables the sentinel.
-#: CALIB_DRIFT_RATIO 1.5 sits between idle jitter of the min-of-5
+#: CALIB_SETTLED_S: the settled matmul constant. r13 (ADVICE r12 low):
+#: the r12 default was a number measured on ONE host (0.0105 s) — on a
+#: slower host every clean run stamps sustained, on a faster one the
+#: sentinel can never fire. When the env override is absent the
+#: constant is now MEASURED at suite start (min-of-7, after the
+#: start-load settle window) via ``calib_settled_constant``; the env
+#: override remains for pinning across runs, <= 0 disables the
+#: sentinel. Residual blind spot, documented: a co-tenant already
+#: present when the baseline is measured inflates the baseline and
+#: masks itself — but that case is exactly the one the start-load flag
+#: leg already records (the session started loaded).
+#: CALIB_DRIFT_RATIO 1.5 sits between idle jitter of the min-of-N
 #: (measured <= 1.15x) and the smallest burst signal worth stamping
 #: (a load-27 co-tenant on 32 cores roughly halves BLAS throughput,
 #: >= 2x) — VERDICT suggested 1.3, widened to 1.5 so scheduler jitter
 #: alone can never stamp a clean artifact.
-CALIB_SETTLED_S = float(os.environ.get("SPARK_GRAFT_CALIB_S", "0.0105"))
+CALIB_SETTLED_S = float(os.environ.get("SPARK_GRAFT_CALIB_S", "0"))
 CALIB_DRIFT_RATIO = float(os.environ.get("SPARK_GRAFT_CALIB_RATIO", "1.5"))
 CALIB_EVERY = 25
 _CALIB_STATE: dict = {}
@@ -201,16 +209,17 @@ def calibration_probe(runs: int = 5, size: int = 1024,
                       matmul=None) -> float:
     """Best-of-``runs`` wall seconds for one fixed float64 matmul —
     the absolute CPU-availability reference. Deterministic inputs,
-    allocated once per process; ``matmul`` is injectable for the unit
-    tests."""
+    allocated once per process and keyed on ``size`` (ADVICE r12: the
+    unkeyed cache silently timed the first call's matrices for every
+    later size); ``matmul`` is injectable for the unit tests."""
     import time as _time
     if matmul is None:
         import numpy as np
-        if "mats" not in _CALIB_STATE:
+        if size not in _CALIB_STATE:
             rng = np.random.default_rng(42)
-            _CALIB_STATE["mats"] = (rng.standard_normal((size, size)),
-                                    rng.standard_normal((size, size)))
-        A, B = _CALIB_STATE["mats"]
+            _CALIB_STATE[size] = (rng.standard_normal((size, size)),
+                                  rng.standard_normal((size, size)))
+        A, B = _CALIB_STATE[size]
         matmul = lambda: (A @ B).sum()  # noqa: E731
     best = float("inf")
     for _ in range(max(1, runs)):
@@ -218,6 +227,18 @@ def calibration_probe(runs: int = 5, size: int = 1024,
         matmul()
         best = min(best, _time.perf_counter() - t0)
     return best
+
+
+def calib_settled_constant() -> float:
+    """The settled reference the drift probes divide by: the env pin
+    when set (<= 0 disables the sentinel), else min-of-7 measured NOW
+    — callers measure at suite start, after the start-load settle
+    window, before any Spark work."""
+    if CALIB_SETTLED_S > 0:
+        return CALIB_SETTLED_S
+    if os.environ.get("SPARK_GRAFT_CALIB_S") is not None:
+        return 0.0  # explicit <= 0: sentinel disabled
+    return calibration_probe(runs=7)
 
 
 def sustained_load_stamp(probes: list[float],
@@ -251,26 +272,34 @@ SETTLE_MAX_S = float(os.environ.get("SPARK_GRAFT_SETTLE_MAX_S", "300"))
 SETTLE_POLL_S = 15
 
 
-def run_subset(sub: list[str], sf_dir: str,
-               suite_start: float | None = None) -> tuple[dict, dict]:
-    """One FRESH bench session (subprocess) over `sub`; returns
-    (timings, loads) parsed from its JSON lines ({} on failure). The
-    child never re-measures (SPARK_GRAFT_NO_REMEASURE) — recursion
-    guard for the idle pass below. ``suite_start`` forwards the
-    runner's pre-suite load so the child's start-load flag leg is not
-    polluted by the previous chunk's exit bleed (chunk-bleed guard
-    above)."""
+def _run_bench_child(env: dict):
+    """One fresh bench.py subprocess (injectable for unit tests)."""
     import subprocess
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, cwd=REPO, capture_output=True, text=True)
+
+
+def run_subset(sub: list[str], sf_dir: str,
+               suite_start: float | None = None) -> tuple[dict, dict, dict]:
+    """One FRESH bench session (subprocess) over `sub`; returns
+    (timings, loads, child summary) parsed from its JSON lines
+    ({} on failure). The child summary carries the child session's OWN
+    sustained-load stamp + drift curve — chunk runners aggregate these
+    so a burst contained inside one chunk can no longer evade the
+    merged artifact's stamp (r12 sentinel granularity gap). The child
+    never re-measures (SPARK_GRAFT_NO_REMEASURE) — recursion guard for
+    the idle pass below. ``suite_start`` forwards the runner's
+    pre-suite load so the child's start-load flag leg is not polluted
+    by the previous chunk's exit bleed (chunk-bleed guard above)."""
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_ONLY=",".join(sub),
                SPARK_GRAFT_NO_REMEASURE="1")
     if suite_start is not None:
         env["SPARK_GRAFT_SUITE_START_LOAD"] = str(suite_start)
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, cwd=REPO, capture_output=True, text=True)
-    got, loads = None, {}
+    proc = _run_bench_child(env)
+    got, loads, summary = None, {}, {}
     for line in proc.stdout.splitlines():
         try:
             obj = json.loads(line)
@@ -280,11 +309,13 @@ def run_subset(sub: list[str], sf_dir: str,
             got = obj["queries"]
         if "load" in obj:
             loads = obj["load"]
+        if obj.get("metric") == "workload_total":
+            summary = obj
     if got is None:
         print(f"subset FAILED ({sub[0]}..{sub[-1]})\n{proc.stderr[-2000:]}",
               file=sys.stderr)
-        return {}, {}
-    return got, loads
+        return {}, {}, {}
+    return got, loads, summary
 
 
 #: two measurements within this ratio count as the SAME number.
@@ -300,22 +331,32 @@ def remeasure_flagged(merged: dict, merged_load: dict, sf_dir: str,
     previously only tools/bench_chunks.py had this; the driver's
     primary single-session artifact carried load-polluted rows with
     no fresh twins). Waits (bounded) for load1 to settle, re-runs
-    just the flagged rows in fresh sessions, and REPLACES their
-    timings/loads in `merged`/`merged_load` with the fresh values.
-    Returns {name: {"loaded": [t, load1], "fresh": [t, load1]}} so
-    both numbers stay on the record.
+    just the flagged rows in fresh sessions, and merges
+    ``min(loaded, fresh)`` into `merged` (interference only ever
+    inflates, so the smaller number is the reproducible one — the
+    per-query best-of-2 extended across sessions); `merged_load`
+    keeps whichever session produced the carried value. Returns
+    {name: {"loaded": [t, load1], "fresh": [t, load1]}} so both raw
+    numbers stay on the record.
 
-    Flag resolution (r11): the flag's claim is "this timing may not
-    be reproducible". If the fresh session REPRODUCES the loaded
-    best-of-2 within AGREE_RATIO, two independent sessions agree —
-    the claim is refuted and the row is UNFLAGGED even when the
-    fresh session's own in-row evidence fired (at the 100x scale the
-    suite's own 32-way stages hold load1 above the threshold for
-    every row, so a fresh session's spread leg re-flags natural
-    codegen variance forever — r11 runs showed 23/24 re-measured
-    rows agreeing while staying 'flagged'). If the two sessions
-    DISAGREE, the fresh value is recorded and the fresh session's
-    own flag stands — sustained interference stays visible."""
+    Flag resolution (r11, tightened r12/r13): the flag's claim is
+    "this timing may not be reproducible". If the fresh session
+    REPRODUCES the loaded best-of-2 within AGREE_RATIO, two
+    independent sessions agree — the claim is refuted and the row is
+    UNFLAGGED even when the fresh session's own in-row evidence fired
+    (at the 100x scale the suite's own 32-way stages hold load1 above
+    the threshold for every row, so a fresh session's spread leg
+    re-flags natural codegen variance forever). A fresh session
+    coming back SLOWER also refutes the loaded flag (cold-JIT-heavy
+    queries pay first-pass compile the warm suite had amortized —
+    measured 2.3 s loaded vs 5.7 s fresh on tfidf) — but ONLY when
+    that fresh session ran clean (its own flag unset AND the settle
+    wait actually got under the threshold): a burst arriving DURING
+    the re-measure phase inflates the fresh leg too, and a
+    slower-because-bursty fresh run proves nothing about the loaded
+    row (ADVICE r12 medium). If the two sessions genuinely DISAGREE,
+    the fresh value is recorded and the fresh session's own flag
+    stands — sustained interference stays visible."""
     import time
     flagged = sorted(n for n, e in merged_load.items()
                      if row_flagged(e) and merged.get(n, -1) >= 0)
@@ -336,7 +377,7 @@ def remeasure_flagged(merged: dict, merged_load: dict, sf_dir: str,
         # children start right after our session's work: pass the
         # post-settle reading as their start-load leg, or they read
         # our exit bleed as a co-tenant (chunk-bleed guard)
-        got, loads = run_subset(sub, sf_dir, suite_start=post_settle)
+        got, loads, _ = run_subset(sub, sf_dir, suite_start=post_settle)
         for n in sub:
             if n not in got:
                 continue
@@ -346,33 +387,77 @@ def remeasure_flagged(merged: dict, merged_load: dict, sf_dir: str,
             }
             if got[n] >= 0:
                 lo = merged[n]
-                # the summary carries min(loaded, fresh) — r12: the
-                # flag's claim is "interference may have INFLATED this
-                # timing", and interference only ever inflates, so a
-                # fresh session coming back SLOWER (cold-JIT-heavy
-                # queries pay first-pass compile the warm suite
-                # session had amortized — measured 2.3 s loaded vs
-                # 5.7 s fresh on tfidf) refutes the claim rather than
-                # superseding the number. Same best-of-N reasoning as
-                # the per-query best-of-2, extended across sessions;
-                # both raw values stay on record in `remeasured`.
                 merged[n] = min(lo, got[n]) if lo >= 0 else got[n]
                 if got[n] <= lo or lo < 0:
                     merged_load[n] = list(loads[n])
+                fresh_clean = (not row_flagged(loads.get(n, [0, 0, 0, 1]))
+                               and post_settle <= LOAD_FLAG_THRESHOLD)
                 if (lo > 0 and got[n] > 0
                         and max(lo, got[n]) <= AGREE_RATIO * min(lo, got[n])
                         and len(merged_load[n]) > 3):
                     # reproduced across two sessions: refuted flag
                     merged_load[n][3] = 0
-                elif got[n] > lo > 0 and len(merged_load[n]) > 3:
-                    # fresh-idle session could not reproduce anything
-                    # SLOWER-than-recorded: the loaded value stands as
-                    # the reproducible floor; refute its flag too
+                elif got[n] > lo > 0 and fresh_clean \
+                        and len(merged_load[n]) > 3:
+                    # a CLEAN fresh-idle session could not reproduce
+                    # anything slower-than-recorded: the loaded value
+                    # stands as the reproducible floor; refute its
+                    # flag. (A flagged/bursty fresh session being
+                    # slower proves nothing — flag stands.)
                     merged_load[n][3] = 0
             # a failed re-measure (-1) keeps the loaded timing — a
             # real measurement must not be replaced by a broken run
             # (both values stay on record in `remeasured`)
     return remeasured
+
+
+#: per-chunk byte budget for the name-keyed per-query lines: small
+#: enough that the last chunk plus the qv array plus the summary all
+#: fit a 2000-byte tail together.
+QUERY_LINE_BYTES = 700
+
+
+def per_query_lines(compact: dict) -> list[str]:
+    """Per-query timings as JSON lines sized for the driver's bounded
+    stdout TAIL capture — measured exactly 2000 bytes in the r11/r12
+    artifacts (r12 VERDICT #1: the single 163-entry {"queries": ...}
+    line outgrew that window, json.loads failed on the cut line, and
+    PERF lost every per-query number and the geomean two rounds
+    running). A full name-keyed map is ~3.5-4 KB and can never fit,
+    so emit three redundant encodings, the most compact last so the
+    tail always keeps it:
+
+    1. the full ``{"queries": {...}}`` map — consumed by run_subset /
+       bench_chunks which read the child's WHOLE stdout; first to be
+       truncated out of a tail;
+    2. name-keyed chunks ``{"queries_1of6": {...}}``, each line under
+       ``QUERY_LINE_BYTES`` — the tail keeps the last chunk(s) whole,
+       giving name->sec rows that cross-check encoding 3;
+    3. one fixed-order array ``{"qn": N, "qo": "sorted",
+       "qv": [...]}``: the values of sorted(names) at ~5 bytes per
+       query (~900 B for 163), so EVERY query's timing survives any
+       tail; names are reconstructible from the registry the driver
+       already imports for its correctness sweep.
+    """
+    lines = [json.dumps({"queries": compact}, separators=(",", ":"))]
+    names = sorted(compact)
+    chunks: list[dict] = [{}]
+    size = 2
+    for n in names:
+        ent = len(n) + 10
+        if chunks[-1] and size + ent > QUERY_LINE_BYTES:
+            chunks.append({})
+            size = 2
+        chunks[-1][n] = compact[n]
+        size += ent
+    total = len(chunks)
+    for i, ch in enumerate(chunks):
+        lines.append(json.dumps({f"queries_{i + 1}of{total}": ch},
+                                separators=(",", ":")))
+    lines.append(json.dumps(
+        {"qn": len(names), "qo": "sorted",
+         "qv": [compact[n] for n in names]}, separators=(",", ":")))
+    return lines
 
 
 def host_load() -> tuple[float, float]:
@@ -428,6 +513,12 @@ def main() -> None:
     # standalone start probes a settle window first (bleed guard)
     start_load = session_start_load()
 
+    # settled matmul constant, measured NOW (idle by the settle gate
+    # above, before any Spark work) unless pinned via env — the
+    # absolute reference every later probe divides by (ADVICE r12:
+    # the shipped per-host constant mis-calibrated everywhere else)
+    calib_settled = calib_settled_constant()
+
     # warm-up: JVM, codegen, parquet footers
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
@@ -478,10 +569,10 @@ def main() -> None:
 
     # idle re-measure pass (skipped inside run_subset children): rows
     # timed under host load get fresh-session twins, and the summary
-    # carries the fresh value — the reproducible number drift analysis
-    # needs. Emitted as its own JSON line with BOTH values per row.
+    # carries the min(loaded, fresh) value — the reproducible number
+    # drift analysis needs. Emitted as its own JSON line with BOTH
+    # values per row.
     calib_probes.append(calibration_probe())
-    sustained, drifts = sustained_load_stamp(calib_probes)
 
     remeasured = {}
     if not os.environ.get("SPARK_GRAFT_NO_REMEASURE"):
@@ -492,31 +583,44 @@ def main() -> None:
             # parent JVM heap competing for the same cores/memory
             spark.stop()
         remeasured = remeasure_flagged(timings, loads, sf_dir)
+        if remeasured:
+            # one more probe AFTER the re-measure pass (ADVICE r12):
+            # a burst arriving during re-measurement must land in
+            # calib_drift, or the fresh legs it inflated look clean
+            calib_probes.append(calibration_probe())
+    sustained, drifts = sustained_load_stamp(calib_probes,
+                                             settled=calib_settled)
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    # The driver captures a bounded TAIL of stdout (~2.9 KB). At 90+
-    # queries a single summary-first JSON line outgrows that window and
-    # the leading "workload_total" key gets truncated away (r1-r3 all
-    # recorded parsed: null). So: per-query detail on its OWN line
-    # first, then a tiny (<100 B) summary-only line LAST — a tail
-    # capture keeps the end of stdout, so the summary always survives.
+    # The driver captures a bounded TAIL of stdout (2000 bytes,
+    # measured from the r11/r12 artifacts). At 90+ queries a single
+    # summary-first JSON line outgrows that window (r1-r3 recorded
+    # parsed: null), and by r11 even the queries-then-summary order
+    # lost the per-query map (the one line grew past the whole
+    # window). So: per-query detail in tail-survivable encodings
+    # (per_query_lines — chunked maps + a fixed-order compact array),
+    # then a tiny summary-only line LAST; a tail capture keeps the
+    # end of stdout, so the summary and the compact array always
+    # survive.
     core = round(sum(v for n, v in timings.items()
                      if n in CORE and v >= 0), 3)
     compact = {n: round(v, 2) for n, v in timings.items()}
     flagged = sorted(n for n, e in loads.items() if row_flagged(e))
     max_load = max((e[0] for e in loads.values()), default=0.0)
-    # load line BEFORE the queries line: the driver keeps a bounded
+    # load line BEFORE the queries lines: the driver keeps a bounded
     # TAIL of stdout, and queries + summary are the rows that must
     # survive truncation
     print(json.dumps({"load": loads}, separators=(",", ":")))
     if remeasured:
         print(json.dumps({"remeasured": remeasured}, separators=(",", ":")))
-    print(json.dumps({"queries": compact}, separators=(",", ":")))
+    for line in per_query_lines(compact):
+        print(line)
     print(json.dumps({"metric": "workload_total", "value": total,
                       "core_total": core, "unit": "sec", "sf": sf_val,
                       "max_load1": max_load,
                       "flagged_load": flagged,
                       "sustained_load": sustained,
-                      "calib_drift": drifts},
+                      "calib_drift": drifts,
+                      "calib_s": round(calib_settled, 5)},
                      separators=(",", ":")))
 
 

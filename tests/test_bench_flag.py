@@ -102,18 +102,18 @@ def test_remeasure_agreement_resolves_flags(bench, monkeypatch):
     # own load keeps the spread leg hot for every row); a genuine
     # disagreement keeps the fresh session's own flag
     merged = {"q_agree": 2.0, "q_shift": 10.0, "q_dead": 3.0,
-              "q_cold": 2.3}
-    merged_load = {"q_agree": [12.0, 50.0, 2, 1],
-                   "q_shift": [12.0, 50.0, 2, 1],
-                   "q_dead": [12.0, 50.0, 2, 1],
-                   "q_cold": [12.0, 50.0, 2, 1]}
+              "q_cold": 2.3, "q_cold_clean": 2.3}
+    merged_load = {n: [12.0, 50.0, 2, 1] for n in merged}
 
     def fake_run_subset(sub, sf_dir, suite_start=None):
         fresh_t = {"q_agree": 2.2, "q_shift": 5.0, "q_dead": -1.0,
-                   "q_cold": 5.7}
-        fresh_l = {n: [9.0, 50.0, 2, 1] for n in sub}
+                   "q_cold": 5.7, "q_cold_clean": 5.7}
+        # q_cold_clean's fresh session ran UNFLAGGED; the others'
+        # fresh sessions carry their own evidence flag
+        fresh_l = {n: [9.0, 50.0, 2, 0 if n == "q_cold_clean" else 1]
+                   for n in sub}
         return ({n: fresh_t[n] for n in sub},
-                {n: fresh_l[n] for n in sub})
+                {n: fresh_l[n] for n in sub}, {})
 
     monkeypatch.setattr(bench, "run_subset", fake_run_subset)
     monkeypatch.setattr(bench.os, "getloadavg", lambda: (1.0, 1.0, 1.0))
@@ -127,12 +127,37 @@ def test_remeasure_agreement_resolves_flags(bench, monkeypatch):
     # failed re-measure: loaded timing kept, still flagged
     assert merged["q_dead"] == 3.0
     assert bench.row_flagged(merged_load["q_dead"]) is True
-    # fresh SLOWER (cold-JIT inflation, not interference): loaded value
-    # stands as the reproducible floor and its flag is refuted —
-    # interference can only inflate, so nothing slower refutes loaded
+    # fresh SLOWER but the fresh session itself was FLAGGED (a burst
+    # during the re-measure phase inflates the fresh leg too): nothing
+    # is proven, loaded value stands and its flag STANDS (ADVICE r12)
     assert merged["q_cold"] == 2.3
-    assert bench.row_flagged(merged_load["q_cold"]) is False
-    assert set(rem) == {"q_agree", "q_shift", "q_dead", "q_cold"}
+    assert bench.row_flagged(merged_load["q_cold"]) is True
+    # fresh SLOWER from a CLEAN fresh session (cold-JIT inflation, not
+    # interference): loaded value stands as the reproducible floor and
+    # its flag is refuted — interference can only inflate
+    assert merged["q_cold_clean"] == 2.3
+    assert bench.row_flagged(merged_load["q_cold_clean"]) is False
+    assert set(rem) == {"q_agree", "q_shift", "q_dead", "q_cold",
+                        "q_cold_clean"}
+
+
+def test_remeasure_unsettled_host_keeps_cold_flags(bench, monkeypatch):
+    # the settle wait gave up (load never dropped under the
+    # threshold): a slower fresh run proves nothing even when the
+    # fresh session's own flag didn't fire — the flag must stand
+    merged = {"q_cold": 2.3}
+    merged_load = {"q_cold": [12.0, 50.0, 2, 1]}
+
+    def fake_run_subset(sub, sf_dir, suite_start=None):
+        return ({"q_cold": 5.7}, {"q_cold": [9.0, 50.0, 2, 0]}, {})
+
+    monkeypatch.setattr(bench, "run_subset", fake_run_subset)
+    monkeypatch.setattr(bench, "SETTLE_MAX_S", 0)
+    monkeypatch.setattr(bench.os, "getloadavg",
+                        lambda: (20.0, 20.0, 20.0))
+    bench.remeasure_flagged(merged, merged_load, "/tmp/nope")
+    assert merged["q_cold"] == 2.3
+    assert bench.row_flagged(merged_load["q_cold"]) is True
 
 
 # ---------------------------------------------------------------------------
@@ -187,3 +212,101 @@ def test_calibration_probe_injectable(bench):
 
     t = bench.calibration_probe(runs=3, matmul=fake)
     assert len(calls) == 3 and t >= 0.0
+
+
+def test_calibration_probe_cache_keyed_on_size(bench):
+    # ADVICE r12: the unkeyed cache silently timed the first call's
+    # matrices for every later size — a 64x64 probe must be far
+    # cheaper than a 512x512 one
+    t_small = bench.calibration_probe(runs=1, size=64)
+    t_big = bench.calibration_probe(runs=1, size=512)
+    assert 64 in bench._CALIB_STATE and 512 in bench._CALIB_STATE
+    assert bench._CALIB_STATE[64][0].shape == (64, 64)
+    assert t_small < t_big
+
+
+def test_calib_settled_constant_env_pin(bench, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_CALIB_S", "0.02")
+    monkeypatch.setattr(bench, "CALIB_SETTLED_S", 0.02)
+    assert bench.calib_settled_constant() == 0.02
+
+
+def test_calib_settled_constant_disabled(bench, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_CALIB_S", "0")
+    monkeypatch.setattr(bench, "CALIB_SETTLED_S", 0.0)
+    assert bench.calib_settled_constant() == 0.0
+
+
+def test_calib_settled_constant_measured_when_unpinned(bench,
+                                                       monkeypatch):
+    # no env pin: the constant is MEASURED on this host (ADVICE r12 —
+    # a baked-in per-host number mis-stamps everywhere else)
+    monkeypatch.delenv("SPARK_GRAFT_CALIB_S", raising=False)
+    monkeypatch.setattr(bench, "CALIB_SETTLED_S", 0.0)
+    monkeypatch.setattr(bench, "calibration_probe",
+                        lambda runs=5: 0.0123)
+    assert bench.calib_settled_constant() == 0.0123
+
+
+# ---------------------------------------------------------------------------
+# Per-query emission (r13, VERDICT r12 #1): the driver keeps a
+# 2000-byte stdout TAIL; the per-query timings must survive it.
+# ---------------------------------------------------------------------------
+
+
+def _fake_compact(n=163):
+    return {f"some_query_name_{i:03d}": round(0.1 + i * 0.07, 2)
+            for i in range(n)}
+
+
+def test_per_query_lines_reassemble(bench):
+    import json
+    compact = _fake_compact()
+    lines = bench.per_query_lines(compact)
+    objs = [json.loads(ln) for ln in lines]
+    # encoding 1: full map (for whole-stdout consumers)
+    assert objs[0]["queries"] == compact
+    # encoding 2: chunks reassemble to the map
+    rebuilt = {}
+    for o in objs[1:-1]:
+        (key, ch), = o.items()
+        assert key.startswith("queries_") and "of" in key
+        rebuilt.update(ch)
+    assert rebuilt == compact
+    # encoding 3: fixed-order array over sorted names
+    last = objs[-1]
+    assert last["qn"] == len(compact) and last["qo"] == "sorted"
+    assert last["qv"] == [compact[n] for n in sorted(compact)]
+
+
+def test_per_query_lines_fit_driver_tail(bench):
+    import json
+    compact = _fake_compact()
+    lines = bench.per_query_lines(compact)
+    # every chunk line under the budget
+    for ln in lines[1:-1]:
+        assert len(ln) <= bench.QUERY_LINE_BYTES
+    # the guaranteed-survival suffix: compact array + a ~350 B summary
+    # must fit the 2000-byte tail with room for at least one chunk
+    assert len(lines[-1]) + 350 + bench.QUERY_LINE_BYTES <= 2000
+
+
+def test_run_subset_returns_child_summary(bench, monkeypatch):
+    import json
+    out = "\n".join([
+        json.dumps({"load": {"q": [1.0, 50.0, 2, 0]}}),
+        json.dumps({"queries": {"q": 1.5}}),
+        json.dumps({"metric": "workload_total", "value": 1.5,
+                    "sustained_load": True,
+                    "calib_drift": [1.0, 2.1, 2.2]}),
+    ])
+
+    class P:
+        stdout = out
+        stderr = ""
+
+    monkeypatch.setattr(bench, "_run_bench_child", lambda env: P())
+    got, loads, summary = bench.run_subset(["q"], "/tmp/x")
+    assert got == {"q": 1.5}
+    assert summary["sustained_load"] is True
+    assert summary["calib_drift"] == [1.0, 2.1, 2.2]

@@ -135,17 +135,20 @@ def test_sharded_tier_matches_under_heavy_fpp(spark):
 def test_sharded_tier_never_broadcasts_eval_side(spark):
     # the verify semi-join must be a shuffle join — broadcasting the
     # eval hash set is exactly what this tier exists to avoid; the
-    # ONLY broadcast allowed is the bounded filter frame (shard join)
+    # ONLY broadcast allowed is the bounded filter frame (shard join).
+    # r13: the shuffle join is a ShuffledHashJoin building on the
+    # bounded eval side (guide §3.1) — the old merge hint paid two
+    # full sorts per verify
     from toy_vector_db_spark.operators.decontam import (
         contamination_report_sharded)
     train, ev = _dfs(spark)
     plan = contamination_report_sharded(
         train, ev, n=5, n_shards=4)._jdf.queryExecution() \
         .executedPlan().toString()
-    import re
     semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
     assert semi, plan
     assert all("Broadcast" not in ln for ln in semi), semi
+    assert any("ShuffledHashJoin" in ln for ln in semi), semi
 
 
 def test_sharded_bloom_build_is_bounded_and_valid(spark):

@@ -38,8 +38,9 @@ def main() -> None:
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
     import __spark_entry__ as entrymod
-    from bench import (CORE, calibration_probe, remeasure_flagged,
-                       row_flagged, run_subset, settled_start_load,
+    from bench import (CORE, calib_settled_constant, calibration_probe,
+                       per_query_lines, remeasure_flagged, row_flagged,
+                       run_subset, settled_start_load,
                        sustained_load_stamp)
 
     names = list(entrymod.queries())
@@ -50,19 +51,33 @@ def main() -> None:
     # chunk-bleed guard)
     suite_start = settled_start_load()
     print(f"suite start load1: {suite_start:.1f}", file=sys.stderr)
+    # settled matmul constant measured once here (idle, pre-Spark) and
+    # pinned into every child via env so runner + children share one
+    # absolute reference (ADVICE r12: no baked-in per-host constant)
+    settled = calib_settled_constant()
+    if settled > 0:
+        os.environ["SPARK_GRAFT_CALIB_S"] = str(settled)
     merged: dict[str, float] = {}
     merged_load: dict[str, list] = {}
     # sustained-load sentinel, chunk-grained: one absolute calibration
-    # probe before each chunk + one at the end, so every chunk of a
-    # multi-hour run carries burst/settled provenance (bench.py
-    # sentinel comment; probes run between child sessions, where this
-    # runner is otherwise idle)
+    # probe before each chunk + one at the end (probes run between
+    # child sessions, where this runner is otherwise idle) — PLUS each
+    # child session's own in-suite stamp (r12 granularity gap: a burst
+    # contained entirely inside one chunk evaded the between-chunk
+    # probes; the children have probed inside their suites since r12,
+    # but the merged artifact never aggregated those stamps)
     calib_probes: list[float] = []
+    chunk_stamps: list[dict] = []
     for i in range(0, len(names), chunk):
         calib_probes.append(calibration_probe())
         sub = names[i:i + chunk]
-        got, loads = run_subset(sub, sf_dir, suite_start=suite_start)
+        got, loads, child_sum = run_subset(sub, sf_dir,
+                                           suite_start=suite_start)
         merged_load.update(loads)
+        chunk_stamps.append(
+            {"chunk": i // chunk,
+             "sustained": bool(child_sum.get("sustained_load", False)),
+             "drift": child_sum.get("calib_drift", [])})
         if not got:
             for n in sub:
                 merged[n] = -1.0
@@ -73,7 +88,12 @@ def main() -> None:
               file=sys.stderr)
 
     calib_probes.append(calibration_probe())
-    sustained, drifts = sustained_load_stamp(calib_probes)
+    runner_sustained, drifts = sustained_load_stamp(calib_probes,
+                                                    settled=settled)
+    # merged stamp = runner-level OR any child-level stamp, so a
+    # burst contained inside one chunk stamps the merged artifact
+    sustained = runner_sustained or any(c["sustained"]
+                                        for c in chunk_stamps)
 
     remeasured = remeasure_flagged(merged, merged_load, sf_dir, chunk)
 
@@ -88,12 +108,20 @@ def main() -> None:
     if remeasured:
         print(json.dumps({"remeasured": remeasured},
                          separators=(",", ":")))
-    print(json.dumps({"queries": merged}, separators=(",", ":")))
+    # per-chunk provenance: which chunk(s) were polluted, each child's
+    # own drift curve (burst forensics at derived scale is per-chunk)
+    print(json.dumps({"chunk_calib": chunk_stamps},
+                     separators=(",", ":")))
+    for line in per_query_lines({n: round(v, 2)
+                                 for n, v in merged.items()}):
+        print(line)
     print(json.dumps({"metric": "workload_total", "value": total,
                       "core_total": core, "unit": "sec", "sf": sf,
                       "max_load1": max_load, "flagged_load": still_flagged,
                       "sustained_load": sustained,
+                      "runner_sustained": runner_sustained,
                       "calib_drift": drifts,
+                      "calib_s": round(settled, 5),
                       "protocol": "chunked"},
                      separators=(",", ":")))
 

@@ -268,10 +268,15 @@ def contamination_report_sharded(train: DataFrame, eval_df: DataFrame,
        so the full train scan stays map-only and only the ~FPP-sized
        survivor set continues;
     3. exact verification — survivors semi-join the distinct eval
-       hashes as a SHUFFLE (merge-hinted) equi-join on shingle_hash:
-       md5 keys are uniform, no skew, and the left side is already
-       pruned to survivors. False positives cost verify work, never
-       correctness.
+       hashes as a SHUFFLE equi-join on shingle_hash: md5 keys are
+       uniform, no skew, and the left side is already pruned to
+       survivors. False positives cost verify work, never
+       correctness. r13 (guide §3.1): the hint moved merge ->
+       shuffle_hash — the eval side per post-shuffle partition is
+       bounded by construction (distinct hashes / shuffle
+       partitions), so building a hash table on it beats sorting BOTH
+       sides; the sort-merge plan paid two full sorts for a
+       uniform-key semi-join.
     """
     # the distinct eval hash set feeds BOTH the filter build and the
     # exact verification join — checkpoint so the eval shingle explode
@@ -307,7 +312,7 @@ def contamination_report_sharded(train: DataFrame, eval_df: DataFrame,
 
     survivors = joined.filter(maybe).select(id_col, "shingle_hash")
     hits = (survivors
-            .join(ev.hint("merge"), "shingle_hash", "left_semi")
+            .join(ev.hint("shuffle_hash"), "shingle_hash", "left_semi")
             .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared")))
     totals = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     return (totals.join(hits, id_col, "left")

@@ -334,6 +334,14 @@ class KnnGraphIndex(_MaintainableIndex):
         fetch per hop — keep the ``ef`` best seen, stop when a hop
         admits nothing. Returns the same (row..., distance) frame shape
         as the other index tiers, ordered (distance, id).
+
+        r13 (guide §2.4/§5): the walk itself is ``_walk_chunk`` with a
+        single query — ONE beam-walk implementation serves both the
+        single-query and batch tiers (they were line-for-line twins;
+        the duplicate had already drifted once, r12's distinct()
+        removal landing here first). Beam admission order, candidate
+        dedup and break conditions are identical, so the returned
+        frame is bit-identical to the r12 loop.
         cap: the driver loop runs <= max_hops rounds (one bounded job
         per hop) — a convergence bound independent of corpus size;
         beams typically converge in 2-4 hops on the bounded-degree
@@ -347,53 +355,13 @@ class KnnGraphIndex(_MaintainableIndex):
         q = np.asarray(list(qvec), dtype=np.float64)
         dead = self._deleted_ids()
         live = self._live(self.table)
-        seeds = self._seed_entries(q, dead)
-        if not seeds:
-            return live.withColumn("distance",
-                                   F.lit(None).cast("double")).limit(0)
-        # beam: (dist, id) best-ef seen; visited: nodes already expanded
-        beam = seeds[:ef]
-        visited: set = set()
         self.last_hops = 0
         self.last_jobs = 0
-        for _ in range(max_hops):
-            frontier = [i for _, i in beam if i not in visited]
-            if not frontier:
-                break  # every beam member already expanded: converged
-            visited.update(frontier)
-            seen = visited | {i for _, i in beam} | dead
-            # ONE bounded job per hop: the frontier's edge rows carry
-            # both neighbor id and vector. On a loaded saved layout the
-            # frontier also prunes PARTITIONS: the bucket column is
-            # recomputed driver-side (same md5 both engines), so the
-            # scan touches ≤ |frontier| of the N_EDGE_BUCKETS dirs.
-            hop = self.edges
-            if "src_bucket" in hop.columns:
-                buckets = sorted({_src_bucket_py(i, self.edge_buckets)
-                                  for i in frontier})
-                hop = hop.filter(F.col("src_bucket").isin(buckets))
-            # no .distinct() before the collect (r12): it cost a full
-            # shuffle per hop to dedup <= |frontier| * 2m rows that the
-            # driver dedups below in one set pass anyway (the same
-            # driver-side dedup _walk_chunk always did)
-            fetched = (hop.filter(F.col("src").isin(frontier))
-                       .select("dst", "dst_vec").collect())
-            self.last_hops += 1
-            self.last_jobs += 1
-            cand, cseen = [], set()
-            for r in fetched:
-                if r["dst"] not in seen and r["dst"] not in cseen:
-                    cseen.add(r["dst"])
-                    cand.append((r["dst"], r["dst_vec"]))
-            if not cand:
-                break
-            dists = _np_query_dists([v for _, v in cand], q, self.metric)
-            before = {i for _, i in beam}
-            beam = sorted(beam + list(zip((float(x) for x in dists),
-                                          (i for i, _ in cand))))[:ef]
-            if {i for _, i in beam} == before:
-                break  # hop admitted nothing into the beam: converged
-        top_ids = [i for _, i in beam[:k]]
+        top = self._walk_chunk([("__q", q)], k, ef, max_hops, dead)
+        if not top:
+            return live.withColumn("distance",
+                                   F.lit(None).cast("double")).limit(0)
+        top_ids = [i for _, i, _ in top]
         qlit = F.lit([float(x) for x in qvec]).cast("array<double>")
         from ..functions.distance import distance
         res = live.filter(F.col(self.id_col).isin(top_ids)) \

@@ -3548,14 +3548,23 @@ def ann_graph_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in knn_join_arrow(qf, uniq, k=KNN_K).collect():
             dk[r["query_id"]] = max(dk.get(r["query_id"], 0.0),
                                     r["distance"])
-        qvecs = {r["query_id"]: list(r["query_vec"])
-                 for r in qf.collect()}
-        rows = []
-        for vid in (1, 5, 9):
-            approx = idx.search(qvecs[vid], k=KNN_K, ef=64).collect()
-            hits = sum(1 for r in approx
-                       if r["distance"] <= dk[vid] + 1e-9)
-            rows.append((vid, hits / KNN_K >= 0.6))
+        # one batched walk for all three probe queries (r13, guide
+        # §2.4/§5): the three separate idx.search() calls each paid
+        # their own per-hop driver round-trips PLUS a result re-scan
+        # of the corpus — search_batch advances the three beams
+        # together (<= max_hops bounded fetches TOTAL, shared
+        # adjacency cache) and returns the walk's float64 distances
+        # directly, exactly the protocol the sibling gate
+        # knn_join_graph_batch has always used. Hits stay tie-robust
+        # (<= exact k-th distance + 1e-9), so the gate booleans are
+        # unchanged — proven against the oracle at sf0.001/0.01/0.1.
+        approx = idx.search_batch(qf, k=KNN_K, ef=64).collect()
+        hits: dict = {}
+        for r in approx:
+            if r["distance"] <= dk[r["query_id"]] + 1e-9:
+                hits[r["query_id"]] = hits.get(r["query_id"], 0) + 1
+        rows = [(vid, hits.get(vid, 0) / KNN_K >= 0.6)
+                for vid in (1, 5, 9)]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.createDataFrame(rows, "query_id bigint, recall_ok boolean")
