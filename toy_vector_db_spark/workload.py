@@ -83,6 +83,27 @@ def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return ensure_parallelism(_t(spark, sf_dir, name))
 
 
+def _footer_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a source table from parquet FOOTER metadata,
+    driver-side (r13, guide §1.2/§6): the sizing probes
+    (_stream_partitions, the streaming shingle-tier pick) only need
+    the input's row count to choose a knob, and a Spark count() —
+    though metadata-served — still pays a full job round-trip
+    (~0.2-0.3 s each, times every streaming query). Same number, no
+    job. Handles both single-file tables (the testdata layout) and
+    directory tables (Spark-written derived sets)."""
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        total = 0
+        for root, _, files in os.walk(path):
+            total += sum(
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for f in files if f.endswith(".parquet"))
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 # ---------------------------------------------------------------------------
 # k-NN: flat (exact brute-force) search under all 4 metrics
 # (SURVEY §2.8 K1/K9; reference flat.go:100-144, executor.go:251-388)
@@ -3954,11 +3975,11 @@ def _stream_partitions(spark: SparkSession, sf_dir: str,
     bug as a pinned blocking constant — at the 100x derived point the
     sessionizer pushed 1.25M rows through each of 8 state partitions
     while 24 cores idled (13x wall per 10x data). Size to ~250k rows
-    per partition (footer-served count), floor 8, cap 32: small drains
-    keep their 8, the 100x point gets full parallelism. A real
-    deployment sizes this to key cardinality once — the checkpoint
-    pins it thereafter."""
-    n = _t(spark, sf_dir, table).count()
+    per partition (footer metadata, no Spark job — r13), floor 8,
+    cap 32: small drains keep their 8, the 100x point gets full
+    parallelism. A real deployment sizes this to key cardinality once
+    — the checkpoint pins it thereafter."""
+    n = _footer_rows(sf_dir, table)
     return str(min(32, max(8, n // 250_000)))
 
 
@@ -4019,11 +4040,24 @@ def events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
                    _stream_partitions(spark, sf_dir))
+    # skip the trailing no-data micro-batch (r13, guide §1.2): it
+    # exists to advance the watermark and EVICT state, but
+    # dropDuplicatesWithinWatermark emits each first-seen row in the
+    # data batch itself — for a bounded AvailableNow drain the extra
+    # batch only reloads + recommits every state store partition
+    # (A/B: 1.9 -> 1.2-1.35 s). Scoped: an unbounded deployment keeps
+    # the default (eviction is what bounds its state).
+    prev_ndmb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                   "false")
     try:
         run_available_now_to_parquet(deduped, os.path.join(tmp, "out"),
                                      os.path.join(tmp, "ckpt"))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                       prev_ndmb)
     return spark.read.parquet(os.path.join(tmp, "out"))
 
 
@@ -4046,11 +4080,25 @@ def events_followups_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
                    _stream_partitions(spark, sf_dir))
+    # skip the trailing no-data micro-batch (r13, guide §1.2): a
+    # stream-stream INNER join emits matches in the data batch where
+    # both rows meet; the no-data batch only advances the watermark to
+    # evict state — which for a bounded drain means reloading and
+    # recommitting BOTH sides' state stores for zero new rows (A/B:
+    # 3.7-4.0 -> 2.5-2.6 s, the single biggest streaming-row cut).
+    # Scoped to this bounded drain; unbounded deployments keep the
+    # default (eviction bounds their state).
+    prev_ndmb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                   "false")
     try:
         run_available_now(followup_pairs_stream(lhs, rhs, gap_minutes=30),
                           "events_followups_streaming_t", "append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                       prev_ndmb)
     return spark.table("events_followups_streaming_t")
 
 
@@ -5380,7 +5428,7 @@ def decontam_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # auto rule's count job, but the batch-side footer count can
     # stand in for it (same table)
     from .operators.dedup import _SIG_ARROW_MIN_DOCS
-    n_docs = _tp(spark, sf_dir, "documents").count()
+    n_docs = _footer_rows(sf_dir, "documents")  # metadata, no job (r13)
     tier = "arrow" if n_docs >= _SIG_ARROW_MIN_DOCS else "column"
     try:
         report = contamination_report(src, ev, n=5,
